@@ -1,0 +1,50 @@
+"""Table catalog over the driver's parquet test tables.
+
+The reference declares fixed schemas per layer (DDL in
+``02_create_tables_bronze.sql`` / ``04_create_silver_tables.sql`` /
+``06_create_gold_tables.sql``).  Here the physical tables are the
+driver's TPC-H-ish parquet files (see TESTDATA.md); this module is the
+single place that maps logical table names to storage so every plan
+reads through one chokepoint (→ easy to swap parquet dirs for a real
+metastore / Delta at cluster scale).
+
+Reads are plain ``spark.read.parquet`` — Catalyst pushes filters and
+prunes columns into the scan, so callers should NOT ``.cache()`` or
+materialize here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one logical table from ``sf_dir`` (lazy; no action triggered)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict — convenience for pipelines and tests."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` plans can
+    name them exactly like the DuckDB oracle does."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

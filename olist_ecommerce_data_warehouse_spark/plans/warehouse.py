@@ -1,0 +1,280 @@
+"""Core warehouse plans (SURVEY.md §2.3 joins, §2.4 aggregates, §2.6).
+
+Each plan mirrors a reference operator, re-expressed over the driver's
+TPC-H-ish tables.  Reference citations are per-plan.  Design rules:
+
+- money math in exact decimal (see ``functions.numeric``), output types
+  pinned so Spark and DuckDB agree on schema;
+- small dimensions broadcast explicitly (reference dims are all
+  broadcast-size; at 100 TB the fact-fact joins shuffle on their keys
+  and AQE handles skew);
+- LIMIT queries carry a full deterministic ORDER BY (ties broken by
+  key) so results are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.functions.numeric import as_out, money, revenue_expr
+from olist_ecommerce_data_warehouse_spark.plans.registry import query
+
+# Shared oracle fragment: discounted line revenue in exact decimal
+# (matches functions.numeric.revenue_expr bit-for-bit).
+REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+@query(
+    "flagship_revenue_by_brand",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 3
+    """,
+)
+def flagship_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 brands by revenue — the reference's flagship report
+    (top-3 categories by revenue, ``08_validacionsql.sql:55-62``:
+    J8 broadcast dim join + A7 grouped COUNT+SUM + O2 top-k)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            as_out(F.sum(revenue_expr())).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+        .limit(3)
+    )
+
+
+@query(
+    "total_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    """,
+)
+def total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar SUM KPI — total historical sales
+    (``08_validacionsql.sql:44-45``, A5)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        as_out(F.sum(revenue_expr())).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "order_date_range",
+    oracle="""
+    SELECT MIN(o_orderdate) AS first_order_ts,
+           MAX(o_orderdate) AS last_order_ts,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_order_day
+    FROM orders
+    """,
+)
+def order_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar MIN/MAX purchase-date-range KPI
+    (``08_validacionsql.sql:48-52``, A6/J7).
+
+    DATE columns are avoided in outputs (pandas type drift between
+    engines); day-granularity values are emitted as 'yyyy-MM-dd'
+    strings instead."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderdate").alias("first_order_ts"),
+        F.max("o_orderdate").alias("last_order_ts"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order_day"),
+    )
+
+
+@query(
+    "volumetrics",
+    oracle="""
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    """,
+)
+def volumetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volumetric reconciliation — per-table row counts
+    (``08_validacionsql.sql:16-24``, A4; union of 1-row aggregates,
+    O3)."""
+    parts = []
+    for name in ("orders", "lineitem", "customer", "part", "supplier"):
+        parts.append(
+            table(spark, sf_dir, name).agg(
+                F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+@query(
+    "anomaly_counts",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_totalprice < 0) AS n_negative_price,
+           COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS n_null_date
+    FROM orders
+    """,
+)
+def anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional anomaly counts (undelivered / impossible rows,
+    ``08_validacionsql.sql:70-77``, A8) — single pass, no joins."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("n_negative_price"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_date"),
+    )
+
+
+@query(
+    "per_order_rollup",
+    oracle=f"""
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS order_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def per_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order payment rollup — the reference's declared-but-unshipped
+    ``SUM(payment_value) GROUP BY order_id`` (``04_create_silver_tables.sql:25``,
+    A9).  Single hash aggregate; map-side partial agg keeps the shuffle
+    small at scale."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            as_out(F.sum(revenue_expr())).alias("order_revenue"),
+            as_out(F.sum(money("l_quantity"))).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "orphan_check",
+    oracle="""
+    SELECT COUNT(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan check as a LEFT ANTI join
+    (``08_validacionsql.sql:32-35``, J6).  Expected 0."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    )
+
+
+@query(
+    "sk_resolution_chain",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, p.p_brand, s.s_name,
+           CAST({REV_SQL} AS DOUBLE) AS item_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey  = p.p_partkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    """,
+)
+def sk_resolution_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way INNER key-resolution chain for the sales fact
+    (``07_etl_silver_to_gold.sql:270-273``, J4).  part/supplier are
+    broadcast (dim-size); lineitem⨝orders co-partitions on orderkey —
+    at 100 TB that one shuffle dominates and AQE's skew-join splits hot
+    orders."""
+    li = table(spark, sf_dir, "lineitem").alias("l")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").alias("o")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand").alias("p")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name").alias("s")
+    return (
+        li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .join(F.broadcast(s), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .select(
+            "l.l_orderkey",
+            "l.l_linenumber",
+            "o.o_custkey",
+            "p.p_brand",
+            "s.s_name",
+            as_out(revenue_expr()).alias("item_revenue"),
+        )
+    )
+
+
+@query(
+    "left_enrich_broadcast",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def left_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT broadcast enrichment — products ⟕ category_translation
+    (``05_ETL_load_bronze_to_silver/sp_load_silver_products.sql:48-50``,
+    J1): tiny right side, NULLs survive for unmatched keys."""
+    s = table(spark, sf_dir, "supplier").alias("s")
+    n = table(spark, sf_dir, "nation").alias("n")
+    r = table(spark, sf_dir, "region").alias("r")
+    return (
+        s.join(F.broadcast(n), F.col("s.s_nationkey") == F.col("n.n_nationkey"), "left")
+        .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left")
+        .select(
+            "s.s_suppkey",
+            "s.s_name",
+            F.col("n.n_name").alias("nation_name"),
+            F.col("r.r_name").alias("region_name"),
+        )
+    )
+
+
+@query(
+    "multikey_left_distinct",
+    oracle="""
+    SELECT DISTINCT o.o_orderkey, o.o_custkey, o.o_orderstatus
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND o.o_orderdate = l.l_shipdate
+    """,
+)
+def multikey_left_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key LEFT join whose joined columns are discarded, then
+    DISTINCT — replicates the dim_customer load's (buggy) existence
+    decoration exactly (``07_etl_silver_to_gold.sql:107-116``, J2+A3)."""
+    o = table(spark, sf_dir, "orders").alias("o")
+    li = table(spark, sf_dir, "lineitem").alias("l")
+    return (
+        o.join(
+            li,
+            (F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+            & (F.col("o.o_orderdate") == F.col("l.l_shipdate")),
+            "left",
+        )
+        .select("o.o_orderkey", "o.o_custkey", "o.o_orderstatus")
+        .distinct()
+    )

@@ -1,0 +1,85 @@
+"""Shared fixtures: one SparkSession per test run, a DuckDB connection
+with the driver's views registered, and the oracle comparator."""
+
+from __future__ import annotations
+
+import math
+import sys
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from olist_ecommerce_data_warehouse_spark.catalog import TABLES  # noqa: E402
+from olist_ecommerce_data_warehouse_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"  # tests use the smallest tier for speed
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("olist_spark_tests", cpus=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_cell(v) -> str:
+    """Canonicalize one cell for order-insensitive multiset compare."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    try:
+        import pandas as pd
+
+        if v is pd.NaT:
+            return "∅"
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+    except Exception:
+        pass
+    return str(v)
+
+
+def canonical_rows(pdf) -> list[tuple[str, ...]]:
+    """Sort columns by name, canonicalize cells, sort rows."""
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon_cell(row[c]) for c in cols) for _, row in pdf[cols].iterrows()]
+    return sorted(rows)
+
+
+def assert_matches_oracle(spark_df, ddb_con, oracle: str, name: str = "") -> None:
+    """Driver-gate replica: row count + column names + order-insensitive
+    exact value match between a Spark DataFrame and DuckDB SQL."""
+    spdf = spark_df.toPandas()
+    odf = ddb_con.execute(oracle).df()
+    assert sorted(spdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch spark={sorted(spdf.columns)} oracle={sorted(odf.columns)}"
+    )
+    assert len(spdf) == len(odf), f"{name}: row count spark={len(spdf)} oracle={len(odf)}"
+    srows, orows = canonical_rows(spdf), canonical_rows(odf)
+    if srows != orows:
+        diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")

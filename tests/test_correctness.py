@@ -1,0 +1,36 @@
+"""Driver-gate replica: every registered plan with an oracle is
+hash-compared against DuckDB at sf0.001 (the driver does the same at
+sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_PLANS = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_PLANS = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_PLANS)
+def test_plan_matches_oracle(spark, ddb, name):
+    spec = REGISTRY[name]
+    assert_matches_oracle(spec.fn(spark, SF_DIR), ddb, spec.oracle, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_PLANS)
+def test_plan_runs(spark, name):
+    """Non-SQL-expressible plans: must run and return a stable schema."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns
