@@ -32,9 +32,22 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one logical table from ``sf_dir`` (lazy; no action triggered)."""
+    """Load one logical table from ``sf_dir`` (lazy; no action triggered).
+
+    ``events`` is stored with nanosecond parquet timestamps, which
+    Spark's vectorized reader rejects outright — read them as raw
+    nanos (legacy long mode) and convert to microsecond timestamps
+    with integer division (``div 1000``: exact on BIGINT; a double
+    division would lose precision above 2^53 ns ≈ 104 days).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
