@@ -1,0 +1,124 @@
+"""Kimball star-schema builders over the driver's tables — the gold
+layer of the reference re-expressed (06_create_gold_tables.sql,
+07_etl_silver_to_gold.sql EP3).
+
+Mapping (FIXTURES.md driver-harness table): customer+nation+region →
+dim_customer; part → dim_product; supplier → dim_seller; orders →
+fact_orders; lineitem → fact_order_items.
+
+Scale design: dims get dense surrogate keys via the two-phase
+numbering (operators.surrogate — no global window bottleneck); facts
+resolve SKs through broadcast joins on the dim tables (every
+reference dim is broadcast-size; a 100 TB fact table streams through
+map-side joins without shuffling).  Orders⨝lineitem co-partition on
+orderkey — the one genuine shuffle — and AQE splits skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.functions.numeric import as_out, revenue_expr
+from olist_ecommerce_data_warehouse_spark.operators.surrogate import add_surrogate_key
+
+
+def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_customer: geography-enriched, SCD-1 full refresh
+    (07_etl_silver_to_gold.sql:99-116 — DELETE + INSERT DISTINCT;
+    SCD-2 scaffolding exists in the DDL but is never loaded, so the
+    shipped behavior is Type 1)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").alias("n")
+    r = table(spark, sf_dir, "region").alias("r")
+    enriched = (
+        c.alias("c")
+        .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left")
+        .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left")
+        .select(
+            "c.c_custkey",
+            "c.c_name",
+            "c.c_mktsegment",
+            F.col("n.n_name").alias("nation_name"),
+            F.col("r.r_name").alias("region_name"),
+        )
+    )
+    return add_surrogate_key(enriched, ["c_custkey"], sk_col="customer_sk").select(
+        "customer_sk", "c_custkey", "c_name", "c_mktsegment", "nation_name", "region_name"
+    )
+
+
+def build_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_product: straight typed projection + SK
+    (07_etl_silver_to_gold.sql:144-155)."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    return add_surrogate_key(p, ["p_partkey"], sk_col="part_sk").select(
+        "part_sk", "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+
+
+def build_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_seller: projection + SK (07_etl_silver_to_gold.sql:177-181)."""
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return add_surrogate_key(s, ["s_suppkey"], sk_col="supplier_sk").select(
+        "supplier_sk", "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
+def build_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_orders: SK resolution against dim_customer (J3, inner —
+    drops orders with missing customers exactly like
+    07_etl_silver_to_gold.sql:234-235), yyyyMMdd date key (F13),
+    status flags (F18)."""
+    o = table(spark, sf_dir, "orders")
+    dim_c = build_dim_customer(spark, sf_dir).select("customer_sk", "c_custkey")
+    fact = (
+        o.join(F.broadcast(dim_c), o.o_custkey == dim_c.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "customer_sk",
+            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("purchase_date_key"),
+            "o_orderstatus",
+            F.col("o_totalprice").alias("total_price"),
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("is_high_priority"),
+        )
+    )
+    return add_surrogate_key(fact, ["o_orderkey"], sk_col="order_sk").select(
+        "order_sk",
+        "o_orderkey",
+        "customer_sk",
+        "purchase_date_key",
+        "o_orderstatus",
+        "total_price",
+        "is_open",
+        "is_high_priority",
+    )
+
+
+def build_fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_order_items: 3-way SK-resolution chain (J4,
+    07_etl_silver_to_gold.sql:262-273) + decimal-exact measures."""
+    li = table(spark, sf_dir, "lineitem")
+    orders_sk = build_fact_orders(spark, sf_dir).select("order_sk", "o_orderkey")
+    dim_p = build_dim_part(spark, sf_dir).select("part_sk", "p_partkey")
+    dim_s = build_dim_supplier(spark, sf_dir).select("supplier_sk", "s_suppkey")
+    return (
+        li.join(orders_sk, li.l_orderkey == orders_sk.o_orderkey, "inner")
+        .join(F.broadcast(dim_p), li.l_partkey == dim_p.p_partkey, "inner")
+        .join(F.broadcast(dim_s), li.l_suppkey == dim_s.s_suppkey, "inner")
+        .select(
+            "order_sk",
+            "part_sk",
+            "supplier_sk",
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyyMMdd").cast("int").alias("ship_date_key"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("price"),
+            as_out(revenue_expr()).alias("item_revenue"),
+        )
+    )
