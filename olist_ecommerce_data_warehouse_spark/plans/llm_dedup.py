@@ -1,1 +1,268 @@
-"""Plans: llm_dedup (filled in incrementally)."""
+"""Near-duplicate dedup plans (extension tier: exact, n-gram Jaccard,
+MinHash+LSH, SimHash — the LLM-corpus dedup family).
+
+The driver's ``documents`` table has no duplicates, so each plan
+injects them deterministically: exact copies (mod-3 doc_ids,
+whitespace-padded) and near-duplicates (mod-5 doc_ids with the first
+two tokens dropped), offset into a disjoint id range.  The oracle
+performs the identical injection, so the comparison exercises the
+dedup operator itself.
+
+Signature portability: all hash values derive from md5 hex via an
+explicit positional hex→int expansion (operators.textdedup.hex_to_long
+⇔ ``_hex2int_sql``), so Spark and DuckDB compute bit-identical
+MinHash/SimHash signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.functions.text import fingerprint_md5, tokens
+from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+    MINHASH_ROWS,
+    band_signatures,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_values,
+    shingle_table,
+    simhash64,
+)
+from olist_ecommerce_data_warehouse_spark.plans.registry import query
+
+# ---------------------------------------------------------------- corruption
+
+NEARDUP_SQL = """
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string((regexp_extract_all(text, '[a-z]+'))[3:], ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+CORRUPTED_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL {NEARDUP_SQL}
+"""
+
+
+def _near_dups(docs: DataFrame) -> DataFrame:
+    toks = tokens("text")
+    return docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 3, F.greatest(F.size(toks), F.lit(3)))).alias("text"),
+    )
+
+
+def _corrupted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionAll(_near_dups(docs))
+
+
+def _hex2int_sql(h: str) -> str:
+    """SQL twin of operators.textdedup.hex_to_long (width 8)."""
+    terms = [
+        f"(CAST(strpos('0123456789abcdef', substr({h}, {j}, 1)) AS BIGINT) - 1) * {16 ** (8 - j)}"
+        for j in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+TOKS = "regexp_extract_all(text, '[a-z]+')"
+SHINGLES_SQL = f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len({TOKS}) - 2, 0)),
+               i -> array_to_string(({TOKS})[i:i+2], ' ')))) AS shingle
+    FROM corrupted
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corrupted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, '  ' || text || ' '
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM corrupted
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized content fingerprint,
+    keep the lowest doc_id.  Whitespace-padded copies collapse onto
+    their originals.  One shuffle on the fingerprint; map-side partial
+    agg collapses duplicates early — the 100 TB-safe shape."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    padded = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+    )
+    return (
+        docs.unionAll(padded)
+        .groupBy(fingerprint_md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corrupted AS ({CORRUPTED_SQL}),
+    sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes za ON inter.doc_a = za.doc_id
+    JOIN sizes zb ON inter.doc_b = zb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by exact 3-gram shingle Jaccard ≥ 0.6 over
+    a shingle self-join.  This is the *verifier* — quadratic in the
+    worst case, so at scale it runs only on LSH candidate pairs (see
+    dedup_minhash_lsh); here it doubles as the ground-truth plan."""
+    corrupted = _corrupted(spark, sf_dir)
+    sh = shingle_table(corrupted)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("doc_a", "doc_b")
+    )
+    return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.6)
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corrupted AS ({CORRUPTED_SQL}),
+    sh AS ({SHINGLES_SQL}),
+    hv AS (
+        SELECT doc_id, ks.i AS i,
+               substr(md5(CAST(ks.i AS VARCHAR) || ':' || shingle), 1, 8) AS h
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ks
+    ),
+    mh AS (
+        SELECT doc_id, i, MIN({_hex2int_sql("h")}) AS mh
+        FROM hv GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // {MINHASH_ROWS} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS sig
+        FROM mh GROUP BY doc_id, i // {MINHASH_ROWS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.doc_a = za.doc_id
+    JOIN sizes zb ON i.doc_b = zb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline — the 100 TB scale path:
+    shingle → 16 portable minhashes → 4-band signatures → equi-join on
+    (band, sig) for candidates → exact Jaccard verification ≥ 0.5 on
+    candidates only.  All-pairs never materializes; the only wide ops
+    are groupBys on doc_id and the banded equi-join."""
+    corrupted = _corrupted(spark, sf_dir)
+    sh = shingle_table(corrupted)
+    mh = minhash_values(sh)
+    bands = band_signatures(mh)
+    cand = lsh_candidate_pairs(bands)
+    return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.5)
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corrupted AS ({CORRUPTED_SQL}),
+    tok AS (
+        SELECT doc_id, unnest({TOKS}) AS token FROM corrupted
+    ),
+    th AS (
+        SELECT doc_id, substr(md5(token), 1, 8) AS h FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, bits.j AS j,
+               SUM((({_hex2int_sql("h")} >> bits.j) % 2) * 2 - 1) AS vote
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) bits
+        GROUP BY doc_id, bits.j
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+    SELECT CAST(orig.doc_id AS BIGINT) AS doc_a, CAST(dup.doc_id AS BIGINT) AS doc_b,
+           orig.simhash AS simhash_a, dup.simhash AS simhash_b,
+           CAST(bit_count(xor(orig.simhash, dup.simhash)) AS BIGINT) AS hamming
+    FROM sig orig JOIN sig dup ON dup.doc_id = orig.doc_id + 100000
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (32-bit, portable md5-derived bit votes over
+    the token multiset) + Hamming distance between each original and
+    its injected near-duplicate.  Per-doc signature is one narrow
+    aggregation — at scale, pairing runs through prefix-bucket banding
+    exactly like MinHash bands."""
+    corrupted = _corrupted(spark, sf_dir)
+    sig = corrupted.select("doc_id", simhash64("text").alias("simhash"))
+    orig = sig.alias("o")
+    dup = sig.alias("d")
+    return orig.join(
+        dup, F.col("d.doc_id") == F.col("o.doc_id") + 100000
+    ).select(
+        F.col("o.doc_id").alias("doc_a"),
+        F.col("d.doc_id").alias("doc_b"),
+        F.col("o.simhash").alias("simhash_a"),
+        F.col("d.simhash").alias("simhash_b"),
+        F.bit_count(F.col("o.simhash").bitwiseXOR(F.col("d.simhash"))).cast("bigint").alias("hamming"),
+    )
