@@ -17,6 +17,7 @@ from olist_ecommerce_data_warehouse_spark.plans import (  # noqa: E402,F401
     similarity,
     text,
     events,
+    multimodal,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,210 @@
+"""End-to-end medallion pipeline test over dirty Olist-shaped CSV
+fixtures — exercises EP1 (CSV→bronze incl. multiLine quoted newlines),
+EP2 (all 9 silver cleanses incl. dedup + accent fold), EP3 (star
+schema with dense SKs), the QA families, and audit/fail-fast."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.pipeline.medallion import MedallionPipeline
+from olist_ecommerce_data_warehouse_spark.sources.audit import load_summary
+
+CUSTOMERS_CSV = """customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state
+c1 ,u1,01310100,são paulo,sp
+c2,u2,20040002,rio de janeiro,RJ
+c3,u3,70040900,brasília,DF
+ ,u4,11111,nowhere,XX
+c5,u5,01310100,são paulo,SP
+"""
+
+SELLERS_CSV = """seller_id,seller_zip_code_prefix,seller_city,seller_state
+s1,01310100,sao paulo,sp
+s2,20040002,rio de janeiro,rjx
+"""
+
+TRANSLATION_CSV = """product_category_name,product_category_name_english
+beleza_saude,health_beauty
+informatica_acessorios,computers_accessories
+"""
+
+PRODUCTS_CSV = """product_id,product_category_name,product_name_lenght,product_description_lenght,product_photos_qty,product_weight_g,product_length_cm,product_height_cm,product_width_cm
+p1,beleza_saude,40,300,2,"1,5",10,"2,5",4
+p2,informatica_acessorios,55,800,5,250,20,10,15
+p3,,30,100,1,abc,5,5,5
+"""
+
+GEO_CSV = """geolocation_zip_code_prefix,geolocation_lat,geolocation_lng,geolocation_city,geolocation_state
+01310100,-23.56,-46.65,São Paulo,SP
+01310100,-23.57,-46.66,SAO PAULO,sp
+01310100,-23.55,-46.64,sao paulo,SP
+20040002,-22.90,-43.18,Rio de Janeiro,RJ
+"""
+
+ORDERS_CSV = """order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at,order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date
+o1,c1,DELIVERED,2017-10-02 10:56:33,2017-10-02 11:07:15,2017-10-04 19:55:00,2017-10-10 21:25:13,2017-10-18 00:00:00
+o2,c2,delivered,2017-11-18 19:28:06,2017-11-18 19:45:59,2017-11-22 13:39:59,2017-12-02 00:28:42,2017-11-29 00:00:00
+o3,c3,shipped,2018-02-13 21:18:39,2018-02-13 22:20:29,2018-02-14 19:46:34,,2018-03-09 00:00:00
+o4,c5,delivered,2018-06-01 08:00:00,not-a-date,2018-06-02 10:00:00,2018-05-30 12:00:00,2018-06-20 00:00:00
+"""
+
+ITEMS_CSV = """order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value
+o1,1,p1,s1,2017-10-06 11:07:15,"58,90","13,29"
+o1,2,p2,s1,2017-10-06 11:07:15,239.90,19.93
+o2,1,p2,s2,2017-11-23 19:45:59,199.00,17.87
+o3,1,p1,s1,2018-02-19 22:20:29,12.99,12.79
+o3,xx,p1,s1,2018-02-19 22:20:29,1.00,1.00
+o4,1,p3,s2,2018-06-05 08:00:00,45.00,27.20
+"""
+
+PAYMENTS_CSV = """order_id,payment_sequential,payment_type,payment_installments,payment_value
+o1,1,CREDIT_CARD,3,"99,33"
+o1,2,voucher,1,32.79
+o2,1,boleto,1,216.87
+o3,1,credit_card,2,25.78
+o4,1,debit_card,1,72.20
+"""
+
+# review r2 duplicated with different answer timestamps (keep-latest);
+# r3 has an embedded newline inside a quoted comment (multiLine);
+# r4 has an out-of-range score (filtered).
+REVIEWS_CSV = """review_id,order_id,review_score,review_comment_title,review_comment_message,review_creation_date,review_answer_timestamp
+r1,o1,5,,"great product",2017-10-11 00:00:00,2017-10-12 03:43:48
+r2,o2,1,late,"arrived late",2017-12-03 00:00:00,2017-12-03 10:00:00
+r2,o2,2,late,"arrived late but ok",2017-12-03 00:00:00,2017-12-05 11:00:00
+r3,o3,4,,"good
+value for money",2018-02-20 00:00:00,2018-02-21 09:30:00
+r4,o4,9,,bad score row,2018-06-10 00:00:00,2018-06-11 00:00:00
+r5,o4,3,," ",2018-06-10 00:00:00,2018-06-12 00:00:00
+"""
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("medallion")
+    csvs = {
+        "customers": CUSTOMERS_CSV,
+        "sellers": SELLERS_CSV,
+        "category_translation": TRANSLATION_CSV,
+        "products": PRODUCTS_CSV,
+        "geolocation": GEO_CSV,
+        "orders": ORDERS_CSV,
+        "order_items": ITEMS_CSV,
+        "order_payments": PAYMENTS_CSV,
+        "order_reviews": REVIEWS_CSV,
+    }
+    raw = base / "raw"
+    raw.mkdir()
+    for name, content in csvs.items():
+        (raw / f"{name}.csv").write_text(content, encoding="utf-8")
+    p = MedallionPipeline(spark, str(base / "wh"))
+    for name in csvs:
+        p.ingest_bronze(
+            name, str(raw / f"{name}.csv"), multi_line=(name == "order_reviews")
+        )
+    p.load_silver_all()
+    p.load_gold_all()
+    return p
+
+
+def test_bronze_all_strings(pipeline):
+    b = pipeline.read("bronze", "products")
+    assert all(f.dataType.simpleString() == "string" for f in b.schema.fields)
+    assert b.count() == 3
+
+
+def test_silver_customers_filter_and_cleanse(pipeline):
+    s = pipeline.read("silver", "customers")
+    rows = {r["customer_id"]: r for r in s.collect()}
+    assert set(rows) == {"c1", "c2", "c3", "c5"}  # blank id filtered
+    assert rows["c1"]["customer_state"] == "SP"  # upper + prefix 2
+
+
+def test_silver_products_decimal_comma_and_join(pipeline):
+    s = pipeline.read("silver", "products")
+    rows = {r["product_id"]: r for r in s.collect()}
+    assert float(rows["p1"]["product_weight_g"]) == 1.5  # "1,5" repaired
+    assert rows["p3"]["product_weight_g"] is None  # "abc" → NULL
+    assert rows["p1"]["product_category_name_english"] == "health_beauty"
+    assert rows["p3"]["product_category_name_english"] is None  # NULL survives left join
+    assert float(rows["p1"]["product_volume_cm3"]) == 10 * 2.5 * 4
+
+
+def test_silver_geolocation_accent_fold_dedup(pipeline):
+    s = pipeline.read("silver", "geolocation")
+    rows = s.collect()
+    # 3 accent/case variants of São Paulo collapse to one row
+    assert s.count() == 2
+    assert {r["geolocation_city"] for r in rows} == {"sao paulo", "rio de janeiro"}
+
+
+def test_silver_orders_typed_and_computed(pipeline):
+    s = pipeline.read("silver", "orders")
+    rows = {r["order_id"]: r for r in s.collect()}
+    assert rows["o1"]["delivery_days"] == 8
+    assert rows["o2"]["delay_days"] == 3  # late delivery
+    assert rows["o3"]["is_delivered"] == 0 and rows["o3"]["delivery_days"] is None
+    assert rows["o4"]["order_approved_at"] is None  # unparseable → NULL
+    assert rows["o4"]["delivery_days"] == -2  # anomaly preserved for QA
+
+
+def test_silver_order_items_castable_filter(pipeline):
+    s = pipeline.read("silver", "order_items")
+    assert s.count() == 5  # 'xx' item id row dropped
+    r = s.filter((F.col("order_id") == "o1") & (F.col("order_item_id") == 1)).first()
+    assert float(r["price"]) == 58.90 and float(r["total_item_value"]) == 72.19
+
+
+def test_silver_reviews_dedup_multiline_flags(pipeline):
+    s = pipeline.read("silver", "order_reviews")
+    rows = {r["review_id"]: r for r in s.collect()}
+    assert set(rows) == {"r1", "r2", "r3", "r5"}  # r4 out-of-range score
+    assert rows["r2"]["review_score"] == 2  # latest answer kept
+    assert "value for money" in rows["r3"]["review_comment_message"]  # multiLine parse
+    assert rows["r5"]["review_comment_message"] is None  # blank → NULL
+    assert rows["r5"]["has_comment"] == 0
+    assert rows["r1"]["is_promoter"] == 1 and rows["r2"]["is_detractor"] == 1
+
+
+def test_gold_star_schema(pipeline):
+    dim_c = pipeline.read("gold", "dim_customer")
+    sks = sorted(r["customer_sk"] for r in dim_c.collect())
+    assert sks == [1, 2, 3, 4]  # dense 1-based, deterministic
+    fo = pipeline.read("gold", "fact_orders")
+    assert fo.count() == 4
+    late = {r["order_id"]: r["is_delivered_late"] for r in fo.collect()}
+    assert late["o2"] == 1 and late["o1"] == 0
+    fi = pipeline.read("gold", "fact_order_items")
+    assert fi.count() == 5
+    # referential integrity: no orphan SKs (the J6/QA check)
+    assert (
+        fi.join(fo.select("order_sk"), "order_sk", "left_anti").count() == 0
+    )
+    fr = pipeline.read("gold", "fact_reviews")
+    assert fr.count() == 4
+    dd = pipeline.read("gold", "dim_date")
+    assert dd.filter(F.col("date_key") == 19000101).count() == 1  # sentinel
+
+
+def test_gold_dim_date_idempotency_guard(pipeline):
+    assert pipeline.load_gold_dim_date() == 0  # C3: already populated → skip
+
+
+def test_audit_lifecycle_and_summary(pipeline, spark):
+    audit = pipeline.audit.to_df()
+    assert audit.filter(F.col("status") == "FAILED").count() == 0
+    started = audit.filter(F.col("status") == "STARTED").count()
+    success = audit.filter(F.col("status") == "SUCCESS").count()
+    assert started == success and started >= 17  # 9 bronze + 9 silver + gold - skip
+    summary = load_summary(audit, within_minutes=None)
+    row = summary.first()
+    assert row["status"] == "SUCCESS" and row["duration_sec"] >= 0
+
+
+def test_fail_fast_records_failed_audit_row(spark, tmp_path):
+    p = MedallionPipeline(spark, str(tmp_path / "wh2"))
+    with pytest.raises(Exception):
+        p.ingest_bronze("customers", str(tmp_path / "missing.csv"))
+    statuses = [r[8] for r in p.audit.rows]
+    assert "FAILED" in statuses

@@ -1,0 +1,87 @@
+"""Structured Streaming tests: stream the driver's events table
+through file-source → watermarked windows / sessions / custom stateful
+op → memory sink, and check streaming results equal the batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    running_user_totals,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    """Driver events re-landed as a micro-batch file source (two
+    parquet drops so availableNow processes >1 file)."""
+    src = tmp_path_factory.mktemp("events_stream")
+    ev = table(spark, SF_DIR, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/drop1")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/drop2")
+    # file source reads a directory of files, so flatten the drops
+    flat = str(src / "flat")
+    ev.write.mode("overwrite").parquet(flat)
+    return flat
+
+
+def _drain(spark, sdf, name, mode="update"):
+    q = run_available_now(sdf, name, output_mode=mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_equals_batch(spark, event_source):
+    stream = read_event_stream(spark, event_source)
+    got = _drain(spark, tumbling_counts(stream), "t_tumbling", mode="append")
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    # append mode only emits windows closed by the watermark; every
+    # emitted window must match batch exactly, and most windows close.
+    assert g and all(b[k] == v for k, v in g.items())
+    assert len(g) >= len(b) - 8
+
+
+def test_streaming_sliding_runs(spark, event_source):
+    stream = read_event_stream(spark, event_source)
+    got = _drain(spark, sliding_counts(stream), "t_sliding", mode="append")
+    assert got.count() > 0
+    # every event contributes to 4 overlapping windows
+    total = got.agg(F.sum("n_events")).first()[0]
+    n_events = table(spark, SF_DIR, "events").count()
+    assert total <= 4 * n_events
+
+
+def test_streaming_sessions_run(spark, event_source):
+    stream = read_event_stream(spark, event_source)
+    got = _drain(spark, session_counts(stream), "t_sessions", mode="append")
+    assert got.count() > 0
+    assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_custom_stateful_running_totals(spark, event_source):
+    stream = read_event_stream(spark, event_source)
+    got = _drain(spark, running_user_totals(stream), "t_running", mode="update")
+    # final update per user equals the batch per-user totals
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    g = {r["user_id"]: r["n_events"] for r in got.collect()}
+    for r in batch.collect():
+        assert g[r["user_id"]] == r["n_events"]
