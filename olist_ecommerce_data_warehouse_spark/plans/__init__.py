@@ -18,6 +18,7 @@ from olist_ecommerce_data_warehouse_spark.plans import (  # noqa: E402,F401
     text,
     events,
     multimodal,
+    advanced,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

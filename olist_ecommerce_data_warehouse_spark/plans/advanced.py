@@ -1,0 +1,203 @@
+"""Advanced OLAP plans: TPC-H-Q1-style wide aggregate, ROLLUP grouping
+sets, pivot, as-of join, dim-date join KPI, approximate aggregates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.functions.numeric import as_out, dec, money
+from olist_ecommerce_data_warehouse_spark.operators.asof import asof_join
+from olist_ecommerce_data_warehouse_spark.operators.datedim import build_date_dim
+from olist_ecommerce_data_warehouse_spark.pipeline.star import build_dim_customer
+from olist_ecommerce_data_warehouse_spark.plans.gold import DIM_CUSTOMER_SQL
+from olist_ecommerce_data_warehouse_spark.plans.registry import query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter pushed to the parquet
+    scan, 2-key groupBy with 7 aggregates — the canonical wide-agg
+    whose partial (map-side) aggregation reduces the shuffle to
+    |groups| × partitions.  Averages computed as exact-decimal sum ÷
+    count cast once to double (bit-stable cross-engine)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + dec("l_tax", 4, 2))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        as_out(F.sum(money("l_quantity"))).alias("sum_qty"),
+        as_out(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+        as_out(F.sum(disc_price)).alias("sum_disc_price"),
+        as_out(F.sum(charge)).alias("sum_charge"),
+        (F.sum(money("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec("l_discount", 4, 2)).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "rollup_region_segment",
+    oracle=f"""
+    WITH dim_customer AS ({DIM_CUSTOMER_SQL})
+    SELECT d.region_name, d.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales,
+           CAST(GROUPING(d.region_name) AS INT) AS g_region,
+           CAST(GROUPING(d.c_mktsegment) AS INT) AS g_segment
+    FROM orders o JOIN dim_customer d ON o.o_custkey = d.c_custkey
+    GROUP BY ROLLUP (d.region_name, d.c_mktsegment)
+    """,
+)
+def rollup_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets up the region→segment hierarchy with
+    GROUPING() indicators (subtotals + grand total in one pass —
+    Catalyst expands to a single shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    d = build_dim_customer(spark, sf_dir).select("c_custkey", "region_name", "c_mktsegment")
+    joined = o.join(F.broadcast(d), o.o_custkey == d.c_custkey)
+    return joined.rollup("region_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_out(F.sum(money("o_totalprice"))).alias("total_sales"),
+        F.grouping("region_name").cast("int").alias("g_region"),
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+    ).withColumnRenamed("c_mktsegment", "segment")
+
+
+@query(
+    "pivot_event_types_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_event_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event types to columns, one row per day.  The pivot
+    value list is pinned (no extra distinct-discovery job — required
+    practice at scale) so the plan is a single hash aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "asof_click_attribution",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_event_id
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.view_ts <= c.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click → most recent prior view per user): the
+    point-in-time attribution primitive Spark lacks natively,
+    re-expressed as union + running last(ignoreNulls) window
+    (operators.asof) — one shuffle on user_id, no range explosion.
+    Oracle uses DuckDB's native ASOF JOIN."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="view_ts",
+        right_payload=["view_ts", "view_event_id"],
+    )
+
+
+@query(
+    "kpi_daterange_dim_join",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-12-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    dim_date AS (
+        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+               strftime(d, '%Y-%m-%d') AS day_str, year(d) AS yr
+        FROM days
+    )
+    SELECT MIN(day_str) AS first_day, MAX(day_str) AS last_day,
+           COUNT(DISTINCT yr) AS n_years
+    FROM orders o
+    JOIN dim_date dd ON CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) = dd.date_key
+    """,
+)
+def kpi_daterange_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: fact ⨝ dim_date on the yyyyMMdd key feeding the
+    purchase-date-range KPI (08_validacionsql.sql:48-52) — the
+    generated calendar broadcast against the fact scan."""
+    o = table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("date_key")
+    )
+    dd = build_date_dim(
+        spark, dt.date(1992, 1, 1), dt.date(1998, 12, 31), include_sentinel=False
+    ).select("date_key", "day_str", "yr")
+    return o.join(F.broadcast(dd), "date_key").agg(
+        F.min("day_str").alias("first_day"),
+        F.max("day_str").alias("last_day"),
+        F.countDistinct("yr").alias("n_years"),
+    )
+
+
+@query("approx_aggregates", oracle=None)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, quantile sketch) — the
+    sketch family for 100 TB profiling where exact distinct/quantile
+    shuffles are prohibitive.  Sketch internals are engine-specific →
+    rows-only driver check; tests/test_operators.py bounds the error
+    against exact values."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+    )

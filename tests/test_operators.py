@@ -1,0 +1,54 @@
+"""Operator-level unit tests for pieces the oracle can't see:
+approx-sketch error bounds, the two surrogate-key implementations
+agreeing, as-of join edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.operators.asof import asof_join
+from olist_ecommerce_data_warehouse_spark.operators.surrogate import (
+    add_surrogate_key,
+    add_surrogate_key_simple,
+)
+from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_approx_aggregates_error_bounds(spark):
+    got = REGISTRY["approx_aggregates"].fn(spark, SF_DIR).first()
+    ev = table(spark, SF_DIR, "events")
+    exact_users = ev.select("user_id").distinct().count()
+    exact_events = ev.select("event_id").distinct().count()
+    assert abs(got["approx_users"] - exact_users) / exact_users < 0.05
+    assert abs(got["approx_events"] - exact_events) / exact_events < 0.05
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    assert lo <= got["p50_value"] <= got["p95_value"] <= hi
+
+
+def test_surrogate_key_impls_agree(spark):
+    c = table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    scalable = {
+        r["c_custkey"]: r["sk"]
+        for r in add_surrogate_key(c, ["c_custkey"], num_partitions=7).collect()
+    }
+    simple = {
+        r["c_custkey"]: r["sk"] for r in add_surrogate_key_simple(c, ["c_custkey"]).collect()
+    }
+    assert scalable == simple
+    assert sorted(scalable.values()) == list(range(1, len(scalable) + 1))
+
+
+def test_asof_join_edges(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], "k int, ts int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 20, "r20"), (3, 1, "rx")], "k int, rts int, rv string"
+    )
+    got = {
+        r["lv"]: r["rv"]
+        for r in asof_join(left, right, "k", "ts", "rts", ["rv"]).collect()
+    }
+    assert got == {"l1": "r5", "l2": "r20", "l3": None}  # inclusive tie, no-match → NULL
