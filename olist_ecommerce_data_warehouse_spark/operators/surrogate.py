@@ -56,6 +56,16 @@ def add_surrogate_key(
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # CORRECTNESS: both the offsets branch and the data branch below
+    # consume `ranged`.  As two logical subtrees they would each plan
+    # their own range exchange, and repartitionByRange boundaries come
+    # from SAMPLING — if exchange reuse doesn't kick in, the two
+    # evaluations can pick different boundaries, so the broadcast
+    # offsets no longer describe the partitions the data actually
+    # landed in (observed as intermittently shifted keys).  An eager
+    # localCheckpoint pins ONE physical layout that both branches
+    # read; it also halves the work (shuffle+sort runs once).
+    ranged = ranged.localCheckpoint(eager=True)
     offsets = (
         ranged.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))

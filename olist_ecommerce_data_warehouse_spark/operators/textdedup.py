@@ -147,21 +147,33 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 def simhash64(col: Column | str, bits: int = 32) -> Column:
     """SimHash over the token multiset: per-token 32-bit hash
     (portable md5-derived), signed bit votes, sign → bit, assembled
-    into a BIGINT.  Pure array expressions — per-doc, no shuffle."""
-    toks = tokens(col)
-    hashes = F.transform(
-        toks, lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
-    )
-    def bit_vote(j: int) -> Column:
-        # sum over tokens of (bit_j(h) * 2 - 1); >0 → bit set
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
-        )
-        return F.when(votes > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    into a BIGINT.  Pure array expressions — per-doc, no shuffle.
 
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        out = out + bit_vote(j)
-    return out
+    Single-pass formulation: the token-hash array is evaluated once
+    per row and ALL bit counters accumulate together in one
+    ``aggregate`` with an array<bigint> accumulator (a per-bit
+    aggregate would re-evaluate the hash array ``bits`` times — at
+    32 bits that is a ~30× blowup of the row expression)."""
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: hex_to_long(F.substring(F.md5(t), 1, 8)))
+    pows = F.array(*[F.lit(2**j).cast("bigint") for j in range(bits)])
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    # votes[j] = sum over tokens of (bit_j(hash) ? +1 : -1)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint"),
+        ),
+    )
+    # signature = sum over j of (votes[j] > 0 ? 2^j : 0)
+    return F.aggregate(
+        F.zip_with(
+            votes, pows, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
