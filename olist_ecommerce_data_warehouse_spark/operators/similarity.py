@@ -61,11 +61,18 @@ def brute_force_topk(
 
     ``queries``: (query_id, qvec quantized); ``corpus``: (vec_id, cvec
     quantized).  The query side is broadcast (Q ≪ N); scoring is pure
-    map-side; the only shuffle is the per-query top-k window."""
-    scored = corpus.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
+    map-side; the only shuffle is the per-query top-k window.
+
+    Per-vector ``sqrt(norm²)`` is projected BELOW the join so each of
+    the O(Q·N) scored pairs does one dot product instead of three
+    array aggregates — same float ops as dot/(√na·√nb), bit-identical
+    cosine."""
+    q = queries.withColumn("__qn", F.sqrt(norm_sq_q(F.col("qvec")).cast("double")))
+    c = corpus.withColumn("__cn", F.sqrt(norm_sq_q(F.col("cvec")).cast("double")))
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = dot_q(F.col("qvec"), F.col("cvec")).cast("double") / (
+        F.col("__qn") * F.col("__cn")
     )
-    cos = cosine_q(F.col("qvec"), F.col("cvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         scored.select("query_id", "vec_id", cos.alias("cosine"))

@@ -37,16 +37,11 @@ MINHASH_ROWS = 4
 
 
 def hex_to_long(col: Column, width: int = 8) -> Column:
-    """Portable hex-string → BIGINT: positional expansion
-    sum(hexval(ch_j) * 16^(width-j)).  Matches the same arithmetic in
-    ANSI SQL (strpos-based), unlike conv()/from_hex which differ or
-    don't exist across engines."""
-    total = F.lit(0).cast("bigint")
-    for j in range(1, width + 1):
-        ch = F.substring(col, j, 1)
-        val = (F.instr(F.lit(HEX_DIGITS), ch) - 1).cast("bigint")
-        total = total + val * F.lit(16 ** (width - j)).cast("bigint")
-    return total
+    """hex-string → BIGINT.  One JVM base-conversion call; the SQL
+    oracle computes the identical value with a portable positional
+    expansion sum(strpos(ch_j)-1) * 16^(width-j) — same number either
+    way for lowercase md5 hex, so hashes stay engine-independent."""
+    return F.conv(col, 16, 10).cast("bigint")
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -65,36 +60,59 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def minhash_values(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, i, mh): per-doc minimum of hash_i over its shingles,
-    where hash_i(s) = hex_to_long(md5(i || ':' || s)[:8]) — 32-bit
-    range, portable."""
-    with_i = sh.select(
-        "doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
-    )
-    h = hex_to_long(
-        F.substring(F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))), 1, 8)
-    )
-    return with_i.select("doc_id", "i", h.alias("hv")).groupBy("doc_id", "i").agg(
-        F.min("hv").alias("mh")
-    )
+def minhash_band_signatures(
+    sh: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """(doc_id, band, sig): per-doc MinHash signature split into LSH
+    bands, where hash_i(s) = hex_to_long(md5(i || ':' || s)[:8]) —
+    32-bit range, portable.
 
-
-def band_signatures(mh: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> DataFrame:
-    """(doc_id, band, sig): md5 over the band's row-ordered minhashes.
-    collect_list has no ordering guarantee, so rows are gathered as
-    (i, mh) structs and sort_array pins the order deterministically."""
-    banded = mh.withColumn("band", (F.col("i") / rows).cast("int"))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("i", "mh"))).alias("rows"))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(
-                F.concat_ws("|", F.transform("rows", lambda r: r["mh"].cast("string")))
-            ).alias("sig"),
+    Single-shuffle formulation: each shingle row expands to its
+    k-vector of hashes map-side, and ONE groupBy(doc_id) folds them
+    with an elementwise minimum (collect_list order is irrelevant —
+    min is commutative, so this stays deterministic).  Band signatures
+    are then a narrow projection.  The naive shape
+    (explode ×k → groupBy(doc,i) → groupBy(doc,band)) shuffles k×
+    more rows through two wide stages."""
+    hs = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: hex_to_long(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))), 1, 8
+            )
+        ),
+    )
+    ceiling = F.array_repeat(F.lit(16**8).cast("bigint"), k)
+    per_doc = (
+        sh.select("doc_id", hs.alias("hs"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("hs"),
+                ceiling,
+                lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
+            ).alias("mh_arr")
         )
+    )
+    sig = F.md5(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.slice("mh_arr", F.col("band") * rows + 1, rows),
+                lambda m: m.cast("string"),
+            ),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            "mh_arr",
+        )
+        .select("doc_id", "band", sig.alias("sig"))
     )
 
 
@@ -115,19 +133,10 @@ def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard, computed only for candidate pairs:
-    |A∩B| via a shingle equi-join restricted to the pairs, |A|,|B|
-    from per-doc shingle counts."""
+def jaccard_from_inter(inter: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter) + per-doc shingle counts → exact
+    Jaccard.  ``inter`` must hold the shared-shingle count per pair."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -142,6 +151,21 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard, computed only for candidate pairs:
+    |A∩B| via a shingle equi-join restricted to the pairs, |A|,|B|
+    from per-doc shingle counts."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return jaccard_from_inter(inter, sh)
 
 
 def simhash64(col: Column | str, bits: int = 32) -> Column:

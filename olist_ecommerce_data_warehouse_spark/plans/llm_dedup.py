@@ -23,10 +23,10 @@ from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import fingerprint_md5, tokens
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     MINHASH_ROWS,
-    band_signatures,
+    jaccard_from_inter,
     jaccard_on_pairs,
     lsh_candidate_pairs,
-    minhash_values,
+    minhash_band_signatures,
     shingle_table,
     simhash64,
 )
@@ -56,7 +56,14 @@ def _near_dups(docs: DataFrame) -> DataFrame:
 
 def _corrupted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.unionAll(_near_dups(docs))
+    # the documents table is a single small file (1-2 scan partitions)
+    # but every downstream plan runs CPU-heavy per-doc transforms
+    # (tokenize/shingle/hash) — spread the rows across all cores
+    # first.  At 100 TB the scan is already wide and AQE would keep
+    # this a no-op-sized shuffle of raw text.
+    return docs.unionAll(_near_dups(docs)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _hex2int_sql(h: str) -> str:
@@ -142,10 +149,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst case, so at scale it runs only on LSH candidate pairs (see
     dedup_minhash_lsh); here it doubles as the ground-truth plan."""
     corrupted = _corrupted(spark, sf_dir)
-    sh = shingle_table(corrupted)
+    # the shingle table feeds 3 plan branches (both self-join sides
+    # and the size lookup) — materialize once instead of
+    # re-tokenizing/exploding every document per branch
+    sh = shingle_table(corrupted).localCheckpoint(eager=True)
     a = sh.alias("a")
     b = sh.alias("b")
-    pairs = (
+    # the self-join's groupBy ALREADY counts the shared shingles per
+    # pair — feed n_inter straight into the Jaccard instead of
+    # re-deriving intersections with a second pair×shingle join
+    inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -154,9 +167,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .select("doc_a", "doc_b")
     )
-    return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.6)
+    return jaccard_from_inter(inter, sh).filter(F.col("jaccard") >= 0.6)
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -209,9 +221,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only.  All-pairs never materializes; the only wide ops
     are groupBys on doc_id and the banded equi-join."""
     corrupted = _corrupted(spark, sf_dir)
-    sh = shingle_table(corrupted)
-    mh = minhash_values(sh)
-    bands = band_signatures(mh)
+    # reused by minhash signatures AND the verification stage — one
+    # materialization of the exploded shingles
+    sh = shingle_table(corrupted).localCheckpoint(eager=True)
+    bands = minhash_band_signatures(sh)
     cand = lsh_candidate_pairs(bands)
     return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.5)
 

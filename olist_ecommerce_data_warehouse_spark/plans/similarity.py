@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
-    cosine_q,
     dot_q,
+    norm_sq_q,
     quantized,
 )
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
@@ -118,7 +118,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     members.  Cluster assignment is the partition key at scale, so a
     query touches nprobe/nlist of the corpus."""
     emb = table(spark, sf_dir, "embeddings")
-    c = emb.select("vec_id", quantized("embedding").alias("cvec"))
+    c = emb.select("vec_id", quantized("embedding").alias("cvec")).withColumn(
+        "cn", F.sqrt(norm_sq_q(F.col("cvec")).cast("double"))
+    )
     cents = (
         c.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
@@ -130,27 +132,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
     assign = (
         c.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cvec", "centroid_id", d2(F.col("cvec"), F.col("centvec")).alias("d2"))
+        .select(
+            "vec_id", "cvec", "cn", "centroid_id",
+            d2(F.col("cvec"), F.col("centvec")).alias("d2"),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cvec", "centroid_id")
+        .select("vec_id", "cvec", "cn", "centroid_id")
     )
     q = c.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("cvec").alias("qvec"),
+        F.col("cn").alias("qn"),
     )
     w_probe = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qvec", "centroid_id", d2(F.col("qvec"), F.col("centvec")).alias("d2"))
+        .select(
+            "query_id", "qvec", "qn", "centroid_id",
+            d2(F.col("qvec"), F.col("centvec")).alias("d2"),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= 2)
-        .select("query_id", "qvec", "centroid_id")
+        .select("query_id", "qvec", "qn", "centroid_id")
+    )
+    # norms precomputed per vector → one dot per scored pair
+    cos = dot_q(F.col("qvec"), F.col("cvec")).cast("double") / (
+        F.col("qn") * F.col("cn")
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         probes.join(assign, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine_q(F.col("qvec"), F.col("cvec")).alias("cosine"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
@@ -189,10 +203,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("v", 1) + 1000), F.slice("v", 2, F.size("v") - 1)
         ).alias("v"),
     )
-    corrupted = base.unionAll(perturbed)
+    # per-vector sqrt-norm below the self-join: one dot per pair
+    # instead of three array aggregates (same float ops as
+    # dot/(sqrt·sqrt) → bit-identical cosine, see operators.similarity)
+    corrupted = base.unionAll(perturbed).withColumn(
+        "sn", F.sqrt(norm_sq_q(F.col("v")).cast("double"))
+    )
     a = corrupted.alias("a")
     b = corrupted.alias("b")
-    cos = cosine_q(F.col("a.v"), F.col("b.v"))
+    cos = dot_q(F.col("a.v"), F.col("b.v")).cast("double") / (
+        F.col("a.sn") * F.col("b.sn")
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
