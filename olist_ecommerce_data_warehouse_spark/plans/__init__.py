@@ -19,6 +19,7 @@ from olist_ecommerce_data_warehouse_spark.plans import (  # noqa: E402,F401
     events,
     multimodal,
     advanced,
+    ingest,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

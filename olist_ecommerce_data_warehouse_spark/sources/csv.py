@@ -32,11 +32,14 @@ def read_csv_bronze(
     *,
     sep: str = ",",
     quote: str = '"',
+    escape: str = "\\",
     multi_line: bool = False,
 ) -> DataFrame:
     """S1/S2: delimited source with header skip (FIRSTROW=2), UTF-8,
     quoted fields (BULK INSERT options, 03_load_csv_to_bronze.sql:41-52).
     ``multi_line=True`` parses embedded newlines inside quotes (S3).
+    For RFC-4180 files that escape quotes by doubling (the reference's
+    ``FORMAT='CSV'`` mode) pass ``escape='"'``.
 
     Scale note: multiLine CSV is NOT splittable (one file = one task);
     keep raw drops in many files or convert to Parquet at the edge."""
@@ -46,6 +49,7 @@ def read_csv_bronze(
         header=True,
         sep=sep,
         quote=quote,
+        escape=escape,
         encoding="UTF-8",
         multiLine=multi_line,
         mode="PERMISSIVE",
