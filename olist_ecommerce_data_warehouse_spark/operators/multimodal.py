@@ -103,7 +103,10 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(kernel, DECODED_SCHEMA)
+    # project before the Arrow exchange — every extra column is real
+    # serialization bytes per batch (mapInPandas gets no column pruning
+    # from Catalyst; the kernel declares what it reads)
+    return media.select("media_id", "kind", "payload").mapInPandas(kernel, DECODED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -133,4 +136,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 }
             )
 
-    return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, FRAME_SCHEMA)
+    )

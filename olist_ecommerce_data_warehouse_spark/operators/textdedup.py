@@ -35,6 +35,22 @@ MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = 4
 
+# Universal-hash family over one md5-derived base value:
+#   h_i(s) = (A[i] * base(s) + C[i]) % MINHASH_P
+# base(s) < 2^32 and A[i] < 2^29 keep the product < 2^61 — no BIGINT
+# overflow in either engine, so Spark and an ANSI-SQL oracle compute
+# bit-identical signatures from plain integer arithmetic.  This costs
+# ONE md5 per shingle instead of K.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(k: int = MINHASH_K) -> tuple[list[int], list[int]]:
+    """Deterministic (A, C) multiplier/offset lists shared by the Spark
+    plan and the SQL oracle."""
+    a = [((i * 2654435761 + 12345) % (1 << 29)) | 1 for i in range(k)]
+    c = [(i * 97531 + 7) % MINHASH_P for i in range(k)]
+    return a, c
+
 
 def hex_to_long(col: Column, width: int = 8) -> Column:
     """hex-string → BIGINT.  One JVM base-conversion call; the SQL
@@ -67,8 +83,9 @@ def minhash_band_signatures(
     rows: int = MINHASH_ROWS,
 ) -> DataFrame:
     """(doc_id, band, sig): per-doc MinHash signature split into LSH
-    bands, where hash_i(s) = hex_to_long(md5(i || ':' || s)[:8]) —
-    32-bit range, portable.
+    bands, where hash_i(s) = (A[i]*base(s) + C[i]) % P over ONE
+    md5-derived 32-bit base per shingle (see MINHASH_A/C/P) — portable
+    and 16× fewer md5 calls than hashing per (i, shingle).
 
     Single-shuffle formulation: each shingle row expands to its
     k-vector of hashes map-side, and ONE groupBy(doc_id) folds them
@@ -77,17 +94,18 @@ def minhash_band_signatures(
     are then a narrow projection.  The naive shape
     (explode ×k → groupBy(doc,i) → groupBy(doc,band)) shuffles k×
     more rows through two wide stages."""
-    hs = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: hex_to_long(
-            F.substring(
-                F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))), 1, 8
-            )
-        ),
+    coeff_a, coeff_c = minhash_coeffs(k)
+    base = hex_to_long(F.substring(F.md5(F.col("shingle")), 1, 8))
+    hs = F.array(
+        *[
+            (F.lit(coeff_a[i]) * F.col("__base") + F.lit(coeff_c[i])) % F.lit(MINHASH_P)
+            for i in range(k)
+        ]
     )
     ceiling = F.array_repeat(F.lit(16**8).cast("bigint"), k)
     per_doc = (
-        sh.select("doc_id", hs.alias("hs"))
+        sh.select("doc_id", base.alias("__base"))
+        .select("doc_id", hs.alias("hs"))
         .groupBy("doc_id")
         .agg(
             F.aggregate(
@@ -116,6 +134,62 @@ def minhash_band_signatures(
     )
 
 
+def prefix_filter_candidates(
+    sh: DataFrame, t_num: int = 3, t_den: int = 5
+) -> DataFrame:
+    """Exact prefix-filtered candidate pairs for Jaccard ≥ t_num/t_den
+    (PPJoin/All-Pairs prefix principle, Bayardo WWW'07).
+
+    Under ANY global total order of shingles, two sets with
+    J(A,B) ≥ t must share an element within each other's first
+    |S| - ⌈t·|S|⌉ + 1 elements — so joining only on those prefixes
+    loses NO qualifying pair.  Ordering by ascending document
+    frequency puts the *rarest* shingles in the prefixes, which is
+    what kills the quadratic blowup of common shingles in a naive
+    shingle self-join.  The threshold is a rational (default 3/5) and
+    ⌈t·n⌉ is computed in integer arithmetic — float ceil(0.6·5) =
+    ceil(3.0000000000000004) = 4 would silently shrink the prefix and
+    drop true pairs.
+
+    Returns distinct (doc_a < doc_b) candidates; callers verify with
+    exact Jaccard (``jaccard_on_pairs``)."""
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_sh"))
+    order = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    # p = n - ceil(t*n) + 1, with ceil(t_num*n/t_den) = (t_num*n + t_den-1) div t_den
+    p = (
+        F.col("__n_sh")
+        - F.floor((F.lit(t_num) * F.col("__n_sh") + F.lit(t_den - 1)) / F.lit(t_den))
+        + 1
+    )
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(order))
+        .join(sizes, "doc_id")
+        .filter(F.col("__rn") <= p)
+        .select("doc_id", "shingle", "__n_sh")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # size filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t — integer
+    # cross-multiplied so no float compare can flip at the boundary
+    size_ok = (F.lit(t_den) * F.col("b.__n_sh") >= F.lit(t_num) * F.col("a.__n_sh")) & (
+        F.lit(t_den) * F.col("a.__n_sh") >= F.lit(t_num) * F.col("b.__n_sh")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs colliding in ≥1 band — the LSH
     equi-join that replaces all-pairs comparison."""
@@ -133,15 +207,32 @@ def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_from_inter(inter: DataFrame, sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_inter) + per-doc shingle counts → exact
-    Jaccard.  ``inter`` must hold the shared-shingle count per pair."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs via per-doc
+    shingle arrays + ``array_intersect``.
+
+    One groupBy builds (doc_id, sorted shingle array, size); two
+    narrow joins attach both arrays to each pair; the intersection is
+    a per-row JVM set operation.  Compared to the pair×shingle
+    equi-join shape this removes the candidate-count × shingles-per-doc
+    row blowup (a 400k-pair verify would otherwise shuffle ~20M rows).
+    Per-doc arrays are bounded by document length, so executor memory
+    stays flat at any corpus size."""
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    pa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("a_arr"), F.col("n_sh").alias("n_a")
+    )
+    pb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("b_arr"), F.col("n_sh").alias("n_b")
+    )
+    n_inter = F.size(F.array_intersect("a_arr", "b_arr")).cast("bigint")
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_inter", n_inter)
         .select(
             "doc_a",
             "doc_b",
@@ -153,19 +244,31 @@ def jaccard_from_inter(inter: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard, computed only for candidate pairs:
-    |A∩B| via a shingle equi-join restricted to the pairs, |A|,|B|
-    from per-doc shingle counts."""
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash): SimHash signatures via explode + hash-agg.
+
+    Same math as ``simhash64`` but shaped for throughput: tokens
+    explode to rows, the per-bit signed votes are ``bits`` conditional
+    SUM aggregates (all whole-stage-codegen'd, map-side partial agg),
+    and the signature assembles in one final projection.  The
+    column-expression variant walks Catalyst higher-order lambdas,
+    which are evaluated *interpreted* per element — ~10× slower on
+    wide corpora."""
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+    h = hex_to_long(F.substring(F.md5(F.col("token")), 1, 8))
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j).cast("bigint")) != 0, 1).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    sig = sum(
+        [F.when(F.col(f"__v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint")) for j in range(bits)],
+        start=F.lit(0).cast("bigint"),
     )
-    return jaccard_from_inter(inter, sh)
+    return tok.groupBy("doc_id").agg(*votes).select("doc_id", sig.alias("simhash"))
 
 
 def simhash64(col: Column | str, bits: int = 32) -> Column:

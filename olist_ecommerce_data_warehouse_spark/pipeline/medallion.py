@@ -37,7 +37,10 @@ from olist_ecommerce_data_warehouse_spark.functions.cleansing import (
 )
 from olist_ecommerce_data_warehouse_spark.operators.datedim import build_date_dim
 from olist_ecommerce_data_warehouse_spark.operators.dedup import keep_latest
-from olist_ecommerce_data_warehouse_spark.operators.surrogate import add_surrogate_key
+from olist_ecommerce_data_warehouse_spark.operators.surrogate import (
+    add_surrogate_key,
+    add_surrogate_key_simple,
+)
 from olist_ecommerce_data_warehouse_spark.sources.audit import AuditLog
 from olist_ecommerce_data_warehouse_spark.sources.csv import read_csv_bronze, write_table
 
@@ -393,7 +396,7 @@ class MedallionPipeline:
             )
             .distinct()
         )
-        dim = add_surrogate_key(decorated, ["customer_id"], sk_col="customer_sk")
+        dim = add_surrogate_key_simple(decorated, ["customer_id"], sk_col="customer_sk")
         return self._audited_write(dim, "gold", "dim_customer")
 
     def load_gold_dim_product(self) -> int:
@@ -401,14 +404,14 @@ class MedallionPipeline:
             "product_id", "product_category_name", "product_category_name_english",
             "product_weight_g", "product_volume_cm3",
         )
-        dim = add_surrogate_key(p, ["product_id"], sk_col="product_sk")
+        dim = add_surrogate_key_simple(p, ["product_id"], sk_col="product_sk")
         return self._audited_write(dim, "gold", "dim_product")
 
     def load_gold_dim_seller(self) -> int:
         s = self.read("silver", "sellers").select(
             "seller_id", "seller_zip_code_prefix", "seller_city", "seller_state"
         )
-        dim = add_surrogate_key(s, ["seller_id"], sk_col="seller_sk")
+        dim = add_surrogate_key_simple(s, ["seller_id"], sk_col="seller_sk")
         return self._audited_write(dim, "gold", "dim_seller")
 
     def load_gold_fact_orders(self) -> int:

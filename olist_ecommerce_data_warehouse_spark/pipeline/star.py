@@ -6,8 +6,11 @@ Mapping (FIXTURES.md driver-harness table): customer+nation+region →
 dim_customer; part → dim_product; supplier → dim_seller; orders →
 fact_orders; lineitem → fact_order_items.
 
-Scale design: dims get dense surrogate keys via the two-phase
-numbering (operators.surrogate — no global window bottleneck); facts
+Scale design: dims get dense surrogate keys via the single-window
+``add_surrogate_key_simple`` (dims are broadcast-size by definition —
+a one-partition window over ≤ tens of millions of rows is cheaper
+than the two-phase machinery); facts use the scalable two-phase
+numbering (operators.surrogate — no global window bottleneck) and
 resolve SKs through broadcast joins on the dim tables (every
 reference dim is broadcast-size; a 100 TB fact table streams through
 map-side joins without shuffling).  Orders⨝lineitem co-partition on
@@ -21,7 +24,10 @@ from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.numeric import as_out, revenue_expr
-from olist_ecommerce_data_warehouse_spark.operators.surrogate import add_surrogate_key
+from olist_ecommerce_data_warehouse_spark.operators.surrogate import (
+    add_surrogate_key,
+    add_surrogate_key_simple,
+)
 
 
 def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +50,7 @@ def build_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.r_name").alias("region_name"),
         )
     )
-    return add_surrogate_key(enriched, ["c_custkey"], sk_col="customer_sk").select(
+    return add_surrogate_key_simple(enriched, ["c_custkey"], sk_col="customer_sk").select(
         "customer_sk", "c_custkey", "c_name", "c_mktsegment", "nation_name", "region_name"
     )
 
@@ -53,7 +59,7 @@ def build_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dim_product: straight typed projection + SK
     (07_etl_silver_to_gold.sql:144-155)."""
     p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
-    return add_surrogate_key(p, ["p_partkey"], sk_col="part_sk").select(
+    return add_surrogate_key_simple(p, ["p_partkey"], sk_col="part_sk").select(
         "part_sk", "p_partkey", "p_name", "p_brand", "p_type", "p_size"
     )
 
@@ -61,7 +67,7 @@ def build_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dim_seller: projection + SK (07_etl_silver_to_gold.sql:177-181)."""
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    return add_surrogate_key(s, ["s_suppkey"], sk_col="supplier_sk").select(
+    return add_surrogate_key_simple(s, ["s_suppkey"], sk_col="supplier_sk").select(
         "supplier_sk", "s_suppkey", "s_name", "s_nationkey"
     )
 

@@ -1,5 +1,6 @@
 """Advanced OLAP plans: TPC-H-Q1-style wide aggregate, ROLLUP grouping
-sets, pivot, as-of join, dim-date join KPI, approximate aggregates."""
+sets, pivot, as-of join, dim-date join KPI, approximate aggregates,
+salted skew join, SCD-2 dimension."""
 
 from __future__ import annotations
 
@@ -12,6 +13,8 @@ from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.numeric import as_out, dec, money
 from olist_ecommerce_data_warehouse_spark.operators.asof import asof_join
 from olist_ecommerce_data_warehouse_spark.operators.datedim import build_date_dim
+from olist_ecommerce_data_warehouse_spark.operators.scd import scd2_from_history
+from olist_ecommerce_data_warehouse_spark.operators.skew import salted_join
 from olist_ecommerce_data_warehouse_spark.pipeline.star import build_dim_customer
 from olist_ecommerce_data_warehouse_spark.plans.gold import DIM_CUSTOMER_SQL
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
@@ -201,3 +204,69 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("p50_value"),
         F.percentile_approx("value", 0.95).alias("p95_value"),
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-salted fact⨝fact join (operators.skew.salted_join):
+    lineitem joins orders on a 16-way salted orderkey, then rolls up
+    by priority.  Salting spreads any pathological orderkey over 16
+    shuffle partitions; the oracle is the UNSALTED join — the hash
+    match proves salting is row-identical, which is the property that
+    lets it be dropped into any skewed 100 TB join."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, ["l_orderkey"], num_salts=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        as_out(F.sum(money("l_quantity"))).alias("sum_qty"),
+    )
+
+
+@query(
+    "scd2_dim_customer",
+    oracle="""
+    WITH hist AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '2024-01-01 00:00:00' AS ts
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'RELOCATED', TIMESTAMP '2024-06-01 00:00:00'
+        FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT c_custkey, c_mktsegment,
+           ts AS effective_start,
+           LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS effective_end,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM hist
+    """,
+)
+def scd2_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 customer dimension — the capability the reference
+    declares but never loads (effective_start/end/is_current columns,
+    06_create_gold_tables.sql:60-62, loaded SCD-1 at
+    07_etl_silver_to_gold.sql:99-116).  A deterministic segment-change
+    history is injected (every 4th customer relocates mid-2024), and
+    operators.scd.scd2_from_history assigns half-open validity
+    intervals via one key-partitioned window."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v1 = c.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    v2 = (
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_mktsegment", F.lit("RELOCATED"))
+        .withColumn("ts", F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    )
+    return scd2_from_history(v1.unionByName(v2), ["c_custkey"], "ts")

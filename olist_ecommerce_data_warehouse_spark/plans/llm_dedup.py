@@ -22,13 +22,16 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import fingerprint_md5, tokens
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+    MINHASH_K,
+    MINHASH_P,
     MINHASH_ROWS,
-    jaccard_from_inter,
     jaccard_on_pairs,
     lsh_candidate_pairs,
     minhash_band_signatures,
+    minhash_coeffs,
+    prefix_filter_candidates,
     shingle_table,
-    simhash64,
+    simhash_table,
 )
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
@@ -74,6 +77,11 @@ def _hex2int_sql(h: str) -> str:
     ]
     return "(" + " + ".join(terms) + ")"
 
+
+# the oracle's minhash constants come from the SAME Python source as
+# the Spark plan's (operators.textdedup.minhash_coeffs)
+_A, _C = minhash_coeffs(MINHASH_K)
+_COEFF_VALUES = ", ".join(f"({i}, {_A[i]}, {_C[i]})" for i in range(MINHASH_K))
 
 TOKS = "regexp_extract_all(text, '[a-z]+')"
 SHINGLES_SQL = f"""
@@ -144,31 +152,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection by exact 3-gram shingle Jaccard ≥ 0.6 over
-    a shingle self-join.  This is the *verifier* — quadratic in the
-    worst case, so at scale it runs only on LSH candidate pairs (see
-    dedup_minhash_lsh); here it doubles as the ground-truth plan."""
+    """Near-dup detection by exact 3-gram shingle Jaccard ≥ 0.6 (= 3/5).
+
+    Candidate generation is PPJoin-style prefix filtering (provably no
+    false negatives — operators.textdedup.prefix_filter_candidates),
+    then exact Jaccard verification on candidates only.  A naive
+    shingle self-join is quadratic in the per-shingle document
+    frequency — boilerplate shingles alone make it explode at corpus
+    scale; the rare-first prefix join is the shape that survives
+    100 TB.  The oracle stays the ground-truth all-pairs join, so the
+    hash match also proves the prefix filter loses nothing."""
     corrupted = _corrupted(spark, sf_dir)
-    # the shingle table feeds 3 plan branches (both self-join sides
-    # and the size lookup) — materialize once instead of
+    # the shingle table feeds the frequency ranking, the candidate
+    # join AND the verification stage — materialize once instead of
     # re-tokenizing/exploding every document per branch
     sh = shingle_table(corrupted).localCheckpoint(eager=True)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # the self-join's groupBy ALREADY counts the shared shingles per
-    # pair — feed n_inter straight into the Jaccard instead of
-    # re-deriving intersections with a second pair×shingle join
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return jaccard_from_inter(inter, sh).filter(F.col("jaccard") >= 0.6)
+    cand = prefix_filter_candidates(sh, t_num=3, t_den=5)
+    return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.6)
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -179,14 +179,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corrupted AS ({CORRUPTED_SQL}),
     sh AS ({SHINGLES_SQL}),
-    hv AS (
-        SELECT doc_id, ks.i AS i,
-               substr(md5(CAST(ks.i AS VARCHAR) || ':' || shingle), 1, 8) AS h
-        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ks
+    based AS (
+        SELECT doc_id, {_hex2int_sql("substr(md5(shingle), 1, 8)")} AS b
+        FROM sh
     ),
     mh AS (
-        SELECT doc_id, i, MIN({_hex2int_sql("h")}) AS mh
-        FROM hv GROUP BY doc_id, i
+        SELECT doc_id, ks.i AS i, MIN((ks.a * b + ks.c) % {MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {_COEFF_VALUES}) ks(i, a, c)
+        GROUP BY doc_id, ks.i
     ),
     bands AS (
         SELECT doc_id, i // {MINHASH_ROWS} AS band,
@@ -267,7 +267,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — at scale, pairing runs through prefix-bucket banding
     exactly like MinHash bands."""
     corrupted = _corrupted(spark, sf_dir)
-    sig = corrupted.select("doc_id", simhash64("text").alias("simhash"))
+    sig = simhash_table(corrupted)
     orig = sig.alias("o")
     dup = sig.alias("d")
     return orig.join(

@@ -9,12 +9,30 @@ hashing.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+def release_stale_checkpoints(spark: SparkSession) -> None:
+    """Unpersist every persistent RDD left behind by earlier plans.
+
+    Some operators pin an eager ``localCheckpoint`` (surrogate-key
+    range layout, shingle tables).  Spark never frees those blocks on
+    its own, so across a 50-plan bench/correctness run they accumulate
+    in executor storage and degrade every later query (observed: a
+    sub-second projection ballooning to 50 s from GC pressure).  Plans
+    run strictly sequentially in every harness, so at plan-construction
+    time the previous plan is fully materialized and its checkpoints
+    are dead weight — safe to drop.  (localCheckpoint truncates
+    lineage, so this is ONLY safe between plans, never within one.)
+    """
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(False)
 
 
 @dataclass(frozen=True)
@@ -34,7 +52,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkFn], SparkFn]:
     def deco(fn: SparkFn) -> SparkFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate plan name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
-        return fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_stale_checkpoints(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        return wrapped
 
     return deco

@@ -44,6 +44,10 @@ def get_spark(app_name: str = "olist_spark_engine", *, cpus: int | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # batch-throughput GC: G1's fallback full GC is single-threaded
+        # and showed up as ~20 s stalls on random cheap queries with a
+        # large heap; Parallel(Old)GC compacts with all cores
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()

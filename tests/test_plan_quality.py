@@ -1,0 +1,81 @@
+"""Physical-plan quality gates (the 100 TB posture, asserted).
+
+Correctness tests prove WHAT each plan computes; these prove the plan
+SHAPE is the one that survives a 1000-executor scale-up:
+
+- dimension lookups run as broadcast joins (no shuffle of the fact
+  side for a dim resolution);
+- filters and column projections reach the parquet scan (pushdown /
+  pruning — a scan reading every column for a 2-column projection is
+  wrong at any scale);
+- hot paths stay inside whole-stage codegen;
+- fact-side surrogate keys never fall into a global single-partition
+  window (the one WindowExec shape that cannot scale).
+"""
+
+from __future__ import annotations
+
+from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark):
+    """Every dim resolution in the star build must be a broadcast
+    join — fact rows never shuffle to look up a dim row."""
+    plan = _plan(spark, "gold_fact_lineitem")
+    assert "BroadcastHashJoin" in plan
+    # part/supplier dims resolve via broadcast; orders⨝lineitem is the
+    # one legitimate shuffle join (fact-fact on orderkey)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_flagship_projection_prunes_scan(spark):
+    """The flagship scan must read only the columns the query needs —
+    ReadSchema at the lineitem scan stays narrow."""
+    plan = _plan(spark, "flagship_revenue_by_brand")
+    # lineitem has 16 columns; the flagship needs ≤5 of them
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln and "l_orderkey" in ln:
+            n_cols = ln.count(":")
+            assert n_cols <= 6, f"lineitem scan reads too many columns: {ln}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A plan filtering on a scanned column must push the predicate
+    into the parquet source (PushedFilters non-empty)."""
+    plan = _plan(spark, "window_topk_per_group")
+    assert "PushedFilters: [" in plan
+
+
+def test_hot_path_in_codegen(spark):
+    """The cleansing projections must run inside whole-stage codegen
+    (no interpreted per-row fallback in the simple-transform tier)."""
+    plan = _plan(spark, "derived_flags_arithmetic")
+    # executedPlan.toString marks codegen'd operators with a "*(n) "
+    # prefix (WholeStageCodegen subtree n)
+    assert "*(1) Project" in plan or "WholeStageCodegen" in plan
+
+
+def test_fact_sk_no_global_window(spark):
+    """The fact-size surrogate-key path must not plan a global
+    single-partition window over the fact rows: every window in the
+    two-phase numbering is partitioned (the only unpartitioned window
+    allowed is the 32-row per-partition offsets rollup, which windows
+    over __pid counts, not data rows)."""
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.operators.surrogate import add_surrogate_key
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    df = add_surrogate_key(li, ["l_orderkey", "l_linenumber"], sk_col="sk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    data_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln and "__pid" not in ln
+    ]
+    assert not data_windows, f"global window over data rows: {data_windows}"
