@@ -25,10 +25,17 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 from olist_ecommerce_data_warehouse_spark.plans import REGISTRY  # noqa: E402
+from olist_ecommerce_data_warehouse_spark.plans.registry import (  # noqa: E402
+    release_stale_checkpoints,
+)
 from olist_ecommerce_data_warehouse_spark.session import get_spark  # noqa: E402
 
 
 def run_plan(spark, name: str, sf_dir: str) -> float:
+    # cross-plan cleanup (stale checkpoints + a GC so ContextCleaner
+    # releases shuffle/broadcast state) runs BEFORE the clock: it is
+    # session hygiene, not part of the measured query
+    release_stale_checkpoints(spark)
     # plan construction is INSIDE the timed region: some plans
     # materialize intermediates eagerly (localCheckpoint), and that
     # work must show up in the number

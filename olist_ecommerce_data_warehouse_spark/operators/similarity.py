@@ -79,3 +79,57 @@ def brute_force_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def blocked_cosine_pairs(
+    blocked: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """All qualifying cosine pairs (id_a < id_b, cosine ≥ threshold)
+    within each block, via a per-block integer Gram matrix in numpy —
+    the vectorized-Pandas-UDF scale path for embedding near-dup.
+
+    Each block (an IVF/LSH bucket at scale — here the corpus label)
+    becomes ONE ``applyInPandas`` group: stack the block's quantized
+    vectors into an int64 (n, d) matrix, one ``M @ Mᵀ`` gives every
+    pairwise dot exactly (int64 — no float accumulation), norms come
+    off the diagonal, and the upper triangle is thresholded in bulk.
+    Identical bits to the JVM expression path: exact integer dots, one
+    correctly-rounded IEEE division per pair.
+
+    Why not a pair-level join: a blocked self-join evaluates the
+    d-element dot per pair through interpreted Catalyst lambdas and
+    ships both vectors per candidate row.  Here each vector crosses
+    Arrow once and the O(n²d) work runs as one C-loop matmul.  Blocks
+    must fit an executor (bucket sizing at scale: n·d·8 bytes plus the
+    n² Gram — cap bucket size accordingly)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col}_a bigint, {id_col}_b bigint, cosine double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
+        gram = m @ m.T
+        norms = np.sqrt(np.diag(gram).astype(np.float64))
+        cos = gram.astype(np.float64) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                f"{id_col}_a": ids[ia][keep],
+                f"{id_col}_b": ids[ib][keep],
+                "cosine": cos[ia, ib][keep],
+            }
+        )
+
+    return blocked.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
+        kernel, out_schema
+    )

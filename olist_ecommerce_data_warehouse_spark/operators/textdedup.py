@@ -229,9 +229,13 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("arr").alias("b_arr"), F.col("n_sh").alias("n_b")
     )
     n_inter = F.size(F.array_intersect("a_arr", "b_arr")).cast("bigint")
+    # shuffle-hash, not sort-merge: the build side carries the shingle
+    # arrays, and SMJ would sort those wide rows on both joins — the
+    # dominant (and unstable) cost at every scale.  Hash join on the
+    # bigint doc key never touches the array payload.
     return (
-        pairs.join(pa, "doc_a")
-        .join(pb, "doc_b")
+        pairs.join(pa.hint("shuffle_hash"), "doc_a")
+        .join(pb.hint("shuffle_hash"), "doc_b")
         .withColumn("n_inter", n_inter)
         .select(
             "doc_a",

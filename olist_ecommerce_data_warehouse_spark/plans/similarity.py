@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.similarity import (
+    blocked_cosine_pairs,
     brute_force_topk,
     dot_q,
     norm_sq_q,
@@ -193,7 +194,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: deterministic near-copies injected
     (first component nudged), candidate pairs blocked on the coarse
     cluster label (the realistic prefilter — at scale the blocking key
-    is an IVF/LSH bucket), exact quantized cosine ≥ 0.99."""
+    is an IVF/LSH bucket), exact quantized cosine ≥ 0.99.
+
+    Pair scoring runs as one int64 Gram matmul per block
+    (operators.similarity.blocked_cosine_pairs, Arrow-batched numpy) —
+    bit-identical to the JVM expression path but without interpreted
+    per-pair array lambdas."""
     emb = table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "label", quantized("embedding").alias("v"))
     perturbed = base.filter(F.col("vec_id") % 7 == 0).select(
@@ -203,23 +209,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("v", 1) + 1000), F.slice("v", 2, F.size("v") - 1)
         ).alias("v"),
     )
-    # per-vector sqrt-norm below the self-join: one dot per pair
-    # instead of three array aggregates (same float ops as
-    # dot/(sqrt·sqrt) → bit-identical cosine, see operators.similarity)
-    corrupted = base.unionAll(perturbed).withColumn(
-        "sn", F.sqrt(norm_sq_q(F.col("v")).cast("double"))
-    )
-    a = corrupted.alias("a")
-    b = corrupted.alias("b")
-    cos = dot_q(F.col("a.v"), F.col("b.v")).cast("double") / (
-        F.col("a.sn") * F.col("b.sn")
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.99)
+    corrupted = base.unionAll(perturbed)
+    return blocked_cosine_pairs(corrupted, threshold=0.99).select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "cosine",
     )
