@@ -32,12 +32,17 @@ from olist_ecommerce_data_warehouse_spark.session import get_spark  # noqa: E402
 
 
 def run_plan(spark, name: str, sf_dir: str) -> float:
-    # cross-plan cleanup (stale checkpoints + a GC so ContextCleaner
-    # releases shuffle/broadcast state) runs BEFORE the clock: it is
-    # session hygiene, not part of the measured query
+    # cross-plan cleanup runs BEFORE the clock: it is session hygiene,
+    # not part of the measured query.  release_stale_checkpoints frees
+    # tracked persists (and GCs only then); the unconditional GC here
+    # keeps ContextCleaner draining shuffle/broadcast state of the
+    # previous plan across a 50-plan session without charging any
+    # query for it (round 1 charged it to the next plan's clock —
+    # left_enrich_broadcast "cost" 6.2 s of other plans' garbage)
     release_stale_checkpoints(spark)
-    # plan construction is INSIDE the timed region: some plans
-    # materialize intermediates eagerly (localCheckpoint), and that
+    spark.sparkContext._jvm.System.gc()
+    # plan construction is INSIDE the timed region: some plans trigger
+    # small jobs at build time (surrogate min/max stats), and that
     # work must show up in the number
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)

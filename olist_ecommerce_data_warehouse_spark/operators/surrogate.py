@@ -12,20 +12,41 @@ Two implementations with identical output:
 - ``add_surrogate_key_simple`` — one global ROW_NUMBER() window.
   Correct at any scale but serializes the final numbering through a
   single partition; fine for dimension tables (≤ tens of millions).
-- ``add_surrogate_key`` — scalable two-phase numbering: range-
-  repartition by the order key, count rows per partition, broadcast
-  the per-partition offsets, then number locally.  No single-partition
-  bottleneck; the only full shuffle is the range partitioning itself
-  (which a global window would need anyway).  Use for fact-size
-  tables.
+- ``add_surrogate_key`` — scalable two-phase numbering over a
+  DETERMINISTIC order-preserving bucketing of the leading order
+  column: numeric/temporal keys map linearly between their exact
+  MIN/MAX, string keys bucket by 2-char prefix.  Per-bucket
+  ROW_NUMBER + a broadcast cumulative offset of all lower buckets
+  gives the dense global numbering with no single-partition
+  bottleneck.
+
+Why deterministic bucketing instead of ``repartitionByRange``: range
+partition boundaries come from SAMPLING, so two evaluations of the
+same plan can land rows in different partitions — the round-1
+implementation pinned one layout with an eager ``localCheckpoint``,
+which truncates lineage: an executor loss at 100 TB killed the job
+instead of recomputing.  A bucket that is a pure function of the row
+needs no pinning at all — every recomputation (task retry, lost
+cached block, a driver that builds several plans before executing
+them) lands every row in the same bucket, and full lineage is kept,
+so the operator is fault-tolerant at cluster scale.
+
+Cost model: one extra map-side MIN/MAX aggregation job (numeric path
+only, collected as a single row — the same footprint as AQE's stats
+collection), one narrow groupBy for bucket counts, one shuffle by
+bucket for the windowed numbering.  Linear bucketing skews when key
+values cluster; that affects only this final numbering stage and only
+its partition balance, never results.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_BUCKET = "__bucket"
 
 
 def add_surrogate_key_simple(
@@ -34,6 +55,38 @@ def add_surrogate_key_simple(
     """Dense 1-based key via a single global window (dimension-size)."""
     w = Window.orderBy(*order_cols)
     return df.withColumn(sk_col, F.row_number().over(w))
+
+
+def _bucket_col(df: DataFrame, col: str, parts: int) -> Column:
+    """Deterministic, monotone-non-decreasing bucket of ``col``.
+
+    Monotonicity is what makes per-bucket numbering + cumulative
+    offsets equal a global ROW_NUMBER: every row of a lower bucket
+    precedes every row of a higher one in key order.  NULL keys sort
+    first under Spark's default ASC NULLS FIRST, so they map to the
+    lowest bucket (numeric: coalesce→bucket 0; string: NULL prefix
+    coalesces to '' which is the lexicographic minimum)."""
+    dtype = dict(df.dtypes)[col]
+    if dtype == "string":
+        # 2-char prefix: lexicographic prefix order is consistent with
+        # full-string order (equal prefixes share a bucket, where the
+        # in-bucket ORDER BY disambiguates)
+        return F.coalesce(F.substring(F.col(col), 1, 2), F.lit(""))
+    if dtype == "date":
+        v = F.unix_date(F.col(col)).cast("double")
+    else:  # integral, floating, decimal, timestamp
+        v = F.col(col).cast("double")
+    row = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or mx is None or mx <= mn:
+        return F.lit(0)
+    # floor((v-mn)/span*parts) is monotone non-decreasing in v even
+    # under double rounding (each FP op preserves weak order), clamped
+    # into [0, parts-1]
+    raw = F.floor((v - F.lit(float(mn))) / F.lit(float(mx - mn)) * F.lit(parts))
+    return F.coalesce(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(parts - 1)).cast("int"), F.lit(0)
+    )
 
 
 def add_surrogate_key(
@@ -45,44 +98,30 @@ def add_surrogate_key(
     """Dense 1-based key in ``order_cols`` order without a global
     single-partition window.
 
-    Phase 1: range-repartition on the order key (total order across
-    partitions, sorted within after ``sortWithinPartitions``).
-    Phase 2: per-partition ROW_NUMBER + broadcast-joined cumulative
-    offset of all earlier partitions.
-    """
+    Phase 1: assign each row its deterministic order-preserving bucket
+    (``_bucket_col``) and count rows per bucket (narrow map-side agg).
+    Phase 2: ROW_NUMBER within each bucket + the broadcast cumulative
+    count of all lower buckets.  Both phases are pure functions of the
+    data — no sampling, no checkpoint, full lineage."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    # CORRECTNESS: both the offsets branch and the data branch below
-    # consume `ranged`.  As two logical subtrees they would each plan
-    # their own range exchange, and repartitionByRange boundaries come
-    # from SAMPLING — if exchange reuse doesn't kick in, the two
-    # evaluations can pick different boundaries, so the broadcast
-    # offsets no longer describe the partitions the data actually
-    # landed in (observed as intermittently shifted keys).  An eager
-    # localCheckpoint pins ONE physical layout that both branches
-    # read; it also halves the work (shuffle+sort runs once).
-    ranged = ranged.localCheckpoint(eager=True)
+    bucketed = df.withColumn(_BUCKET, _bucket_col(df, order_cols[0], parts))
     offsets = (
-        ranged.groupBy("__pid")
+        bucketed.groupBy(_BUCKET)
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn(
             "__offset",
             F.coalesce(
                 F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("__pid", "__offset")
+        .select(_BUCKET, "__offset")
     )
-    local_w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local_w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
+        bucketed.join(F.broadcast(offsets), _BUCKET)
         .withColumn(sk_col, (F.row_number().over(local_w) + F.col("__offset")).cast("bigint"))
-        .drop("__pid", "__offset")
+        .drop(_BUCKET, "__offset")
     )

@@ -87,33 +87,32 @@ def minhash_band_signatures(
     md5-derived 32-bit base per shingle (see MINHASH_A/C/P) — portable
     and 16× fewer md5 calls than hashing per (i, shingle).
 
-    Single-shuffle formulation: each shingle row expands to its
-    k-vector of hashes map-side, and ONE groupBy(doc_id) folds them
-    with an elementwise minimum (collect_list order is irrelevant —
-    min is commutative, so this stays deterministic).  Band signatures
-    are then a narrow projection.  The naive shape
-    (explode ×k → groupBy(doc,i) → groupBy(doc,band)) shuffles k×
-    more rows through two wide stages."""
+    Single-shuffle formulation: ONE groupBy(doc_id) with k independent
+    ``MIN((A[i]*base + C[i]) % P)`` aggregates.  All k minimums run
+    inside whole-stage codegen with map-side partial aggregation — the
+    shuffle carries one k-column row per (doc, map partition), not the
+    per-shingle hash vectors.  The previous formulation buffered a
+    ``collect_list`` of per-shingle 16-element arrays and folded them
+    with Catalyst higher-order lambdas (``aggregate``/``zip_with``),
+    which evaluate INTERPRETED per element — measured ~10× slower and
+    the bulk of round-1's 30 s ``dedup_minhash_lsh``.  The naive shape
+    (explode ×k → groupBy(doc,i) → groupBy(doc,band)) is worse still:
+    k× the shuffled rows through two wide stages."""
     coeff_a, coeff_c = minhash_coeffs(k)
     base = hex_to_long(F.substring(F.md5(F.col("shingle")), 1, 8))
-    hs = F.array(
-        *[
-            (F.lit(coeff_a[i]) * F.col("__base") + F.lit(coeff_c[i])) % F.lit(MINHASH_P)
-            for i in range(k)
-        ]
-    )
-    ceiling = F.array_repeat(F.lit(16**8).cast("bigint"), k)
     per_doc = (
         sh.select("doc_id", base.alias("__base"))
-        .select("doc_id", hs.alias("hs"))
         .groupBy("doc_id")
         .agg(
-            F.aggregate(
-                F.collect_list("hs"),
-                ceiling,
-                lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
-            ).alias("mh_arr")
+            *[
+                F.min(
+                    (F.lit(coeff_a[i]) * F.col("__base") + F.lit(coeff_c[i]))
+                    % F.lit(MINHASH_P)
+                ).alias(f"__mh{i}")
+                for i in range(k)
+            ]
         )
+        .select("doc_id", F.array(*[F.col(f"__mh{i}") for i in range(k)]).alias("mh_arr"))
     )
     sig = F.md5(
         F.concat_ws(
@@ -155,8 +154,21 @@ def prefix_filter_candidates(
     exact Jaccard (``jaccard_on_pairs``)."""
     from pyspark.sql import Window
 
+    # Doc-frequency ranking: the freq table is a partial-aggregated
+    # groupBy (output = |distinct shingles|, far smaller than the
+    # shingle table) BROADCAST back onto the shingles — the shingle
+    # table itself never shuffles for the frequency attach.  Per-doc
+    # size rides the SAME doc_id window shuffle as the rank (a window
+    # COUNT over the identical partitioning — one Exchange, two Window
+    # execs) instead of a separate groupBy + join.  Net: one tiny agg
+    # shuffle + one doc_id shuffle, vs round-1's four full-table
+    # shuffles (freq join, rank window, sizes agg, sizes join).
+    # A shingle-partitioned window COUNT was tried and is WORSE: no
+    # partial agg, and boilerplate shingles skew the partitions.
+    # At corpus scales where the distinct-shingle freq table outgrows
+    # broadcast (~10s of GB), drop the hint: the optimizer falls back
+    # to a shuffle join and the algorithm is unchanged.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_sh"))
     order = Window.partitionBy("doc_id").orderBy("__df", "shingle")
     # p = n - ceil(t*n) + 1, with ceil(t_num*n/t_den) = (t_num*n + t_den-1) div t_den
     p = (
@@ -165,9 +177,9 @@ def prefix_filter_candidates(
         + 1
     )
     prefix = (
-        sh.join(freq, "shingle")
+        sh.join(F.broadcast(freq), "shingle")
+        .withColumn("__n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("__rn", F.row_number().over(order))
-        .join(sizes, "doc_id")
         .filter(F.col("__rn") <= p)
         .select("doc_id", "shingle", "__n_sh")
     )

@@ -33,7 +33,7 @@ from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     shingle_table,
     simhash_table,
 )
-from olist_ecommerce_data_warehouse_spark.plans.registry import query
+from olist_ecommerce_data_warehouse_spark.plans.registry import query, track_persist
 
 # ---------------------------------------------------------------- corruption
 
@@ -164,9 +164,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match also proves the prefix filter loses nothing."""
     corrupted = _corrupted(spark, sf_dir)
     # the shingle table feeds the frequency ranking, the candidate
-    # join AND the verification stage — materialize once instead of
-    # re-tokenizing/exploding every document per branch
-    sh = shingle_table(corrupted).localCheckpoint(eager=True)
+    # join AND the verification stage — persist once instead of
+    # re-tokenizing/exploding every document per branch.  Tracked
+    # persist, not localCheckpoint: lineage stays intact, so block
+    # loss at cluster scale recomputes instead of failing the job.
+    sh = track_persist(shingle_table(corrupted))
     cand = prefix_filter_candidates(sh, t_num=3, t_den=5)
     return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.6)
 
@@ -222,8 +224,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are groupBys on doc_id and the banded equi-join."""
     corrupted = _corrupted(spark, sf_dir)
     # reused by minhash signatures AND the verification stage — one
-    # materialization of the exploded shingles
-    sh = shingle_table(corrupted).localCheckpoint(eager=True)
+    # fault-tolerant tracked persist of the exploded shingles
+    sh = track_persist(shingle_table(corrupted))
     bands = minhash_band_signatures(sh)
     cand = lsh_candidate_pairs(bands)
     return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.5)

@@ -13,37 +13,70 @@ import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
 
+# Intermediates persisted by THIS library's plans (shingle tables and
+# the like), released between plans.  Only what we persisted is ever
+# unpersisted — a host application's own cached DataFrames are never
+# touched, and because these are plain ``persist``s (lineage intact,
+# unlike localCheckpoint) releasing one early merely costs a recompute,
+# never correctness: a plan built but not yet executed just re-derives
+# the intermediate when it finally runs.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    eager: bool = True,
+) -> DataFrame:
+    """Persist ``df`` for intra-plan reuse and register it for release
+    before the next plan.  MEMORY_AND_DISK: spills instead of OOMing on
+    wide shingle tables; lineage is preserved, so an executor loss at
+    cluster scale recomputes the lost blocks instead of killing the job
+    (the reason this replaced eager ``localCheckpoint``).
+
+    ``eager`` materializes the cache with one count() job up front:
+    consumers that run as CONCURRENT stages of one job (e.g. the three
+    shingle-table subtrees of the dedup plans) would otherwise race and
+    each compute the partitions they touch first — Spark's block store
+    dedupes completed blocks, not in-flight computation."""
+    df.persist(level)
+    _TRACKED_PERSISTS.append(df)
+    if eager:
+        df.count()
+    return df
+
 
 def release_stale_checkpoints(spark: SparkSession) -> None:
-    """Unpersist every persistent RDD left behind by earlier plans.
+    """Release intermediates persisted by earlier plans of THIS library.
 
-    Some operators pin an eager ``localCheckpoint`` (surrogate-key
-    range layout, shingle tables).  Spark never frees those blocks on
-    its own, so across a 50-plan bench/correctness run they accumulate
-    in executor storage and degrade every later query (observed: a
-    sub-second projection ballooning to 50 s from GC pressure).  Plans
-    run strictly sequentially in every harness, so at plan-construction
-    time the previous plan is fully materialized and its checkpoints
-    are dead weight — safe to drop.  (localCheckpoint truncates
-    lineage, so this is ONLY safe between plans, never within one.)
-    """
-    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        # blocking: async removal races the next plan's eager
-        # checkpoint writes on block-manager locks (observed as a 15 s
-        # plan intermittently taking 57 s when following another
-        # checkpointing plan)
-        jrdd.unpersist(True)
-    # ContextCleaner frees shuffle files / broadcasts only when the
-    # driver GC collects their weak refs — on a 48 g heap that almost
-    # never happens on its own, and heavy shuffle plans degrade
-    # monotonically across a 50-plan session (measured 6 s → 40 s for
-    # the same query).  One explicit GC per plan keeps the session
-    # flat and costs ~100 ms on an idle heap.
-    spark.sparkContext._jvm.System.gc()
+    Spark never frees persisted blocks on its own, so across a 50-plan
+    bench/correctness session they accumulate in executor storage and
+    degrade later queries (observed: a sub-second projection ballooning
+    to 50 s from GC pressure).  Scoped strictly to ``track_persist``
+    entries: other libraries' cached data is untouched, and unpersisting
+    a tracked DataFrame is always safe — lineage is intact, worst case
+    is a recompute.
+
+    The explicit GC runs ONLY when something was actually released:
+    ContextCleaner frees the released plan's shuffle files / broadcasts
+    when the driver GC collects their weak refs, which on a 48 g heap
+    rarely happens unprompted (measured 6 s → 40 s monotone degradation
+    for the same heavy query without it).  The 52 plans that never
+    persist pay nothing — a full System.gc() on a churned heap costs
+    seconds, which round-1 bench charged to innocent bystander queries
+    (``left_enrich_broadcast`` at 6.2 s for a 1k-row double broadcast
+    join)."""
+    released = False
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist(True)
+        released = True
+    if released:
+        spark.sparkContext._jvm.System.gc()
 
 
 @dataclass(frozen=True)

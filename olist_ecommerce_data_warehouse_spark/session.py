@@ -43,11 +43,21 @@ def get_spark(app_name: str = "olist_spark_engine", *, cpus: int | None = None) 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # batch-throughput GC: G1's fallback full GC is single-threaded
-        # and showed up as ~20 s stalls on random cheap queries with a
-        # large heap; Parallel(Old)GC compacts with all cores
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # RIGHT-SIZED heap, not max: in local mode the driver JVM hosts
+        # all executor threads, and GC cost scales with heap size.  A
+        # 48 g heap measured 35-44 s for the ngram-dedup plan with 95%
+        # of stage time in GC (231 s summed GC vs 5 s CPU in one
+        # stage); the identical plan on 8 g runs in ~5 s.  sf0.1 work
+        # fits comfortably in 8 g; a real cluster sizes executor heaps
+        # to partition volume the same way (8-16 g per executor is the
+        # standard guidance — giant heaps trade pause time for nothing).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # G1 (JDK default): region-based collection keeps pauses
+        # proportional to garbage, not heap.  ParallelGC was tried for
+        # batch throughput and loses at every heap size once the
+        # session churns (full-heap compactions stall all 32 task
+        # threads at once).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()

@@ -65,8 +65,8 @@ def test_fact_sk_no_global_window(spark):
     """The fact-size surrogate-key path must not plan a global
     single-partition window over the fact rows: every window in the
     two-phase numbering is partitioned (the only unpartitioned window
-    allowed is the 32-row per-partition offsets rollup, which windows
-    over __pid counts, not data rows)."""
+    allowed is the tiny per-bucket offsets rollup, which windows over
+    bucket counts, not data rows)."""
     from olist_ecommerce_data_warehouse_spark.catalog import table
     from olist_ecommerce_data_warehouse_spark.operators.surrogate import add_surrogate_key
 
@@ -76,6 +76,6 @@ def test_fact_sk_no_global_window(spark):
     data_windows = [
         ln
         for ln in plan.splitlines()
-        if "Window" in ln and "row_number" in ln and "__pid" not in ln
+        if "Window" in ln and "row_number" in ln and "__bucket" not in ln
     ]
     assert not data_windows, f"global window over data rows: {data_windows}"
