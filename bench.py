@@ -30,6 +30,41 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import (  # noqa: E402
 )
 from olist_ecommerce_data_warehouse_spark.session import get_spark  # noqa: E402
 
+# Frozen round-1 per-query baseline (BENCH_r01, sf0.1, local[32],
+# best-of-2) — the regression anchor BASELINE.md §"Per-query baseline"
+# documents.  Plans merged in round 2 carry the SUM of their round-1
+# parts (e.g. scalar_kpis = total_revenue + order_date_range).
+BASELINE_R01 = {
+    "ann_cosine_topk": 1.3931, "ann_ivf_topk": 1.4946,
+    # approx_aggregates re-anchored in round 2: the plan gained exact
+    # distinct/percentile anchors + in-bounds indicators to become
+    # driver-oracle-checkable (round-1 0.4329 s was sketch-only work)
+    "approx_aggregates": 1.59, "asof_click_attribution": 0.7604,
+    "cleanse_accent_fold_dedup": 0.3901, "cleanse_decimal_comma": 1.4546,
+    "cleanse_trim_case_prefix": 0.5716, "cleanse_try_timestamp": 0.4566,
+    "cleanse_validity_filter": 0.2993, "csv_roundtrip_ingest": 1.7187,
+    "date_dimension": 0.2946, "datetime_functions": 0.4574,
+    "dedup_distinct_projection": 0.481, "dedup_embedding_cosine": 0.622,
+    "dedup_exact": 0.548, "dedup_keep_latest": 0.4163,
+    "dedup_minhash_lsh": 30.6293, "dedup_ngram_jaccard": 12.3889,
+    "dedup_simhash": 1.9684, "doc_fingerprint": 0.3233,
+    "events_json_props": 0.5688, "events_sessionization": 0.6615,
+    "events_sliding_window": 0.7291, "events_tumbling_window": 0.4838,
+    "flagship_revenue_by_brand": 1.2667, "gold_dim_customer": 0.6348,
+    "gold_fact_lineitem": 3.5523, "gold_fact_orders": 1.8848,
+    "gold_revenue_by_region": 0.9745, "kpi_daterange_dim_join": 1.0491,
+    "left_enrich_broadcast": 6.1962, "multikey_left_distinct": 7.8658,
+    "multimodal_decode_stub": 2.2253, "multimodal_frame_sample": 0.5655,
+    "multimodal_metadata": 0.4053, "orphan_check": 0.5465,
+    "per_order_rollup": 1.6498, "pivot_event_types_daily": 0.5582,
+    "pricing_summary": 1.1094, "rollup_region_segment": 1.2103,
+    "scalar_kpis": 1.0867, "scd2_dim_customer": 0.4675,
+    "sk_resolution_chain": 1.338, "skew_salted_join": 3.0472,
+    "surrogate_keys": 0.8046, "text_lang_id": 0.6537,
+    "text_quality_score": 0.4437, "text_token_stats": 0.3628,
+    "volumetrics": 0.9386, "window_topk_per_group": 0.3922,
+}
+
 
 def run_plan(spark, name: str, sf_dir: str) -> float:
     # cross-plan cleanup runs BEFORE the clock: it is session hygiene,
@@ -65,12 +100,23 @@ def main() -> None:
     for name in sorted(REGISTRY):
         timings[name] = round(min(run_plan(spark, name, sf_dir) for _ in range(2)), 4)
 
+    # regression diff vs the frozen round-1 baseline (sf0.1 only —
+    # other SFs have no recorded anchor): queries >1.5x their r01 time
+    regressions = {}
+    if abs(sf - 0.1) < 1e-9:
+        for name, sec in timings.items():
+            base = BASELINE_R01.get(name)
+            if base is not None and sec > 1.5 * base and sec - base > 0.3:
+                regressions[name] = {"r01": base, "now": sec, "ratio": round(sec / base, 2)}
+
     out = {
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "baseline_total_r01": round(sum(BASELINE_R01.values()), 2),
+        "regressions_vs_r01": regressions,
     }
     print(json.dumps(out))
     spark.stop()

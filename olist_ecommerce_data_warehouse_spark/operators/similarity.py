@@ -52,6 +52,33 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
+def _collect_query_matrix(queries: DataFrame):
+    """Collect (query_id, qvec) into sorted numpy arrays.  The query
+    set is broadcast-sized by contract (Q ≪ N — the same assumption a
+    broadcast hash join makes about a dim table); collecting Q·d int64s
+    to the driver and re-broadcasting them is the standard Spark
+    pattern for shipping a small matrix into an Arrow kernel."""
+    import numpy as np
+
+    rows = sorted(queries.collect(), key=lambda r: r[0])
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.int64) for r in rows])
+    qn = np.sqrt(np.einsum("ij,ij->i", qm, qm).astype(np.float64))
+    return qids, qm, qn
+
+
+def _topk_rows(ids, cos_col, query_id, k):
+    """Indices of the top-k (cosine DESC, vec_id ASC) rows of one
+    query's cosine column, self-match excluded — numpy lexsort, exact
+    same ordering as the final ROW_NUMBER window."""
+    import numpy as np
+
+    mask = ids != query_id
+    idx = np.flatnonzero(mask)
+    order = np.lexsort((ids[idx], -cos_col[idx]))
+    return idx[order[:k]]
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,23 +87,172 @@ def brute_force_topk(
     """Top-k cosine neighbors for each query vector.
 
     ``queries``: (query_id, qvec quantized); ``corpus``: (vec_id, cvec
-    quantized).  The query side is broadcast (Q ≪ N); scoring is pure
-    map-side; the only shuffle is the per-query top-k window.
+    quantized).  The Q·d query matrix is collected and broadcast (Q ≪ N
+    by contract — dim-table sized); each corpus Arrow batch is scored
+    against ALL queries with ONE int64 Gram matmul (exact integer dots
+    — no float accumulation, no interpreted per-element lambdas, which
+    measured ~10× slower as Catalyst ``aggregate``/``zip_with``), keeps
+    its per-query partial top-k, and only those ≤ Q·k rows per batch
+    reach the global top-k window.  That partial-combine is the scale
+    shape: shuffle volume is Q·k per partition, independent of corpus
+    size.  Cosine = double(int dot) / (√|q|²·√|c|²) in correctly-rounded
+    IEEE ops — bit-identical to the SQL oracle."""
+    import numpy as np
+    import pandas as pd
 
-    Per-vector ``sqrt(norm²)`` is projected BELOW the join so each of
-    the O(Q·N) scored pairs does one dot product instead of three
-    array aggregates — same float ops as dot/(√na·√nb), bit-identical
-    cosine."""
-    q = queries.withColumn("__qn", F.sqrt(norm_sq_q(F.col("qvec")).cast("double")))
-    c = corpus.withColumn("__cn", F.sqrt(norm_sq_q(F.col("cvec")).cast("double")))
-    scored = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    cos = dot_q(F.col("qvec"), F.col("cvec")).cast("double") / (
-        F.col("__qn") * F.col("__cn")
+    bq = queries.sparkSession.sparkContext.broadcast(
+        _collect_query_matrix(queries.select("query_id", "qvec"))
+    )
+
+    def kernel(batches):
+        qids, qm, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["cvec"]])
+            gram = cm @ qm.T  # (n, Q) exact int64 dots
+            cn = np.sqrt(np.einsum("ij,ij->i", cm, cm).astype(np.float64))
+            cos = gram.astype(np.float64) / np.outer(cn, qn)
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                keep = _topk_rows(ids, cos[:, j], qid, k)
+                out_q.extend([qid] * len(keep))
+                out_v.extend(ids[keep])
+                out_c.extend(cos[keep, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "vec_id": pd.Series(out_v, dtype="int64"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    scored = corpus.select("vec_id", "cvec").mapInPandas(
+        kernel, "query_id bigint, vec_id bigint, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        scored.select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by exact
+    integer L2² (ties → lowest centroid_id), as one narrow mapInPandas:
+    per Arrow batch, D² = |c|² + |cent|² − 2·(C @ Centᵀ) is a single
+    int64 matmul and an argmin — no per-pair interpreted lambdas, no
+    shuffle.  ``centroids``: (centroid_id, centvec), broadcast-sized by
+    definition (nlist ≪ N).  Output carries the vector through so the
+    scoring stage needs no re-join: (vec_id, centroid_id, cvec, cn)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_ids, centm, _ = _collect_query_matrix(centroids.select("centroid_id", "centvec"))
+    centn2 = np.einsum("ij,ij->i", centm, centm)  # exact int64
+    bc = corpus.sparkSession.sparkContext.broadcast((cent_ids, centm, centn2))
+
+    def kernel(batches):
+        cent_ids, centm, centn2 = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["cvec"]])
+            cn2 = np.einsum("ij,ij->i", cm, cm)
+            d2 = cn2[:, None] + centn2[None, :] - 2 * (cm @ centm.T)  # exact int64
+            # argmin returns the FIRST minimum → lowest centroid_id
+            # (cent_ids are sorted), matching the oracle's tie-break
+            nearest = cent_ids[np.argmin(d2, axis=1)]
+            out = pdf[["vec_id", "cvec"]].copy()
+            out["centroid_id"] = pd.Series(nearest, index=pdf.index, dtype="int64")
+            out["cn"] = pd.Series(
+                np.sqrt(cn2.astype(np.float64)), index=pdf.index, dtype="float64"
+            )
+            yield out[["vec_id", "centroid_id", "cvec", "cn"]]
+
+    return corpus.select("vec_id", "cvec").mapInPandas(
+        kernel, "vec_id bigint, centroid_id bigint, cvec array<bigint>, cn double"
+    )
+
+
+def ivf_probes(queries: DataFrame, centroids: DataFrame, nprobe: int = 2) -> dict[int, list]:
+    """Driver-side probe selection: each query's ``nprobe`` nearest
+    centroids by exact integer L2² (ties → lowest centroid_id).  Both
+    inputs are broadcast-sized (Q queries, nlist centroids), so this is
+    two tiny collects + an O(Q·nlist) numpy pass — the same work a
+    vector-search coordinator does per request batch."""
+    import numpy as np
+
+    qids, qm, qn = _collect_query_matrix(queries.select("query_id", "qvec"))
+    cent_ids, centm, _ = _collect_query_matrix(centroids.select("centroid_id", "centvec"))
+    centn2 = np.einsum("ij,ij->i", centm, centm)
+    qn2 = np.einsum("ij,ij->i", qm, qm)
+    d2 = qn2[:, None] + centn2[None, :] - 2 * (qm @ centm.T)  # exact int64
+    probes: dict[int, list] = {}
+    for i, qid in enumerate(qids):
+        order = np.lexsort((cent_ids, d2[i]))
+        for ci in order[:nprobe]:
+            probes.setdefault(int(cent_ids[ci]), []).append(
+                (int(qid), qm[i], float(qn[i]))
+            )
+    return probes
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    probes: dict[int, list],
+    k: int = 5,
+) -> DataFrame:
+    """Per-cluster scoring for IVF search: ``assigned`` is the output
+    of ``ivf_assign``; ``probes`` maps centroid_id → list of
+    (query_id, qvec int64 ndarray, qn float) for the queries probing
+    that cluster (computed driver-side from the broadcast-sized query
+    and centroid sets).  One applyInPandas group per cluster — the IVF
+    partition layout at scale — scores its members against its probing
+    queries with one Gram matmul and emits each query's per-cluster
+    partial top-k; a final window takes the global top-k.  Shuffle
+    volume: corpus once on centroid_id (the index build), then ≤
+    nprobe·k rows per query."""
+    import numpy as np
+    import pandas as pd
+
+    bp = assigned.sparkSession.sparkContext.broadcast(probes)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        plist = bp.value.get(int(pdf["centroid_id"].iloc[0]), [])
+        if not plist:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["cvec"]])
+        cn = pdf["cn"].to_numpy()
+        qm = np.stack([np.asarray(q[1], dtype=np.int64) for q in plist])
+        qn = np.array([q[2] for q in plist], dtype=np.float64)
+        cos = (cm @ qm.T).astype(np.float64) / np.outer(cn, qn)
+        out_q, out_v, out_c = [], [], []
+        for j, (qid, _, _) in enumerate(plist):
+            keep = _topk_rows(ids, cos[:, j], qid, k)
+            out_q.extend([qid] * len(keep))
+            out_v.extend(ids[keep])
+            out_c.extend(cos[keep, j])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    scored = assigned.groupBy("centroid_id").applyInPandas(
+        kernel, "query_id bigint, vec_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -40,7 +40,20 @@ def salted_join(
     typically the dim/lookup side that is too big to broadcast but far
     smaller than the skewed fact side).  Output columns = join keys +
     both sides' non-key columns, exactly like ``skewed.join(other, on,
-    how)``."""
+    how)``.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: the
+    row-identity guarantee holds only when unmatched ``other`` rows
+    never surface.  Under right/full outer each unmatched ``other``
+    row would survive once per salt replica (num_salts duplicates);
+    for those, salt the other side instead (swap the arguments)."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+               "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched replicated rows; "
+            f"use one of {sorted(allowed)} (or swap sides)"
+        )
     salted = skewed.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)).cast("int"),

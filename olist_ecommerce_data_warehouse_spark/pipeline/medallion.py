@@ -400,9 +400,13 @@ class MedallionPipeline:
         return self._audited_write(dim, "gold", "dim_customer")
 
     def load_gold_dim_product(self) -> int:
+        """07_etl_silver_to_gold.sql:133-155 — full dim_product
+        projection incl. photos_qty and the three dimension columns."""
         p = self.read("silver", "products").select(
             "product_id", "product_category_name", "product_category_name_english",
-            "product_weight_g", "product_volume_cm3",
+            "product_photos_qty", "product_weight_g",
+            "product_length_cm", "product_height_cm", "product_width_cm",
+            "product_volume_cm3",
         )
         dim = add_surrogate_key_simple(p, ["product_id"], sk_col="product_sk")
         return self._audited_write(dim, "gold", "dim_product")
@@ -416,19 +420,28 @@ class MedallionPipeline:
 
     def load_gold_fact_orders(self) -> int:
         """07_etl_silver_to_gold.sql:190-240: J3 inner SK join,
-        yyyyMMdd date keys with 19000101 unknown fallback, fractional
-        lead-time metrics (elapsed-time semantics, F10), late flag."""
+        yyyyMMdd date keys — ONLY purchase_date_key falls back to the
+        19000101 unknown sentinel (it is NOT NULL at the source);
+        delivered/estimated keys stay NULL for undelivered orders
+        (:219-224 — the reference deliberately removed their COALESCE,
+        and ~3% of Olist orders are undelivered).  Late flag from the
+        silver date-granularity delay_days (:233, delay_days > 0) —
+        NOT a full-timestamp compare, which would call an order
+        delivered later in the day of its estimated date "late".
+        approval_lead_days keeps the engine's pinned elapsed-time
+        semantics for T-SQL DATEDIFF(HOUR)/24.0 (F10, SURVEY §1.2)."""
         o = self.read("silver", "orders")
         dim_c = self.read("gold", "dim_customer").select("customer_sk", "customer_id")
 
         def date_key(col: str):
-            return F.coalesce(
-                F.date_format(F.col(col), "yyyyMMdd").cast("int"), F.lit(19000101)
-            )
+            return F.date_format(F.col(col), "yyyyMMdd").cast("int")
 
         fact = (
             o.join(F.broadcast(dim_c), "customer_id", "inner")
-            .withColumn("purchase_date_key", date_key("order_purchase_timestamp"))
+            .withColumn(
+                "purchase_date_key",
+                F.coalesce(date_key("order_purchase_timestamp"), F.lit(19000101)),
+            )
             .withColumn("delivered_date_key", date_key("order_delivered_customer_date"))
             .withColumn("estimated_date_key", date_key("order_estimated_delivery_date"))
             .withColumn(
@@ -449,16 +462,12 @@ class MedallionPipeline:
             )
             .withColumn(
                 "is_delivered_late",
-                F.when(
-                    F.col("order_delivered_customer_date")
-                    > F.col("order_estimated_delivery_date"),
-                    1,
-                ).otherwise(0),
+                F.when(F.col("delay_days") > 0, 1).otherwise(0),
             )
             .select(
                 "order_id", "customer_sk", "order_status",
                 "purchase_date_key", "delivered_date_key", "estimated_date_key",
-                "approval_lead_days", "total_delivery_days",
+                "approval_lead_days", "total_delivery_days", "delay_days",
                 "is_delivered", "is_delivered_late",
             )
         )

@@ -190,19 +190,69 @@ def kpi_daterange_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_aggregates", oracle=None)
+@query(
+    "approx_aggregates",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users_exact,
+           COUNT(DISTINCT event_id) AS n_events_exact,
+           CAST(1 AS INT) AS approx_users_ok,
+           CAST(1 AS INT) AS approx_events_ok,
+           CAST(1 AS INT) AS p50_ok,
+           CAST(1 AS INT) AS p95_ok
+    FROM events
+    """,
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct, quantile sketch) — the
     sketch family for 100 TB profiling where exact distinct/quantile
-    shuffles are prohibitive.  Sketch internals are engine-specific →
-    rows-only driver check; tests/test_operators.py bounds the error
-    against exact values."""
+    shuffles are prohibitive.  Sketch internals are engine-specific, so
+    the driver gate works on exact anchors + error bounds: the plan
+    emits exact distinct counts alongside in-bounds indicators (HLL++
+    within 3σ of its rsd=0.05 default; percentile_approx inside the
+    exact p45–p55 / p90–p99 windows), and the oracle pins the exact
+    counts and expects every indicator to be 1.  A hash match therefore
+    proves both the exact values and that every sketch landed in
+    bounds.  (In production only the sketch side runs; the exact side
+    exists to make the sketches falsifiable.)  tests/test_operators.py
+    additionally bounds the error at sf0.001."""
     ev = table(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
-        F.percentile_approx("value", 0.95).alias("p95_value"),
+    # one multi-COUNT(DISTINCT) aggregate would plan an Expand (row
+    # duplication per distinct group) — two separate partial-distinct
+    # aggregates cross-joined (1-row broadcasts) are ~3x faster here
+    # and the right 100 TB shape: each is map-side partial distinct
+    # then a count, no duplicated scan rows
+    n_users = (
+        ev.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_users_exact"))
+    )
+    n_events = (
+        ev.select("event_id").distinct().agg(F.count(F.lit(1)).alias("n_events_exact"))
+    )
+    sketches = ev.agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.approx_count_distinct("event_id").alias("ae"),
+        F.percentile_approx("value", 0.5).alias("p50a"),
+        F.percentile_approx("value", 0.95).alias("p95a"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.expr("percentile(value, 0.90)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    row = n_users.crossJoin(n_events).crossJoin(sketches)
+
+    def ok(cond):  # noqa: ANN001, ANN202 - small local helper
+        return F.when(cond, 1).otherwise(0).cast("int")
+
+    return row.select(
+        "n_users_exact",
+        "n_events_exact",
+        ok(F.abs(F.col("au") - F.col("n_users_exact")) <= 0.15 * F.col("n_users_exact")).alias(
+            "approx_users_ok"
+        ),
+        ok(F.abs(F.col("ae") - F.col("n_events_exact")) <= 0.15 * F.col("n_events_exact")).alias(
+            "approx_events_ok"
+        ),
+        ok(F.col("p50a").between(F.col("p45"), F.col("p55"))).alias("p50_ok"),
+        ok(F.col("p95a").between(F.col("p90"), F.col("p99"))).alias("p95_ok"),
     )
 
 

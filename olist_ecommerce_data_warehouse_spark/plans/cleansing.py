@@ -33,65 +33,46 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
     oracle="""
     WITH corrupted AS (
         SELECT c_custkey, '  ' || upper(c_name) || '   ' AS raw_name,
-               lower(c_mktsegment) || ' ' AS raw_segment
+               lower(c_mktsegment) || ' ' AS raw_segment,
+               CASE WHEN c_custkey % 7 = 0 THEN '   '
+                    WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_mktsegment END AS raw_comment
         FROM customer
     )
     SELECT c_custkey,
            lower(trim(raw_name)) AS name_clean,
            substr(trim(raw_name), 1, 8) AS name_prefix,
-           upper(trim(raw_segment)) AS segment_clean
+           upper(trim(raw_segment)) AS segment_clean,
+           NULLIF(TRIM(raw_comment), '') AS comment_clean,
+           CASE WHEN NULLIF(TRIM(raw_comment), '') IS NULL THEN 1 ELSE 0 END AS is_missing
     FROM corrupted
     """,
 )
 def cleanse_trim_case_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 trim + P2 prefix-truncate + P3 case normalization
-    (sp_load_silver_customers.sql:35-39: TRIM / LEFT / UPPER / LOWER)."""
+    """String-cleansing panel over one projection: P1 trim + P2
+    prefix-truncate + P3 case normalization
+    (sp_load_silver_customers.sql:35-39: TRIM / LEFT / UPPER / LOWER)
+    + P5 empty→NULL — NULLIF(TRIM(col),'') turning blank-only review
+    comments into NULL (sp_load_silver_order_reviews.sql:27-28).
+    All pure narrow expressions: one scan, no shuffle."""
     c = table(spark, sf_dir, "customer")
     corrupted = c.select(
         "c_custkey",
         F.concat(F.lit("  "), F.upper("c_name"), F.lit("   ")).alias("raw_name"),
         F.concat(F.lower("c_mktsegment"), F.lit(" ")).alias("raw_segment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("   "))
+        .when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("raw_comment"),
     )
+    cleaned_comment = null_if_empty("raw_comment")
     return corrupted.select(
         "c_custkey",
         F.lower(clean_text("raw_name")).alias("name_clean"),
         prefix("raw_name", 8).alias("name_prefix"),
         F.upper(clean_text("raw_segment")).alias("segment_clean"),
-    )
-
-
-@query(
-    "cleanse_null_if_empty",
-    oracle="""
-    WITH corrupted AS (
-        SELECT c_custkey,
-               CASE WHEN c_custkey % 7 = 0 THEN '   '
-                    WHEN c_custkey % 11 = 0 THEN NULL
-                    ELSE c_mktsegment END AS raw_segment
-        FROM customer
-    )
-    SELECT c_custkey,
-           NULLIF(TRIM(raw_segment), '') AS segment,
-           CASE WHEN NULLIF(TRIM(raw_segment), '') IS NULL THEN 1 ELSE 0 END AS is_missing
-    FROM corrupted
-    """,
-)
-def cleanse_null_if_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: NULLIF(TRIM(col),'') — blank-only review comments become
-    NULL (sp_load_silver_order_reviews.sql:27-28)."""
-    c = table(spark, sf_dir, "customer")
-    corrupted = c.select(
-        "c_custkey",
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("   "))
-        .when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("raw_segment"),
-    )
-    cleaned = null_if_empty("raw_segment")
-    return corrupted.select(
-        "c_custkey",
-        cleaned.alias("segment"),
-        F.when(cleaned.isNull(), 1).otherwise(0).alias("is_missing"),
+        cleaned_comment.alias("comment_clean"),
+        F.when(cleaned_comment.isNull(), 1).otherwise(0).alias("is_missing"),
     )
 
 
@@ -102,20 +83,31 @@ def cleanse_null_if_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_suppkey % 13 = 0 THEN 'N/A'
                     ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) || ',' ||
-                         CAST(l_linenumber AS VARCHAR) END AS raw_amount
+                         CAST(l_linenumber AS VARCHAR) END AS raw_amount,
+               l_extendedprice, l_tax, l_quantity, l_discount, l_returnflag
         FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
            CAST(TRY_CAST(replace(raw_amount, ',', '.') AS DECIMAL(12,2)) AS DOUBLE) AS amount,
            CASE WHEN TRY_CAST(replace(raw_amount, ',', '.') AS DECIMAL(12,2)) IS NULL
-                THEN 1 ELSE 0 END AS is_bad
+                THEN 1 ELSE 0 END AS is_bad,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) +
+                CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS total_value,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+                CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS volume_value,
+           CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS is_discounted,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_returned
     FROM corrupted
     """,
 )
 def cleanse_decimal_comma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6: decimal-comma repair + safe numeric cast —
-    TRY_CAST(REPLACE(col,',','.') AS DECIMAL) with garbage → NULL
-    (sp_load_silver_products.sql:42-45)."""
+    """Row-level lineitem cleanse + derive panel: P6/P7 decimal-comma
+    repair + safe numeric cast — TRY_CAST(REPLACE(col,',','.') AS
+    DECIMAL) with garbage → NULL (sp_load_silver_products.sql:42-45) —
+    plus F18 CASE-WHEN flags and F19 computed arithmetic columns
+    (price+freight total, l*h*w volume analogs, is_delivered-style 0/1
+    flags, 04_create_silver_tables.sql:172,240-242,280).  One scan,
+    all narrow codegen'd expressions, no shuffle."""
     li = table(spark, sf_dir, "lineitem")
     corrupted = li.select(
         "l_orderkey",
@@ -129,6 +121,11 @@ def cleanse_decimal_comma(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("raw_amount"),
+        "l_extendedprice",
+        "l_tax",
+        "l_quantity",
+        "l_discount",
+        "l_returnflag",
     )
     amt = decimal_comma("raw_amount")
     return corrupted.select(
@@ -136,6 +133,10 @@ def cleanse_decimal_comma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         as_out(amt).alias("amount"),
         F.when(amt.isNull(), 1).otherwise(0).alias("is_bad"),
+        as_out(money("l_extendedprice") + money("l_tax")).alias("total_value"),
+        as_out(money("l_quantity") * money("l_extendedprice")).alias("volume_value"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("is_discounted"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_returned"),
     )
 
 
@@ -242,34 +243,6 @@ def cleanse_accent_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(raw_city.alias("raw_city"), F.col("c_nationkey").alias("state_key"))
         .groupBy(accent_fold("raw_city").alias("city_norm"), "state_key")
         .agg(F.count(F.lit(1)).alias("n_raw_rows"))
-    )
-
-
-@query(
-    "derived_flags_arithmetic",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) +
-                CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS total_value,
-           CAST(CAST(l_quantity AS DECIMAL(12,2)) *
-                CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS volume_value,
-           CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS is_discounted,
-           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_returned
-    FROM lineitem
-    """,
-)
-def derived_flags_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F18 CASE-WHEN flags + F19 computed arithmetic columns —
-    price+freight total and l*h*w volume analogs, is_delivered-style
-    0/1 flags (04_create_silver_tables.sql:172,240-242,280)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        as_out(money("l_extendedprice") + money("l_tax")).alias("total_value"),
-        as_out(money("l_quantity") * money("l_extendedprice")).alias("volume_value"),
-        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("is_discounted"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_returned"),
     )
 
 

@@ -53,20 +53,76 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub", oracle=None)
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               text
+        FROM documents
+    )
+    SELECT media_id, kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + CASE WHEN length(text) >= 1
+                          THEN ascii(substr(text, 1, 1)) ELSE 0 END % 64 AS INT) AS width,
+           CAST(16 + CASE WHEN length(text) >= 2
+                          THEN ascii(substr(text, 2, 1)) ELSE 0 END % 64 AS INT) AS height,
+           CAST(CASE kind WHEN 'audio' THEN 1 ELSE 3 END AS INT) AS n_channels
+    FROM media
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode (stubbed kernel — see
     operators.multimodal): binary → typed (width, height, channels)
-    metadata.  Non-SQL-expressible; exact-value tests live in
-    tests/test_multimodal.py."""
+    metadata.  The fake decode is a pure function of the payload bytes
+    (width/height from the first two bytes), so it IS SQL-expressible:
+    the oracle recomputes it with character ops — byte-identical here
+    because the documents fixture is ASCII-only (asserted across all
+    SFs; the Spark kernel itself is byte-true for any input).
+    Exact-value kernel tests live in tests/test_multimodal.py."""
     media = synthesize_media(table(spark, sf_dir, "documents"))
     return decode_media(media)
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, text,
+               greatest(octet_length(encode(text)) // 4, 1) AS step
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        SELECT media_id,
+               i AS frame_no,
+               substr(text, i * step + 1, step) AS chunk
+        FROM media CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT media_id, frame_no,
+           CAST(octet_length(encode(chunk)) AS BIGINT) AS frame_len,
+           md5(chunk) AS frame_md5
+    FROM frames
+    WHERE chunk <> ''
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video payloads via mapInPandas fan-out
-    (1 row → n_frames rows).  Non-SQL-expressible; exact-value tests
-    in tests/test_multimodal.py."""
+    (1 row → n_frames rows of binary frame slices).  The plan projects
+    each frame to (byte length, md5) so the fan-out, slicing offsets
+    and frame CONTENT are all driver-verifiable: the oracle recomputes
+    the evenly-spaced slices in SQL (character ops ≡ byte ops on the
+    ASCII-only fixture; the kernel is byte-true for any input) and an
+    md5 mismatch on any slice would fail the hash gate.  The raw
+    binary frames remain available from operators.multimodal.sample_frames;
+    exact-value kernel tests in tests/test_multimodal.py."""
     media = synthesize_media(table(spark, sf_dir, "documents"))
-    return sample_frames(media)
+    frames = sample_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

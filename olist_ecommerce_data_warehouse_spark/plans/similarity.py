@@ -4,15 +4,16 @@ embedding-cosine near-dup)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.similarity import (
     blocked_cosine_pairs,
     brute_force_topk,
-    dot_q,
-    norm_sq_q,
+    ivf_assign,
+    ivf_probes,
+    ivf_topk,
     quantized,
 )
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
@@ -114,61 +115,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 — the billion-scale layout:
     vectors are assigned to their nearest of 8 deterministic seed
-    centroids (exact-integer L2², broadcast argmin — a narrow map);
-    each query probes its 2 nearest clusters and scores only their
-    members.  Cluster assignment is the partition key at scale, so a
-    query touches nprobe/nlist of the corpus."""
+    centroids (exact-integer L2² argmin in one narrow Arrow kernel —
+    operators.similarity.ivf_assign); each query probes its 2 nearest
+    clusters (driver-side over the broadcast-sized query×centroid sets)
+    and scores ONLY those clusters' members, one Gram matmul per
+    cluster with per-cluster partial top-k (ivf_topk).  Cluster
+    assignment is the partition key at scale, so a query touches
+    nprobe/nlist of the corpus and the shuffle after scoring carries ≤
+    nprobe·k rows per query."""
     emb = table(spark, sf_dir, "embeddings")
-    c = emb.select("vec_id", quantized("embedding").alias("cvec")).withColumn(
-        "cn", F.sqrt(norm_sq_q(F.col("cvec")).cast("double"))
-    )
+    c = emb.select("vec_id", quantized("embedding").alias("cvec"))
     cents = (
         c.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
     )
-
-    def d2(v, cv):
-        return dot_q(v, v) - 2 * dot_q(v, cv) + dot_q(cv, cv)
-
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
-    assign = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "cvec", "cn", "centroid_id",
-            d2(F.col("cvec"), F.col("centvec")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cvec", "cn", "centroid_id")
-    )
     q = c.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cvec").alias("qvec"),
-        F.col("cn").alias("qn"),
+        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
     )
-    w_probe = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id", "qvec", "qn", "centroid_id",
-            d2(F.col("qvec"), F.col("centvec")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
-        .select("query_id", "qvec", "qn", "centroid_id")
-    )
-    # norms precomputed per vector → one dot per scored pair
-    cos = dot_q(F.col("qvec"), F.col("cvec")).cast("double") / (
-        F.col("qn") * F.col("cn")
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        probes.join(assign, "centroid_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    assigned = ivf_assign(c, cents)
+    probes = ivf_probes(q, cents, nprobe=2)
+    return ivf_topk(assigned, probes, k=5).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
     )
 
 

@@ -57,91 +57,79 @@ def flagship_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "total_revenue",
+    "scalar_kpis",
     oracle=f"""
-    SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS total_revenue,
-           COUNT(*) AS n_lineitems
-    FROM lineitem
+    SELECT (SELECT CAST(SUM({REV_SQL}) AS DOUBLE) FROM lineitem) AS total_revenue,
+           (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+           (SELECT MIN(o_orderdate) FROM orders) AS first_order_ts,
+           (SELECT MAX(o_orderdate) FROM orders) AS last_order_ts,
+           (SELECT STRFTIME(MIN(o_orderdate), '%Y-%m-%d') FROM orders) AS first_order_day
     """,
 )
-def total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar SUM KPI — total historical sales
-    (``08_validacionsql.sql:44-45``, A5)."""
-    return table(spark, sf_dir, "lineitem").agg(
-        as_out(F.sum(revenue_expr())).alias("total_revenue"),
-        F.count(F.lit(1)).alias("n_lineitems"),
-    )
-
-
-@query(
-    "order_date_range",
-    oracle="""
-    SELECT MIN(o_orderdate) AS first_order_ts,
-           MAX(o_orderdate) AS last_order_ts,
-           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_order_day
-    FROM orders
-    """,
-)
-def order_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar MIN/MAX purchase-date-range KPI
-    (``08_validacionsql.sql:48-52``, A6/J7).
+def scalar_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar KPI panel: total-sales SUM (``08_validacionsql.sql:44-45``,
+    A5) + purchase-date-range MIN/MAX (``08_validacionsql.sql:48-52``,
+    A6) in one single-row result — two independent 1-row aggregates
+    cross-joined (each side is a map-side partial agg; the join is a
+    broadcast of one row, so the plan stays two scans with no wide
+    shuffle).
 
     DATE columns are avoided in outputs (pandas type drift between
     engines); day-granularity values are emitted as 'yyyy-MM-dd'
     strings instead."""
-    o = table(spark, sf_dir, "orders")
-    return o.agg(
+    li_kpis = table(spark, sf_dir, "lineitem").agg(
+        as_out(F.sum(revenue_expr())).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    o_kpis = table(spark, sf_dir, "orders").agg(
         F.min("o_orderdate").alias("first_order_ts"),
         F.max("o_orderdate").alias("last_order_ts"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order_day"),
     )
+    return li_kpis.crossJoin(o_kpis)
 
 
 @query(
     "volumetrics",
     oracle="""
-    SELECT 'orders' AS table_name, COUNT(*) AS n_rows FROM orders
-    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
-    UNION ALL SELECT 'customer', COUNT(*) FROM customer
-    UNION ALL SELECT 'part', COUNT(*) FROM part
-    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    SELECT 'rows:orders' AS metric, COUNT(*) AS n_rows FROM orders
+    UNION ALL SELECT 'rows:lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'rows:customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'rows:part', COUNT(*) FROM part
+    UNION ALL SELECT 'rows:supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'anomaly:open_orders', COUNT(*) FILTER (WHERE o_orderstatus = 'O') FROM orders
+    UNION ALL SELECT 'anomaly:negative_price', COUNT(*) FILTER (WHERE o_totalprice < 0) FROM orders
+    UNION ALL SELECT 'anomaly:null_date', COUNT(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
     """,
 )
 def volumetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volumetric reconciliation — per-table row counts
-    (``08_validacionsql.sql:16-24``, A4; union of 1-row aggregates,
-    O3)."""
+    """Volumetric + anomaly reconciliation in one long-format report:
+    per-table row counts (``08_validacionsql.sql:16-24``, A4) unioned
+    with conditional anomaly counts — undelivered / impossible rows
+    (``08_validacionsql.sql:70-77``, A8) — as a union of 1-row
+    aggregates (O3).  The three anomaly counters come from a single
+    pass over orders (one aggregate with three conditional COUNTs, not
+    three scans); each per-table count is a map-side partial count."""
     parts = []
     for name in ("orders", "lineitem", "customer", "part", "supplier"):
         parts.append(
             table(spark, sf_dir, name).agg(
-                F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+                F.lit(f"rows:{name}").alias("metric"), F.count(F.lit(1)).alias("n_rows")
             )
         )
+    o = table(spark, sf_dir, "orders")
+    anomalies = o.agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("anomaly:open_orders"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("anomaly:negative_price"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("anomaly:null_date"),
+    )
+    unpivoted = anomalies.unpivot(
+        [], anomalies.columns, variableColumnName="metric", valueColumnName="n_rows"
+    )
     out = parts[0]
-    for df in parts[1:]:
+    for df in parts[1:] + [unpivoted]:
         out = out.unionAll(df)
     return out
-
-
-@query(
-    "anomaly_counts",
-    oracle="""
-    SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-           COUNT(*) FILTER (WHERE o_totalprice < 0) AS n_negative_price,
-           COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS n_null_date
-    FROM orders
-    """,
-)
-def anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional anomaly counts (undelivered / impossible rows,
-    ``08_validacionsql.sql:70-77``, A8) — single pass, no joins."""
-    o = table(spark, sf_dir, "orders")
-    return o.agg(
-        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("n_negative_price"),
-        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_date"),
-    )
 
 
 @query(

@@ -10,21 +10,21 @@ from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 ORACLE_PLANS = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
-ROWS_ONLY_PLANS = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+def test_every_plan_is_oracled():
+    """Round-2 invariant: all 50 registry slots carry a driver-checkable
+    oracle (the driver records correctness rows for at most the first
+    50 queries() entries, so no slot may be wasted on a rows-only
+    plan)."""
+    assert len(REGISTRY) == 50
+    assert len(ORACLE_PLANS) == len(REGISTRY)
 
 
 @pytest.mark.parametrize("name", ORACLE_PLANS)
 def test_plan_matches_oracle(spark, ddb, name):
     spec = REGISTRY[name]
     assert_matches_oracle(spec.fn(spark, SF_DIR), ddb, spec.oracle, name)
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY_PLANS)
-def test_plan_runs(spark, name):
-    """Non-SQL-expressible plans: must run and return a stable schema."""
-    df = REGISTRY[name].fn(spark, SF_DIR)
-    assert df.columns, name
-    assert df.count() >= 0
 
 
 def test_entry_smoke(spark):

