@@ -44,7 +44,7 @@ BASELINE_R01 = {
     "cleanse_trim_case_prefix": 0.5716, "cleanse_try_timestamp": 0.4566,
     "cleanse_validity_filter": 0.2993, "csv_roundtrip_ingest": 1.7187,
     "date_dimension": 0.2946, "datetime_functions": 0.4574,
-    "dedup_distinct_projection": 0.481, "dedup_embedding_cosine": 0.622,
+    "dedup_embedding_cosine": 0.622,
     "dedup_exact": 0.548, "dedup_keep_latest": 0.4163,
     "dedup_minhash_lsh": 30.6293, "dedup_ngram_jaccard": 12.3889,
     "dedup_simhash": 1.9684, "doc_fingerprint": 0.3233,
@@ -62,7 +62,7 @@ BASELINE_R01 = {
     "sk_resolution_chain": 1.338, "skew_salted_join": 3.0472,
     "surrogate_keys": 0.8046, "text_lang_id": 0.6537,
     "text_quality_score": 0.4437, "text_token_stats": 0.3628,
-    "volumetrics": 0.9386, "window_topk_per_group": 0.3922,
+    "volumetrics": 0.9386,
 }
 
 

@@ -181,7 +181,15 @@ def prefix_filter_candidates(
         .withColumn("__n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("__rn", F.row_number().over(order))
         .filter(F.col("__rn") <= p)
-        .select("doc_id", "shingle", "__n_sh")
+        # a df=1 shingle occurs in exactly one doc — it can rank inside
+        # a prefix (rare-first ordering favors it) but can never match
+        # a DIFFERENT doc in the self-join, so drop it from the join
+        # inputs.  Lossless, and it removes the long tail of unique
+        # shingles that dominates prefix volume on natural text.  (The
+        # rank __rn was already assigned OVER the full prefix, so the
+        # positional bound below is unchanged.)
+        .filter(F.col("__df") >= 2)
+        .select("doc_id", "shingle", "__n_sh", "__rn")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -190,12 +198,29 @@ def prefix_filter_candidates(
     size_ok = (F.lit(t_den) * F.col("b.__n_sh") >= F.lit(t_num) * F.col("a.__n_sh")) & (
         F.lit(t_den) * F.col("a.__n_sh") >= F.lit(t_num) * F.col("b.__n_sh")
     )
+    # PPJoin positional filter: J ≥ t needs overlap ≥ α =
+    # ⌈t/(1+t)·(|A|+|B|)⌉, and a match at prefix ranks (i, j) bounds
+    # the overlap by min(|A|−i, |B|−j)+1 (everything ranked after the
+    # matched shingle, plus itself).  LOSSLESS for the pair: the FIRST
+    # common shingle in the global rank order has every other common
+    # shingle ranked after it in both docs, so its bound ≥ true overlap
+    # ≥ α — that match always survives.  Integer cross-multiplied:
+    # bound ≥ ⌈t_num·(na+nb)/(t_num+t_den)⌉ ⟺ (t_num+t_den)·bound ≥
+    # t_num·(na+nb).  Cuts candidates ~2× on boilerplate-heavy corpora
+    # at zero recall cost.
+    pos_ok = F.lit(t_num + t_den) * (
+        F.least(
+            F.col("a.__n_sh") - F.col("a.__rn"), F.col("b.__n_sh") - F.col("b.__rn")
+        )
+        + 1
+    ) >= F.lit(t_num) * (F.col("a.__n_sh") + F.col("b.__n_sh"))
     return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
+            & size_ok
+            & pos_ok,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -16,6 +16,7 @@ from olist_ecommerce_data_warehouse_spark.plans import (  # noqa: E402,F401
     llm_dedup,
     similarity,
     text,
+    corpus,
     events,
     multimodal,
     advanced,

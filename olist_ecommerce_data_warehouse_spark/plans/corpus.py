@@ -1,0 +1,119 @@
+"""Corpus-preparation plans (extension tier): the two training-data
+ops every LLM pipeline runs after dedup/quality — deterministic
+train/eval splitting and token-budget sequence packing.
+
+Both are pure JVM-side expressions (md5-derived hash split, window
+cumulative sum), portable to the ANSI-SQL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.functions.text import token_count
+from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex_to_long
+from olist_ecommerce_data_warehouse_spark.plans.registry import query
+
+# DuckDB equivalent of hex_to_long(substr(md5(x),1,8)) — positional
+# hex expansion, same value as Spark's conv(hex, 16, 10).
+_H2I = (
+    "CAST(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr({{h}}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    + ") AS BIGINT)"
+)
+
+
+def _split_bucket_sql(key: str) -> str:
+    h = f"substr(md5({key} || ':split'), 1, 8)"
+    return _H2I.format(h=h) + " % 100"
+
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "train_eval_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 90 THEN 'train'
+                WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-stable
+    hash: bucket = md5(doc_id || ':split') mod 100.  The salt string
+    keeps this split independent of any other hash use of doc_id;
+    determinism (vs ``rand(seed)``) means retries, backfills and
+    incremental runs land every document in the same split forever —
+    the property that prevents train/test leakage when the corpus is
+    rebuilt.  Pure map-side expression: no shuffle, no state, scales
+    with input splits."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        hex_to_long(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8)
+        )
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS seq_no,
+           CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each language stream,
+    documents concatenate in doc_id order and cut into fixed
+    512-token (SEQ_BUDGET) training sequences; each document is assigned
+    the sequence where it STARTS (seq_no) and its token offset inside
+    it (seq_offset) — the GPT-style packing layout.  One window
+    cumulative sum per stream (a single shuffle on the stream key; at
+    100 TB the stream key is (lang, shard) so no partition outgrows an
+    executor), everything else narrow.  A greedy bin-packing variant
+    needs a stateful scan — that twin lives in
+    streaming/applyInPandasWithState territory, while this layout is
+    the one production packers actually use for dense batches."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / SEQ_BUDGET).cast("bigint").alias("seq_no"),
+        (cum_before % SEQ_BUDGET).cast("bigint").alias("seq_offset"),
+    )

@@ -4,12 +4,12 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.datedim import build_date_dim
-from olist_ecommerce_data_warehouse_spark.operators.dedup import distinct_dedup, keep_latest
+from olist_ecommerce_data_warehouse_spark.operators.dedup import keep_latest
 from olist_ecommerce_data_warehouse_spark.operators.surrogate import add_surrogate_key
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
@@ -38,20 +38,6 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [F.desc("ts"), F.desc("event_id")],
     )
-
-
-@query(
-    "dedup_distinct_projection",
-    oracle="""
-    SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
-    FROM orders
-    """,
-)
-def dedup_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: SELECT DISTINCT projection (dim_customer attribute dedup,
-    07_etl_silver_to_gold.sql:107-111)."""
-    o = table(spark, sf_dir, "orders")
-    return distinct_dedup(o, ["o_custkey", "o_orderstatus", "o_orderpriority"])
 
 
 @query(
@@ -99,28 +85,11 @@ def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_date_dim(spark, dt.date(1992, 1, 1), dt.date(1998, 12, 31))
 
 
-@query(
-    "window_topk_per_group",
-    oracle="""
-    SELECT c_mktsegment, c_custkey, c_name, c_acctbal
-    FROM (
-        SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
-               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
-        FROM customer
-    ) WHERE rn <= 3
-    """,
-)
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group via ranked window — generalizes the reference's
-    global TOP 3 report (08_validacionsql.sql:55-62) to per-group
-    top-k, the standard Spark OLAP pattern.  Deterministic tiebreak on
-    the key."""
-    c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
-    return (
-        c.select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-    )
+# NOTE (round 2): the former ``dedup_distinct_projection`` and
+# ``window_topk_per_group`` plans were registry-slot redundancy — A1/A3
+# are driver-proven by cleanse_accent_fold_dedup / gold_dim_customer /
+# multikey_left_distinct, and W1/O2 by dedup_keep_latest /
+# flagship_revenue_by_brand.  Their slots now carry the corpus-prep
+# plans (plans/corpus.py: train_eval_split, sequence_packing); the
+# distinct_dedup operator itself stays unit-tested in
+# tests/test_operators.py.

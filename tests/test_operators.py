@@ -67,3 +67,15 @@ def test_salted_join_rejects_outer(spark):
         salted_join(a, b, ["k"], how="right")
     # left join: unmatched SKEWED rows are fine (they exist once)
     assert salted_join(a, b, ["k"], how="left").count() == 10
+
+
+def test_distinct_dedup_operator(spark):
+    """A1/A3 operator kept library-level after its demo plan's registry
+    slot moved to corpus-prep: distinct projection semantics."""
+    from olist_ecommerce_data_warehouse_spark.operators.dedup import distinct_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (1, "c")], "k int, v string"
+    )
+    got = sorted((r["k"], r["v"]) for r in distinct_dedup(df, ["k", "v"]).collect())
+    assert got == [(1, "a"), (1, "c"), (2, "b")]

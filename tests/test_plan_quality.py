@@ -48,7 +48,7 @@ def test_flagship_projection_prunes_scan(spark):
 def test_filter_pushdown_reaches_scan(spark):
     """A plan filtering on a scanned column must push the predicate
     into the parquet source (PushedFilters non-empty)."""
-    plan = _plan(spark, "window_topk_per_group")
+    plan = _plan(spark, "pricing_summary")
     assert "PushedFilters: [" in plan
 
 
