@@ -268,17 +268,20 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-salted fact⨝fact join (operators.skew.salted_join):
-    lineitem joins orders on a 16-way salted orderkey, then rolls up
-    by priority.  Salting spreads any pathological orderkey over 16
-    shuffle partitions; the oracle is the UNSALTED join — the hash
-    match proves salting is row-identical, which is the property that
-    lets it be dropped into any skewed 100 TB join."""
+    """Partially-salted fact⨝fact join (operators.skew.salted_join):
+    lineitem joins orders on orderkey with hot-key detection — keys
+    with ≥5 lineitems take the 16-way salted path, the cold majority
+    joins plain with zero replication (the production skew shape; a
+    blanket 16× replication taxes every row for a few hot keys).  Both
+    branches and their union are exercised here, and the oracle is the
+    UNSALTED join — the hash match proves the split+salt+union is
+    row-identical, which is the property that lets it be dropped into
+    any skewed 100 TB join."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, o, ["l_orderkey"], num_salts=16)
+    joined = salted_join(li, o, ["l_orderkey"], num_salts=16, hot_min_rows=5)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         as_out(F.sum(money("l_quantity"))).alias("sum_qty"),

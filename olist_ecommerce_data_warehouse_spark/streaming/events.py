@@ -133,3 +133,16 @@ def run_available_now(sdf: DataFrame, query_name: str, output_mode: str = "updat
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id — the ingest-dedup twin of the
+    batch dedup family (plans/llm_dedup.py): at-least-once sources
+    (Kafka replays, file re-drops) deliver duplicates, and
+    ``dropDuplicatesWithinWatermark`` removes any copy arriving within
+    the watermark horizon of the first sighting.  State is one entry
+    per key, hash-partitioned across executors, and EVICTED once the
+    watermark passes — bounded regardless of stream length, which is
+    what makes it runnable forever at 100 TB/day ingest (a plain
+    streaming dropDuplicates accumulates keys without bound)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

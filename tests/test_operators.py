@@ -79,3 +79,22 @@ def test_distinct_dedup_operator(spark):
     )
     got = sorted((r["k"], r["v"]) for r in distinct_dedup(df, ["k", "v"]).collect())
     assert got == [(1, "a"), (1, "c"), (2, "b")]
+
+
+def test_salted_join_partial_matches_plain(spark):
+    """Partial salting (hot keys salted, cold keys plain) must be
+    row-identical to the unsalted join, including left-join NULLs and
+    keys exactly at the hot threshold."""
+    from olist_ecommerce_data_warehouse_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 2, 3) for i in range(k * 3)] + [(9, 0)],
+        "k int, i int",
+    )  # key 3 has 9 rows (hot at threshold 5); key 9 unmatched
+    right = spark.createDataFrame([(1, "a"), (3, "c"), (7, "x")], "k int, v string")
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, ["k"], how=how, hot_min_rows=5).collect())
+        )
+        want = sorted(map(tuple, left.join(right, ["k"], how).collect()))
+        assert got == want, how

@@ -85,3 +85,18 @@ def test_custom_stateful_running_totals(spark, event_source):
     g = {r["user_id"]: r["n_events"] for r in got.collect()}
     for r in batch.collect():
         assert g[r["user_id"]] == r["n_events"]
+
+
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path_factory):
+    """A re-dropped (duplicated) source file must dedup to exactly the
+    batch-distinct row set within the watermark horizon."""
+    from olist_ecommerce_data_warehouse_spark.streaming.events import streaming_dedup
+
+    src = str(tmp_path_factory.mktemp("events_dup") / "flat")
+    ev = table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").parquet(src)
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)  # replay
+    stream = read_event_stream(spark, src)
+    got = _drain(spark, streaming_dedup(stream), "t_dedup", mode="append")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
