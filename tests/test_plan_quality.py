@@ -79,3 +79,36 @@ def test_fact_sk_no_global_window(spark):
         if "Window" in ln and "row_number" in ln and "__bucket" not in ln
     ]
     assert not data_windows, f"global window over data rows: {data_windows}"
+
+
+def test_corpus_plans_shuffle_budget(spark):
+    """train_eval_split is a pure map (zero Exchanges); sequence_packing
+    pays exactly one shuffle (the per-stream window)."""
+    split_plan = _plan(spark, "train_eval_split")
+    assert "Exchange" not in split_plan, split_plan
+    pack_plan = _plan(spark, "sequence_packing")
+    assert pack_plan.count("Exchange") == 1, pack_plan
+
+
+def test_ann_plans_no_cartesian(spark):
+    """The ANN rewrite must keep all-pairs scoring out of the plan:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere — scoring
+    happens inside the Arrow Gram kernels, not a join."""
+    for name in ("ann_cosine_topk", "ann_ivf_topk"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_minhash_signature_fold_is_partial_min(spark):
+    """The MinHash signature fold must run as k map-side partial MIN
+    aggregates in a codegen'd HashAggregate — not the round-1 30s shape
+    (collect_list of per-shingle hash vectors folded by interpreted
+    higher-order lambdas).  collect_list may still appear downstream:
+    the Jaccard VERIFY stage legitimately builds per-doc shingle arrays."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "partial_min" in plan
+    assert "HashAggregate" in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan.replace(
+        "HashAggregate(", ""
+    ).replace("ObjectHashAggregate(", "")
