@@ -269,6 +269,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — at scale, pairing runs through prefix-bucket banding
     exactly like MinHash bands."""
     corrupted = _corrupted(spark, sf_dir)
+    # NOT persisted: the self-join does evaluate the signature subtree
+    # twice, but a measured track_persist variant was ~1.5x SLOWER at
+    # sf0.1 — the eager materialization barrier + cache write + release
+    # GC cost more than the second 0.9s evaluation.  At cluster scale
+    # with a fat corpus the trade flips; persist there.
     sig = simhash_table(corrupted)
     orig = sig.alias("o")
     dup = sig.alias("d")
