@@ -60,3 +60,44 @@ def fingerprint_xxhash(col: Column | str) -> Column:
     """64-bit engine-internal fingerprint (xxhash64 — fast JVM path,
     not portable to the oracle; used by dedup internals)."""
     return F.xxhash64(_c(col))
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# Pre-training corpora must be scrubbed of personally identifiable
+# information before the tokenizer ever sees it.  These are the
+# standard first-pass regex scrubbers (the same tier C4/Dolma/RedPajama
+# apply before any ML-based PII pass): conservative patterns, each
+# replaced by a typed placeholder token so downstream stats can count
+# redactions.  All plain regexp_replace — narrow, codegen'd, no
+# shuffle, linear at any corpus size.
+PII_PATTERNS: dict[str, str] = {
+    # local-part@domain.tld (no spaces), the C4 email shape
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international/US phone shapes: optional +CC, 3x3x4 with common separators
+    "PHONE": r"(\+?\d{1,3}[-. (]{1,2})?\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}\b",
+    # US SSN xxx-xx-xxxx (strict dashes — bare 9 digits over-matches ids)
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+    # IPv4 (octet-bounded)
+    "IP": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with ``<KIND>`` (e.g. ``<EMAIL>``).
+    Patterns apply in PII_PATTERNS order; pass ``kinds`` to scrub a
+    subset."""
+    out = _c(col)
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (for redaction-rate reporting): kind →
+    count column.  Uses the same patterns as ``redact_pii`` so counts
+    and redactions can never disagree."""
+    return {
+        kind: F.size(F.regexp_extract_all(_c(col), F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }

@@ -50,3 +50,19 @@ def test_bucketed_groupby_is_shuffle_free(spark, bucketed_tables):
     assert "Exchange" not in plan, plan
     expected = table(spark, SF_DIR, "lineitem").select("l_orderkey").distinct().count()
     assert rolled.count() == expected
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Hive-style partitionBy layout: a filter on the partition column
+    must appear as PartitionFilters at the scan (whole directories
+    skipped), not a post-scan Filter — at 100 TB this is the difference
+    between reading one day and reading three years."""
+    out = str(tmp_path_factory.mktemp("part") / "events_by_type")
+    ev = table(spark, SF_DIR, "events")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("event_type").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "event_type" in pf_line, pf_line
+    assert scan.count() == ev.filter(F.col("event_type") == "click").count()

@@ -98,3 +98,31 @@ def test_salted_join_partial_matches_plain(spark):
         )
         want = sorted(map(tuple, left.join(right, ["k"], how).collect()))
         assert got == want, how
+
+
+def test_pii_redaction(spark):
+    """Regex PII scrub: every pattern kind redacts to its typed
+    placeholder, counts agree with redactions, clean text untouched."""
+    from olist_ecommerce_data_warehouse_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.co and call +1 (555) 123-4567 now"),
+        (2, "ssn 123-45-6789 from host 10.0.255.7 logged"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("clean"),
+            *[c.alias(k) for k, c in pii_counts("text").items()],
+        ).collect()
+    }
+    assert "<EMAIL>" in got[1]["clean"] and "@" not in got[1]["clean"]
+    assert "<PHONE>" in got[1]["clean"]
+    assert got[1]["EMAIL"] == 1 and got[1]["PHONE"] == 1
+    assert got[2]["clean"] == "ssn <SSN> from host <IP> logged"
+    assert got[2]["SSN"] == 1 and got[2]["IP"] == 1
+    assert got[3]["clean"] == rows[2][1]
+    assert all(got[3][k] == 0 for k in ("EMAIL", "PHONE", "SSN", "IP"))
