@@ -34,20 +34,34 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table from ``sf_dir`` (lazy; no action triggered).
 
-    ``events`` is stored with nanosecond parquet timestamps, which
-    Spark's vectorized reader rejects outright — read them as raw
-    nanos (legacy long mode) and convert to microsecond timestamps
-    with integer division (``div 1000``: exact on BIGINT; a double
-    division would lose precision above 2^53 ns ≈ 104 days).
+    ``events.ts`` has shipped in two physical layouts across driver
+    testdata generations: nanosecond parquet timestamps (which Spark's
+    vectorized reader rejects → read as raw nanos via the legacy long
+    mode and divide by 1000; integer division is exact on BIGINT where
+    a double division would lose precision above 2^53 ns ≈ 104 days)
+    and plain microsecond timestamps (read natively, no conversion).
+    Both normalize to the session-zone TIMESTAMP type (UTC session →
+    identical wall-clock values to the naive timestamps DuckDB reads),
+    so every downstream plan and oracle sees one schema.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = f"{sf_dir}/{name}.parquet"
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force schema resolution now, inside the try
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
