@@ -49,7 +49,10 @@ BASELINE_R01 = {
     "dedup_minhash_lsh": 30.6293, "dedup_ngram_jaccard": 12.3889,
     "dedup_simhash": 1.9684, "doc_fingerprint": 0.3233,
     "events_json_props": 0.5688, "events_sessionization": 0.6615,
-    "events_sliding_window": 0.7291, "events_tumbling_window": 0.4838,
+    # events_windows / text_metrics: round-2 slot merges (tumbling +
+    # sliding windows; token stats + quality score) — anchor = sum of
+    # their round-1 parts, like the other merged plans
+    "events_windows": 1.2129,
     "flagship_revenue_by_brand": 1.2667, "gold_dim_customer": 0.6348,
     "gold_fact_lineitem": 3.5523, "gold_fact_orders": 1.8848,
     "gold_revenue_by_region": 0.9745, "kpi_daterange_dim_join": 1.0491,
@@ -61,7 +64,7 @@ BASELINE_R01 = {
     "scalar_kpis": 1.0867, "scd2_dim_customer": 0.4675,
     "sk_resolution_chain": 1.338, "skew_salted_join": 3.0472,
     "surrogate_keys": 0.8046, "text_lang_id": 0.6537,
-    "text_quality_score": 0.4437, "text_token_stats": 0.3628,
+    "text_metrics": 0.8065,
     "volumetrics": 0.9386,
 }
 

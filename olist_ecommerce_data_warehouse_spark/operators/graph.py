@@ -1,0 +1,156 @@
+"""Connected components over a pair graph — the clustering step that
+turns near-duplicate PAIRS into duplicate GROUPS (one keeper per
+group), the final stage of every production corpus-dedup pipeline
+(pairs alone can't answer "which docs do I drop": duplicates chain,
+A≈B≈C, and only the component gives the transitive group).
+
+Algorithm: iterative minimum-label propagation expressed as DataFrame
+joins — each round every vertex adopts the smallest label among itself
+and its neighbors; a fixpoint is reached after O(component diameter)
+rounds.  This is the alternating-rounds idea of Hash-to-Min /
+large-star–small-star (Rastogi et al., "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds", ICDE'13) in its simplest
+deterministic form.  Design decisions that matter at scale (and, it
+turns out, even at bench scale — job count dominates tiny-graph cost):
+
+- **the loop runs on edge ENDPOINTS only.**  In a dedup graph the
+  vertices touching any edge are a sliver of the corpus (most
+  documents are not duplicates); vertices with no edges are singleton
+  components by definition and never enter the iteration.  Callers
+  that want them in the output get them via one map-side anti-join
+  (``include_singletons=True``), not via O(rounds) shuffles of the
+  whole corpus.
+- **one Spark job per round.**  The round's min-aggregation is
+  materialized into its persisted cache by the same ``agg(sum)``
+  action that decides convergence: per-vertex min-labels are monotone
+  non-increasing, so the label SUM strictly decreases until the
+  fixpoint and equality between rounds ⟺ converged.  (The sum is
+  accumulated in DECIMAL(38,0): Spark runs ANSI mode, and a BIGINT
+  sum of large vertex ids could overflow mid-round.)
+- labels are persisted each round and the previous round released —
+  iterative plans otherwise double their lineage every round and
+  re-execute the whole history at each action.  Plain persist, not
+  checkpoint: lineage stays intact, an executor loss recomputes.
+- determinism: min() is order-independent, so cluster representatives
+  (component-minimum ids) are identical across runs/retries/partition
+  layouts — required for correctness hashing and stable keeper choice.
+
+Near-dup components are overwhelmingly tiny (pairs/triples, diameter
+2-4), so rounds stay small; for adversarial long chains the doubling
+variant (propagate along label-edges too) gives O(log n) rounds at the
+cost of a second join per round — documented trade, not needed here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _default_track(df: DataFrame) -> DataFrame:
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+    track: Callable[[DataFrame], DataFrame] | None = None,
+    include_singletons: bool = True,
+) -> DataFrame:
+    """(id, component) per vertex; ``component`` = smallest vertex id
+    reachable through ``edges`` (undirected, direction ignored).
+
+    ``vertices``: one column ``id_col``; isolated vertices become
+    singleton components (returned only when ``include_singletons`` —
+    callers that decorate clusters further can skip them and union
+    fully-formed singleton rows themselves, keeping the corpus-wide
+    path to a single anti-join).
+    ``track``: persist-and-materialize hook for the FINAL label table
+    (plans pass ``registry.track_persist`` so blocks are released
+    after the plan is consumed); intermediates are released internally.
+    """
+    track = track or _default_track
+    spark = vertices.sparkSession
+    # Persist the DIRECTED edge list once and materialize it WITH AQE —
+    # candidate-pair joins are exactly where runtime skew splitting
+    # matters, and the symmetrized view below would otherwise evaluate
+    # the whole upstream pair pipeline twice (once per union branch).
+    # The edge list is NOT deduplicated: duplicate/parallel edges are
+    # harmless under the min-aggregation (they only repeat a message),
+    # and a distinct would cost a full extra shuffle.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e.count()
+    # symmetrized view over the cache (narrow column swap per round —
+    # cheaper than persisting a second copy).  With both directions
+    # present, the src column alone covers every endpoint.
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # round 0 folded into initialization: component⁰(v) = min(v, its
+    # direct neighbors) is one narrow aggregation over the cached edge
+    # list — one fewer join round
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__min_nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__min_nbr")).alias("component"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the loop's per-round tables are tiny (|endpoints| ≪ corpus) and
+    # re-planned every round — AQE's runtime re-optimization costs more
+    # than it saves there (measured ~2× round latency), so it is
+    # disabled for the loop's jobs and restored after.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        prev_sum = None
+        for _ in range(max_iter):
+            # for edge (src→dst), dst hears src's current label
+            heard = (
+                sym.join(labels, sym.src == labels.id)
+                .select(F.col("dst").alias("id"), "component")
+            )
+            new_labels = (
+                labels.unionByName(heard)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # single action per round: materializes new_labels' cache
+            # AND yields the convergence statistic (labels are monotone
+            # non-increasing ⇒ equal sums ⟺ fixpoint)
+            cur_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        e.unpersist()
+    # blocks already hot from the last round's action — track() only
+    # moves ownership to the caller's release lifecycle, no new job
+    labels = track(labels)
+    out = labels.select("id", "component")
+    if include_singletons:
+        singles = (
+            vertices.select(F.col(id_col).alias("id"))
+            .distinct()
+            .join(labels.select("id"), "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        out = out.unionByName(singles)
+    return out

@@ -117,3 +117,116 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cum_before / SEQ_BUDGET).cast("bigint").alias("seq_no"),
         (cum_before % SEQ_BUDGET).cast("bigint").alias("seq_offset"),
     )
+
+
+# ---------------------------------------------------------- contamination
+
+CONTAM_N = 5  # n-gram order for overlap detection
+TOKS = "regexp_extract_all(text, '[a-z]+')"
+GRAMS_SQL = f"""list_distinct(list_transform(
+    generate_series(1, greatest(len({TOKS}) - {CONTAM_N - 1}, 0)),
+    i -> array_to_string(({TOKS})[i:i+{CONTAM_N - 1}], ' ')))"""
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 90 THEN 'train'
+                    WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    injected AS (
+        SELECT doc_id + 300000 AS doc_id, text, 'test' AS split
+        FROM assigned WHERE split = 'train' AND doc_id % 7 = 0
+    ),
+    evals AS (
+        SELECT * FROM assigned WHERE split <> 'train'
+        UNION ALL SELECT * FROM injected
+    ),
+    train_grams AS (
+        SELECT DISTINCT unnest({GRAMS_SQL}) AS shingle
+        FROM assigned WHERE split = 'train'
+    ),
+    eval_grams AS (
+        SELECT doc_id, split, unnest({GRAMS_SQL}) AS shingle FROM evals
+    ),
+    scored AS (
+        SELECT e.doc_id, e.split,
+               COUNT(*) AS n_ngrams,
+               COUNT(t.shingle) AS n_overlap
+        FROM eval_grams e LEFT JOIN train_grams t ON e.shingle = t.shingle
+        GROUP BY e.doc_id, e.split
+    )
+    SELECT doc_id, split, n_ngrams, n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_ngrams AS contamination_rate,
+           CASE WHEN 2 * n_overlap >= n_ngrams THEN 1 ELSE 0 END AS is_contaminated
+    FROM scored
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag val/test documents whose
+    {CONTAM_N}-gram shingle sets overlap the train split — the standard
+    decontamination gate every LLM data pipeline runs before training
+    (GPT-3-style n-gram overlap; the same check PaLM/Llama report).
+
+    The split reuses ``train_eval_split``'s deterministic md5 buckets;
+    contamination is INJECTED deterministically (every 7th train doc is
+    copied into the test side at doc_id+300000), so the operator has
+    known positives to recover — copies score rate 1.0, organic random
+    overlap ~0, and the ≥50% integer-arithmetic threshold separates
+    them with no float-boundary risk.
+
+    Scale shape: the train n-gram set is a distinct hash-aggregate
+    (map-side partials collapse repeats); the overlap join is a plain
+    equi-join on the shingle — at 100 TB the train side is huge but
+    uniformly hash-partitioned, boilerplate-shingle skew goes to AQE
+    skew-join (or the salted-join operator), and a Bloom-filter
+    pre-pass on the train set is the standard bandwidth optimization
+    when the eval side is small.  Documents shorter than {CONTAM_N}
+    tokens produce no shingles and are (by definition) not assessable —
+    both engines drop them identically."""
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import shingles
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        hex_to_long(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8)
+        )
+        % 100
+    )
+    assigned = d.withColumn(
+        "split",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+    )
+    injected = assigned.filter((F.col("split") == "train") & (F.col("doc_id") % 7 == 0)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text", F.lit("test").alias("split")
+    )
+    evals = assigned.filter(F.col("split") != "train").unionByName(injected)
+
+    grams = shingles("text", n=CONTAM_N)
+    train_grams = (
+        assigned.filter(F.col("split") == "train")
+        .select(F.explode(grams).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    eval_grams = evals.select("doc_id", "split", F.explode(grams).alias("shingle"))
+    scored = (
+        eval_grams.join(train_grams, "shingle", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_overlap"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "split",
+        "n_ngrams",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_ngrams")).alias("contamination_rate"),
+        F.when(2 * F.col("n_overlap") >= F.col("n_ngrams"), 1).otherwise(0).alias("is_contaminated"),
+    )

@@ -19,63 +19,67 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
 
 @query(
-    "events_tumbling_window",
+    "events_windows",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows per event type via ``F.window`` — the
-    native Spark windowed-agg operator (same definition the streaming
-    variant uses with a watermark).  One hash-agg shuffle on
-    (window, type); partial aggregation bounds shuffle volume by
-    windows × types, not events."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            as_out(F.sum(money("value"))).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
-    )
-
-
-@query(
-    "events_sliding_window",
-    oracle="""
-    WITH expanded AS (
+    WITH tumbling AS (
+        SELECT 'tumbling' AS window_kind,
+               date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 2, 3
+    ),
+    expanded AS (
         SELECT time_bucket(INTERVAL '15 minutes', ts)
                    - k.k * INTERVAL '15 minutes' AS window_start,
                event_type, value
         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    ),
+    sliding AS (
+        SELECT 'sliding' AS window_kind, window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM expanded
+        GROUP BY 2, 3
     )
-    SELECT window_start, event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM expanded
-    GROUP BY 1, 2
+    SELECT * FROM tumbling UNION ALL SELECT * FROM sliding
     """,
 )
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 h length, 15 min slide) — each event lands
-    in 4 overlapping windows.  Spark's ``F.window(ts, '1 hour',
-    '15 minutes')`` expands rows internally exactly like the oracle's
-    explicit k∈0..3 expansion."""
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1 h) AND sliding (1 h length / 15 min slide) windowed
+    aggregations per event type via ``F.window`` — the native Spark
+    windowed-agg operator (the streaming twins share these window
+    definitions plus a watermark; ``streaming/events.py``).
+
+    Tumbling: one hash-agg shuffle on (window, type); partial
+    aggregation bounds shuffle volume by windows × types, not events.
+    Sliding: each event expands into 4 overlapping windows inside
+    Spark, exactly like the oracle's explicit k∈0..3 expansion.  The
+    two branches scan events independently (each ~sub-second); merged
+    into one registry slot with a ``window_kind`` discriminator so the
+    freed slot carries the connected-components dedup plan."""
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            as_out(F.sum(money("value"))).alias("total_value"),
+
+    def agg_windows(kind: str, window_col) -> DataFrame:
+        return (
+            ev.groupBy(window_col.alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                as_out(F.sum(money("value"))).alias("total_value"),
+            )
+            .select(
+                F.lit(kind).alias("window_kind"),
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
-    )
+
+    tumbling = agg_windows("tumbling", F.window("ts", "1 hour"))
+    sliding = agg_windows("sliding", F.window("ts", "1 hour", "15 minutes"))
+    return tumbling.unionByName(sliding)
 
 
 @query(

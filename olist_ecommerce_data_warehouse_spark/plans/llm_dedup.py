@@ -286,3 +286,166 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.simhash").alias("simhash_b"),
         F.bit_count(F.col("o.simhash").bitwiseXOR(F.col("d.simhash"))).cast("bigint").alias("hamming"),
     )
+
+
+# -------------------------------------------------- duplicate clustering (CC)
+
+PADDED_SQL = """
+    SELECT doc_id + 200000 AS doc_id, '  ' || text || ' ' AS text
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
+# three-way corruption: originals + token-dropped near-dups (mod-5,
+# +100000) + whitespace-padded exact copies (mod-3, +200000).  A mod-15
+# doc yields a 3-node component reachable only TRANSITIVELY (pad ↔
+# neardup have no direct edge) — exactly what pairwise dedup output
+# cannot express and component clustering exists to recover.
+CORRUPTED_CC_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL {NEARDUP_SQL}
+    UNION ALL {PADDED_SQL}
+"""
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE corrupted AS ({CORRUPTED_CC_SQL}),
+    sh AS ({SHINGLES_SQL}),
+    based AS (
+        SELECT doc_id, {_hex2int_sql("substr(md5(shingle), 1, 8)")} AS b
+        FROM sh
+    ),
+    mh AS (
+        SELECT doc_id, ks.i AS i, MIN((ks.a * b + ks.c) % {MINHASH_P}) AS mh
+        FROM based CROSS JOIN (VALUES {_COEFF_VALUES}) ks(i, a, c)
+        GROUP BY doc_id, ks.i
+    ),
+    bands AS (
+        SELECT doc_id, i // {MINHASH_ROWS} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS sig
+        FROM mh GROUP BY doc_id, i // {MINHASH_ROWS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    fp AS (
+        SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+        FROM corrupted
+    ),
+    exact_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM cand
+        UNION
+        SELECT doc_a, doc_b FROM exact_pairs
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM edges
+    ),
+    comp(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM corrupted
+        UNION
+        SELECT e.dst, c.label FROM comp c JOIN sym e ON e.src = c.doc_id
+    ),
+    labels AS (SELECT doc_id, MIN(label) AS cluster_rep FROM comp GROUP BY doc_id),
+    sizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_rep)
+    SELECT l.doc_id, l.cluster_rep, s.cluster_size,
+           CASE WHEN l.doc_id = l.cluster_rep THEN 1 ELSE 0 END AS is_keeper
+    FROM labels l JOIN sizes s ON l.cluster_rep = s.cluster_rep
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP recovery: connected components over the union of
+    exact-duplicate pairs (content-fingerprint equality) and MinHash-LSH
+    candidate pairs, then one keeper (component-minimum doc_id) per
+    cluster.
+
+    Pairwise near-dup output alone cannot drive deletion — duplicates
+    chain (A≈B, B≈C without A≈C surfacing), and dropping "the second
+    doc of every pair" both over- and under-deletes.  The industry-
+    standard fix (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 — their suffix/MinHash stages both
+    end in component grouping) is exactly this plan: pairs → undirected
+    graph → connected components → keep min-id doc per component.
+
+    Scale shape: edges come from the LSH band equi-join (no all-pairs)
+    + a fingerprint hash-aggregate self-join (groups are tiny);
+    components come from ``operators.graph.connected_components`` —
+    per-round one equi-join + one min-aggregation, both shuffling on
+    the vertex id, rounds bounded by component diameter (near-dup
+    clusters are pairs/triples, so 2-3 rounds).  The oracle recomputes
+    the identical clustering with a recursive CTE, proving the
+    iterative DataFrame loop equals the declarative fixpoint."""
+    from olist_ecommerce_data_warehouse_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    padded = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+    )
+    corrupted = (
+        docs.unionAll(_near_dups(docs))
+        .unionAll(padded)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # one tracked persist feeds BOTH edge generators and the vertex set
+    corrupted = track_persist(corrupted)
+
+    sh = shingle_table(corrupted)
+    cand = lsh_candidate_pairs(minhash_band_signatures(sh))
+
+    fps = corrupted.select("doc_id", fingerprint_md5("text").alias("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    exact_pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+    # no distinct on the edge union: connected_components tolerates
+    # parallel edges (min-agg semantics), and the dedup shuffle would
+    # cost more than the duplicate messages it removes
+    edges = cand.unionByName(exact_pairs)
+    # CC runs on edge endpoints only (the dup subgraph — a sliver of
+    # the corpus); sizes/keepers are decorated on that small set, and
+    # the corpus-wide path is ONE anti-join producing fully-formed
+    # singleton rows (self-cluster: size 1, keeper).  At 100 TB this
+    # keeps every per-round shuffle proportional to |duplicates|, not
+    # |corpus|.
+    labels = connected_components(
+        corrupted.select("doc_id"),
+        edges,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        max_iter=10,
+        # eager=False: the final label blocks are already materialized
+        # by the loop's last convergence action — registering ownership
+        # must not cost another job
+        track=lambda df: track_persist(df, eager=False),
+        include_singletons=False,
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep"))
+    sizes = labels.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    clustered = labels.join(sizes, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        F.when(F.col("doc_id") == F.col("cluster_rep"), 1).otherwise(0).alias("is_keeper"),
+    )
+    singles = (
+        corrupted.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_rep"),
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.lit(1).alias("is_keeper"),
+        )
+    )
+    return clustered.unionByName(singles)

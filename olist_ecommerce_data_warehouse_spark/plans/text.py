@@ -19,65 +19,48 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
 
 @query(
-    "text_token_stats",
-    oracle="""
-    SELECT doc_id,
-           length(text) AS n_chars_actual,
-           len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
-           len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_distinct_tokens,
-           CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS DOUBLE)
-               / len(regexp_extract_all(text, '[a-z]+')) AS type_token_ratio
-    FROM documents
-    """,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting over documents: whitespace/regex tokenizer,
-    distinct-token (vocabulary) count, type-token ratio.  Pure
-    map-side array expressions — no shuffle, scales with input
-    splits."""
-    d = table(spark, sf_dir, "documents")
-    n_tok = token_count("text")
-    n_dis = distinct_token_count("text")
-    return d.select(
-        "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        n_tok.alias("n_tokens"),
-        n_dis.alias("n_distinct_tokens"),
-        (n_dis.cast("double") / n_tok).alias("type_token_ratio"),
-    )
-
-
-@query(
-    "text_quality_score",
+    "text_metrics",
     oracle="""
     WITH t AS (
         SELECT doc_id,
+               length(text) AS n_chars_actual,
                len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
-               length(text) AS n_chars,
+               len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_distinct_tokens,
                len(list_filter(regexp_extract_all(text, '[a-z]+'),
                                x -> x IN ('the','a','of','and'))) AS n_stop
         FROM documents
     )
-    SELECT doc_id, n_tokens, n_stop,
+    SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens,
+           CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS type_token_ratio,
+           n_stop,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
-           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_span,
+           CAST(n_chars_actual AS DOUBLE) / n_tokens AS avg_token_span,
            CASE WHEN n_tokens >= 20
                  AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
                 THEN 1 ELSE 0 END AS passes_quality
     FROM t
     """,
 )
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length / stopword-ratio heuristics with a
-    boolean gate — the C4-style quality filter shape for LLM corpus
-    prep, all JVM-side expressions."""
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics + C4-style quality scoring in one
+    pass: whitespace/regex tokenizer, distinct-token (vocabulary)
+    count, type-token ratio, stopword-ratio / length heuristics with a
+    boolean quality gate.  Pure map-side array expressions over one
+    scan — no shuffle, scales with input splits.  (Formerly two
+    registry slots — ``text_token_stats`` + ``text_quality_score`` —
+    merged to free a slot for the contamination-check plan; both
+    operator families stay fully oracle-checked here.)"""
     d = table(spark, sf_dir, "documents")
     n_tok = token_count("text")
+    n_dis = distinct_token_count("text")
     n_stop = marker_hits("text", ["the", "a", "of", "and"])
     stop_ratio = n_stop.cast("double") / n_tok
     return d.select(
         "doc_id",
+        F.length("text").alias("n_chars_actual"),
         n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        (n_dis.cast("double") / n_tok).alias("type_token_ratio"),
         n_stop.alias("n_stop"),
         stop_ratio.alias("stopword_ratio"),
         (F.length("text").cast("double") / n_tok).alias("avg_token_span"),

@@ -44,7 +44,8 @@ def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling-window counts/sums per event type — same
-    window definition as the batch plan ``events_tumbling_window``."""
+    window definition as the batch plan ``events_windows`` (tumbling
+    branch)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -126,3 +126,63 @@ def test_pii_redaction(spark):
     assert got[2]["SSN"] == 1 and got[2]["IP"] == 1
     assert got[3]["clean"] == rows[2][1]
     assert all(got[3][k] == 0 for k in ("EMAIL", "PHONE", "SSN", "IP"))
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 6-node path (diameter 5, forces multiple propagation rounds),
+    a triangle, and two isolated vertices — labels must be the
+    component-minimum id everywhere, regardless of edge direction."""
+    from olist_ecommerce_data_warehouse_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 12)], ["id"])
+    edges = spark.createDataFrame(
+        # path 1-2-3-4-5-6 with mixed directions; triangle 7-8-9
+        [(2, 1), (2, 3), (4, 3), (4, 5), (6, 5), (7, 8), (8, 9), (9, 7)],
+        ["src", "dst"],
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, edges, max_iter=25).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 8: 7, 9: 7, 10: 10, 11: 11}
+
+
+def test_dedup_cluster_cc_transitive_groups(spark):
+    """mod-15 originals chain pad↔orig↔neardup: the component must hold
+    all 3 although pad and neardup never share a direct pair edge."""
+    rows = REGISTRY["dedup_cluster_cc"].fn(spark, SF_DIR).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    mod15 = [d for d in by_doc if d < 100000 and d % 15 == 0]
+    assert mod15, "fixture should contain mod-15 doc ids"
+    for d in mod15:
+        assert by_doc[d + 100000]["cluster_rep"] == by_doc[d]["cluster_rep"]
+        assert by_doc[d + 200000]["cluster_rep"] == by_doc[d]["cluster_rep"]
+        assert by_doc[d]["cluster_size"] >= 3
+    # exactly one keeper per cluster, and it is the component minimum
+    reps = {}
+    for r in rows:
+        reps.setdefault(r["cluster_rep"], []).append(r)
+    for rep, members in reps.items():
+        keepers = [m for m in members if m["is_keeper"] == 1]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == rep
+        assert rep == min(m["doc_id"] for m in members)
+
+
+def test_contamination_check_recovers_injected(spark):
+    """Every injected train-copy must be flagged contaminated at rate
+    1.0; organic val/test docs must sit near zero overlap."""
+    rows = REGISTRY["contamination_check"].fn(spark, SF_DIR).collect()
+    injected = [r for r in rows if r["doc_id"] >= 300000]
+    organic = [r for r in rows if r["doc_id"] < 300000]
+    assert injected, "fixture should inject contaminated docs"
+    for r in injected:
+        assert r["is_contaminated"] == 1
+        assert r["contamination_rate"] == 1.0
+    # the synthetic corpus contains genuine cross-doc duplicates (a few
+    # docs share full texts), so SOME organic flags are correct hits —
+    # but they must stay a small minority, and every flagged doc must
+    # clear the threshold for real (no boundary artifacts)
+    flagged_organic = [r for r in organic if r["is_contaminated"] == 1]
+    assert len(flagged_organic) < 0.2 * len(organic)
+    for r in flagged_organic:
+        assert 2 * r["n_overlap"] >= r["n_ngrams"]
