@@ -122,7 +122,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster with per-cluster partial top-k (ivf_topk).  Cluster
     assignment is the partition key at scale, so a query touches
     nprobe/nlist of the corpus and the shuffle after scoring carries ≤
-    nprobe·k rows per query."""
+    nprobe·k rows per query.
+
+    Centroids here are deterministic SEEDS so the DuckDB oracle can
+    rebuild the identical index (Lloyd's loop is not one SQL query);
+    the production path trains them with
+    ``operators.kmeans.kmeans_train`` (distributed Lloyd, bit-
+    deterministic integer means) and plugs into this same
+    assign/probe/score pipeline unchanged — recall parity and the
+    inertia win are pinned in
+    ``tests/test_operators.py::test_kmeans_trained_ivf_search_end_to_end``."""
     emb = table(spark, sf_dir, "embeddings")
     c = emb.select("vec_id", quantized("embedding").alias("cvec"))
     cents = (

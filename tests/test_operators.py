@@ -186,3 +186,118 @@ def test_contamination_check_recovers_injected(spark):
     assert len(flagged_organic) < 0.2 * len(organic)
     for r in flagged_organic:
         assert 2 * r["n_overlap"] >= r["n_ngrams"]
+
+
+def test_kmeans_trains_deterministically_and_reduces_inertia(spark):
+    """Lloyd iterations must monotonically reduce quantized inertia,
+    produce bit-identical centroids across runs, and assign every
+    vector to its true nearest trained centroid."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.kmeans import (
+        inertia,
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    c0 = kmeans_train(emb, k=8, n_iter=0)  # seeds only
+    c3 = kmeans_train(emb, k=8, n_iter=3)
+    assert inertia(emb, c3) <= inertia(emb, c0)
+    # bit-identical retrain (numpy/int paths only, no float summation)
+    assert kmeans_train(emb, k=8, n_iter=3) == c3
+    # assignment is the exact argmin over the quantized grid
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, c3).collect()}
+    cm = np.asarray(c3, dtype=np.int64)
+    for r in emb.limit(50).collect():
+        v = np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000).astype(
+            np.int64
+        )
+        d2 = ((v[None, :] - cm) ** 2).sum(axis=1)
+        assert got[r["vec_id"]] == int(np.argmin(d2))
+
+
+def test_merge_upsert_actions(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        ["k", "name", "val"],
+    )
+    source = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0), (5, None, 50.0)],
+        ["k", "name", "val"],
+    )
+    got = {
+        r["k"]: r
+        for r in __import__(
+            "olist_ecommerce_data_warehouse_spark.operators.merge",
+            fromlist=["merge_upsert"],
+        ).merge_upsert(target, source, ["k"]).collect()
+    }
+    assert got[1]["__merge_action"] == "keep" and got[1]["val"] == 10.0
+    assert got[2]["__merge_action"] == "update" and got[2]["val"] == 25.0
+    # NULL-safe compare: identical rows (including NULLs) are unchanged
+    assert got[3]["__merge_action"] == "unchanged" and got[3]["val"] is None
+    assert got[4]["__merge_action"] == "insert"
+    # a NULL source value must overwrite (no coalesce-merge bug)
+    assert got[5]["__merge_action"] == "insert" and got[5]["name"] is None
+    assert len(got) == 5
+
+
+def test_merge_upsert_null_overwrites_and_delete_missing(spark):
+    from olist_ecommerce_data_warehouse_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    source = spark.createDataFrame([(1, None)], "k int, v string")
+    rows = {r["k"]: r for r in merge_upsert(target, source, ["k"]).collect()}
+    assert rows[1]["__merge_action"] == "update" and rows[1]["v"] is None
+    synced = merge_upsert(target, source, ["k"], delete_missing=True).collect()
+    assert [r["k"] for r in synced] == [1]
+
+
+def test_kmeans_trained_ivf_search_end_to_end(spark):
+    """Trained centroids must plug into the IVF search unchanged and
+    hold recall: strictly lower inertia than the seed centroids, and
+    recall@5 (vs brute-force ground truth) no worse than the seeded
+    index at the quality-sensitive nprobe=1 setting."""
+    from olist_ecommerce_data_warehouse_spark.operators.kmeans import (
+        inertia,
+        kmeans_train,
+    )
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_probes,
+        ivf_topk,
+        quantized,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    c = emb.select("vec_id", quantized("embedding").alias("cvec"))
+    q = c.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(q, c, k=5).select("query_id", "vec_id").collect()
+    }
+
+    def recall(cents_df):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(ivf_assign(c, cents_df), ivf_probes(q, cents_df, nprobe=1), k=5)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        return len(got & truth) / len(truth)
+
+    seed_cents = c.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("cvec").alias("centvec")
+    )
+    seed_vecs = [list(r["centvec"]) for r in seed_cents.collect()]
+    trained = kmeans_train(emb, k=8, n_iter=3)
+    trained_cents = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(trained)],
+        "centroid_id long, centvec array<bigint>",
+    )
+    assert inertia(emb, trained) < inertia(emb, seed_vecs)
+    assert recall(trained_cents) >= recall(seed_cents) - 0.05
