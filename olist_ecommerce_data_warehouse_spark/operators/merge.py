@@ -40,6 +40,7 @@ def merge_upsert(
     compare_cols: list[str] | None = None,
     delete_missing: bool = False,
     action_col: str = "__merge_action",
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Merge ``source`` into ``target`` on ``keys``; returns the merged
     table with ``action_col`` ∈ insert/update/unchanged/keep.
@@ -48,7 +49,16 @@ def merge_upsert(
     change detection (default: all non-key columns).  With
     ``delete_missing`` target-only rows are dropped instead of kept
     (full-sync semantics; the default is incremental-batch semantics
-    where absence from a delta feed means "no change")."""
+    where absence from a delta feed means "no change").
+
+    ``null_safe_keys``: merge keys are primary keys and plain equality
+    (the SQL MERGE contract — NULL-keyed rows never match) is the
+    default because it keeps the join on RAW key columns, which is what
+    lets co-located bucketed tables plan with zero Exchange
+    (``tests/test_plan_quality.py::test_bucketed_merge_upsert_zero_
+    exchange``); ``eqNullSafe`` wraps the key in an expression and
+    silently disables the bucket join.  Opt in only for nullable keys,
+    accepting the shuffle.  VALUE comparison is always null-safe."""
     non_key = [c for c in target.columns if c not in keys]
     if source.columns != target.columns:
         raise ValueError(
@@ -66,7 +76,8 @@ def merge_upsert(
     )
     cond = None
     for k in keys:
-        c = F.col(f"__t_{k}").eqNullSafe(F.col(f"__s_{k}"))
+        tk, sk = F.col(f"__t_{k}"), F.col(f"__s_{k}")
+        c = tk.eqNullSafe(sk) if null_safe_keys else (tk == sk)
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
 

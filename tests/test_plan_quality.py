@@ -112,3 +112,54 @@ def test_minhash_signature_fold_is_partial_min(spark):
     assert "zip_with" not in plan and "aggregate(" not in plan.replace(
         "HashAggregate(", ""
     ).replace("ObjectHashAggregate(", "")
+
+
+def test_new_round2_plans_no_cartesian_and_pruned(spark):
+    """The round-2 additions keep the scale invariants: no cartesian /
+    nested-loop joins anywhere, and the documents scan stays pruned to
+    the columns the plan needs."""
+    for name in ("dedup_cluster_cc", "contamination_check"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        for ln in plan.splitlines():
+            if "ReadSchema: struct<" in ln and "doc_id" in ln:
+                schema = ln.split("ReadSchema: struct<", 1)[1].rsplit(">", 1)[0]
+                n_cols = schema.count(",") + 1
+                # documents has 5 columns; both plans need ≤2
+                assert n_cols <= 2, f"{name} scan too wide: {ln}"
+
+
+def test_bucketed_merge_upsert_zero_exchange(spark):
+    """MERGE on co-located (bucketed-by-key) tables must plan with ZERO
+    Exchange — the incremental-maintenance shape for a 100 TB fact
+    table: the daily delta joins the base without shuffling either
+    side."""
+    import shutil
+
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.operators.merge import merge_upsert
+    from olist_ecommerce_data_warehouse_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    # pre-clean leftover managed-table dirs (warehouse.dir is a static
+    # conf; same pattern as tests/test_bucketed.py)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("m_base", "m_delta"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    base = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    delta = base.limit(500).withColumn("o_totalprice", base.o_totalprice * 2)
+    write_bucketed(base, "m_base", ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"])
+    write_bucketed(delta, "m_delta", ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"])
+    merged = merge_upsert(
+        read_table(spark, "m_base"), read_table(spark, "m_delta"), ["o_orderkey"]
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["o_orderkey"]: r for r in merged.collect()}
+    n_updates = sum(1 for r in got.values() if r["__merge_action"] == "update")
+    assert n_updates == 500
+    assert len(got) == base.count()

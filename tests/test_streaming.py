@@ -100,3 +100,56 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path_factory):
     got = _drain(spark, streaming_dedup(stream), "t_dedup", mode="append")
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_upsert_merges_incrementally(spark, tmp_path_factory):
+    """Two micro-batch drops upsert into one parquet target: batch 2's
+    rows overwrite batch 1's on shared keys (latest-by-ts wins), new
+    keys insert, untouched keys survive — and replaying the same drop
+    is idempotent (MERGE, not append)."""
+    from olist_ecommerce_data_warehouse_spark.streaming.merge import (
+        streaming_upsert,
+        upsert_batch,
+    )
+
+    base = tmp_path_factory.mktemp("upsert")
+    src, target, ckpt = f"{base}/src", f"{base}/target", f"{base}/ckpt"
+    rows1 = [(1, 100, "a", 1.0), (2, 100, "b", 2.0), (2, 150, "b", 2.5)]
+    spark.createDataFrame(
+        rows1, "k long, ts long, name string, val double"
+    ).write.parquet(f"{src}/d1.parquet")
+    def read_src():
+        # each drop is a parquet DIRECTORY under src — the file stream
+        # source needs recursiveFileLookup to see nested files
+        return (
+            spark.readStream.schema("k long, ts long, name string, val double")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    q = streaming_upsert(read_src(), target, ckpt, keys=["k"], order_col="ts")
+    q.awaitTermination(120)
+    got = {r["k"]: r for r in spark.read.parquet(target).collect()}
+    assert len(got) == 2
+    assert got[2]["val"] == 2.5  # within-batch dedup kept the latest ts
+
+    # second drop: update k=1, insert k=3
+    rows2 = [(1, 200, "a2", 9.0), (3, 200, "c", 3.0)]
+    spark.createDataFrame(
+        rows2, "k long, ts long, name string, val double"
+    ).write.parquet(f"{src}/d2.parquet")
+    q2 = streaming_upsert(read_src(), target, ckpt, keys=["k"], order_col="ts")
+    q2.awaitTermination(120)
+    got = {r["k"]: r for r in spark.read.parquet(target).collect()}
+    assert len(got) == 3
+    assert got[1]["name"] == "a2" and got[1]["val"] == 9.0
+    assert got[2]["val"] == 2.5  # untouched key survives
+    assert got[3]["name"] == "c"
+
+    # idempotent replay: re-applying drop 2 changes nothing
+    batch2 = spark.createDataFrame(rows2, "k long, ts long, name string, val double")
+    upsert_batch(batch2, target, keys=["k"], order_col="ts")
+    again = {r["k"]: r for r in spark.read.parquet(target).collect()}
+    assert {k: (r["name"], r["val"]) for k, r in again.items()} == {
+        k: (r["name"], r["val"]) for k, r in got.items()
+    }
