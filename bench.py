@@ -57,7 +57,9 @@ BASELINE_R01 = {
     "gold_fact_lineitem": 3.5523, "gold_fact_orders": 1.8848,
     "gold_revenue_by_region": 0.9745, "kpi_daterange_dim_join": 1.0491,
     "left_enrich_broadcast": 6.1962, "multikey_left_distinct": 7.8658,
-    "multimodal_decode_stub": 2.2253, "multimodal_frame_sample": 0.5655,
+    # multimodal_decode_frames: round-2 slot merge (decode stub +
+    # frame sample), summed anchor like the other merges
+    "multimodal_decode_frames": 2.7908,
     "multimodal_metadata": 0.4053, "orphan_check": 0.5465,
     "per_order_rollup": 1.6498, "pivot_event_types_daily": 0.5582,
     "pricing_summary": 1.1094, "rollup_region_segment": 1.2103,

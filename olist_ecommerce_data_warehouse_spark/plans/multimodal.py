@@ -54,7 +54,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_decode_stub",
+    "multimodal_decode_frames",
     oracle="""
     WITH media AS (
         SELECT doc_id AS media_id,
@@ -62,67 +62,65 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'video' END AS kind,
                text
         FROM documents
-    )
-    SELECT media_id, kind,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(16 + CASE WHEN length(text) >= 1
-                          THEN ascii(substr(text, 1, 1)) ELSE 0 END % 64 AS INT) AS width,
-           CAST(16 + CASE WHEN length(text) >= 2
-                          THEN ascii(substr(text, 2, 1)) ELSE 0 END % 64 AS INT) AS height,
-           CAST(CASE kind WHEN 'audio' THEN 1 ELSE 3 END AS INT) AS n_channels
-    FROM media
-    """,
-)
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode (stubbed kernel — see
-    operators.multimodal): binary → typed (width, height, channels)
-    metadata.  The fake decode is a pure function of the payload bytes
-    (width/height from the first two bytes), so it IS SQL-expressible:
-    the oracle recomputes it with character ops — byte-identical here
-    because the documents fixture is ASCII-only (asserted across all
-    SFs; the Spark kernel itself is byte-true for any input).
-    Exact-value kernel tests live in tests/test_multimodal.py."""
-    media = synthesize_media(table(spark, sf_dir, "documents"))
-    return decode_media(media)
-
-
-@query(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH media AS (
-        SELECT doc_id AS media_id, text,
+    ),
+    decoded AS (
+        SELECT media_id, kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(16 + CASE WHEN length(text) >= 1
+                              THEN ascii(substr(text, 1, 1)) ELSE 0 END % 64 AS INT) AS width,
+               CAST(16 + CASE WHEN length(text) >= 2
+                              THEN ascii(substr(text, 2, 1)) ELSE 0 END % 64 AS INT) AS height,
+               CAST(CASE kind WHEN 'audio' THEN 1 ELSE 3 END AS INT) AS n_channels
+        FROM media
+    ),
+    vid AS (
+        SELECT media_id, text,
                greatest(octet_length(encode(text)) // 4, 1) AS step
-        FROM documents
-        WHERE doc_id % 3 = 2
+        FROM media WHERE kind = 'video'
     ),
     frames AS (
-        SELECT media_id,
-               i AS frame_no,
+        SELECT media_id, i AS frame_no,
                substr(text, i * step + 1, step) AS chunk
-        FROM media CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        FROM vid CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
     )
-    SELECT media_id, frame_no,
-           CAST(octet_length(encode(chunk)) AS BIGINT) AS frame_len,
-           md5(chunk) AS frame_md5
-    FROM frames
-    WHERE chunk <> ''
+    SELECT d.media_id, d.kind, d.n_bytes, d.width, d.height, d.n_channels,
+           f.frame_no,
+           CAST(octet_length(encode(f.chunk)) AS BIGINT) AS frame_len,
+           md5(f.chunk) AS frame_md5
+    FROM decoded d
+    LEFT JOIN (SELECT * FROM frames WHERE chunk <> '') f
+           ON d.media_id = f.media_id
     """,
 )
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over video payloads via mapInPandas fan-out
-    (1 row → n_frames rows of binary frame slices).  The plan projects
-    each frame to (byte length, md5) so the fan-out, slicing offsets
-    and frame CONTENT are all driver-verifiable: the oracle recomputes
-    the evenly-spaced slices in SQL (character ops ≡ byte ops on the
-    ASCII-only fixture; the kernel is byte-true for any input) and an
-    md5 mismatch on any slice would fail the hash gate.  The raw
-    binary frames remain available from operators.multimodal.sample_frames;
-    exact-value kernel tests in tests/test_multimodal.py."""
+def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode + video frame sampling in one
+    inventory (merged registry slot — formerly ``multimodal_decode_
+    stub`` + ``multimodal_frame_sample``; both kernels stay fully
+    oracle-checked).
+
+    Decode (stubbed kernel — see operators.multimodal): binary → typed
+    (width, height, channels) metadata; the fake decode is a pure
+    function of the payload bytes, so the oracle recomputes it with
+    character ops (byte-identical on the ASCII-only fixture; the Spark
+    kernel is byte-true for any input).  Frame sampling fans each
+    video payload out to 4 evenly-spaced binary slices via
+    mapInPandas; each frame projects to (byte length, md5) so slicing
+    offsets and CONTENT are hash-verified.  The LEFT JOIN keeps one
+    row per image/audio medium (frame columns NULL) and one row per
+    sampled frame for video — the per-medium grain a multimodal
+    training pipeline feeds downstream.  Exact-value kernel tests in
+    tests/test_multimodal.py."""
     media = synthesize_media(table(spark, sf_dir, "documents"))
-    frames = sample_frames(media)
-    return frames.select(
-        "media_id",
+    decoded = decode_media(media)
+    frames = sample_frames(media).select(
+        F.col("media_id").alias("f_media_id"),
         "frame_no",
         F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
+    )
+    return decoded.join(
+        frames, decoded.media_id == frames.f_media_id, "left"
+    ).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_channels",
+        "frame_no", "frame_len", "frame_md5",
     )

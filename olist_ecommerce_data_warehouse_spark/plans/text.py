@@ -134,3 +134,109 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     fp = fingerprint_md5("text")
     return d.select("doc_id", fp.alias("fp_md5"), F.substring(fp, 1, 16).alias("fp_prefix"))
+
+
+TOKS_SQL = "regexp_extract_all(text, '[a-z]+')"
+
+
+def _grams_all_sql(n: int) -> str:
+    """Non-distinct n-gram multiset (repetition needs OCCURRENCES —
+    list_distinct would erase the signal the plan measures)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({TOKS_SQL}) - {n - 1}, 0)), "
+        f"i -> array_to_string(({TOKS_SQL})[i:i+{n - 1}], ' '))"
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, 2 AS n, unnest({_grams_all_sql(2)}) AS gram FROM documents
+        UNION ALL
+        SELECT doc_id, 3 AS n, unnest({_grams_all_sql(3)}) AS gram FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, n, gram, COUNT(*) AS c
+        FROM g GROUP BY doc_id, n, gram
+    ),
+    per_doc AS (
+        SELECT doc_id, n,
+               SUM(c) AS total,
+               MAX(c) AS top_c,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+        FROM counts GROUP BY doc_id, n
+    ),
+    wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN n = 2 THEN total END) AS n_2grams,
+               MAX(CASE WHEN n = 2 THEN top_c END) AS top2,
+               MAX(CASE WHEN n = 3 THEN total END) AS n_3grams,
+               MAX(CASE WHEN n = 3 THEN dup_occ END) AS dup3
+        FROM per_doc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_2grams AS BIGINT) AS n_2grams,
+           CAST(top2 AS DOUBLE) / n_2grams AS top_2gram_frac,
+           CAST(n_3grams AS BIGINT) AS n_3grams,
+           CAST(dup3 AS DOUBLE) / n_3grams AS dup_3gram_frac,
+           CASE WHEN CAST(top2 AS DOUBLE) / n_2grams < 0.20
+                 AND CAST(dup3 AS DOUBLE) / n_3grams < 0.60
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM wide
+    WHERE n_2grams IS NOT NULL AND n_3grams IS NOT NULL
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality signals (the Gopher repetition
+    filters, Rae et al. 2021 — adopted verbatim by MassiveText, Dolma,
+    RefinedWeb): fraction of all 2-gram occurrences taken by the single
+    most frequent 2-gram, and fraction of 3-gram occurrences whose gram
+    repeats within the document.  Degenerate machine-generated or
+    template text scores high on both; the gate thresholds (top-2-gram
+    < 20%, duplicated-3-gram < 60%) are the published ones.
+
+    Shape: explode the NON-distinct n-gram multisets (occurrences are
+    the signal) tagged with n, one (doc, n, gram) count aggregation,
+    one (doc, n) rollup, conditional-agg pivot back to one row per doc.
+    Both shuffles key on doc_id-led composites — no skew (a gram's
+    count is bounded by document length), map-side partials collapse
+    repeats, scales with corpus size not vocabulary.  Docs shorter than
+    the n-gram order produce no rows and are excluded identically in
+    both engines."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+
+    def grams_all(n: int):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    g = d.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(grams_all(2)).alias("gram")
+    ).unionByName(
+        d.select("doc_id", F.lit(3).alias("n"), F.explode(grams_all(3)).alias("gram"))
+    )
+    counts = g.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_occ"),
+    )
+    wide = per_doc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("total"))).alias("n_2grams"),
+        F.max(F.when(F.col("n") == 2, F.col("top_c"))).alias("top2"),
+        F.max(F.when(F.col("n") == 3, F.col("total"))).alias("n_3grams"),
+        F.max(F.when(F.col("n") == 3, F.col("dup_occ"))).alias("dup3"),
+    )
+    top_frac = F.col("top2").cast("double") / F.col("n_2grams")
+    dup_frac = F.col("dup3").cast("double") / F.col("n_3grams")
+    return wide.filter(
+        F.col("n_2grams").isNotNull() & F.col("n_3grams").isNotNull()
+    ).select(
+        "doc_id",
+        F.col("n_2grams").cast("bigint").alias("n_2grams"),
+        top_frac.alias("top_2gram_frac"),
+        F.col("n_3grams").cast("bigint").alias("n_3grams"),
+        dup_frac.alias("dup_3gram_frac"),
+        F.when((top_frac < 0.20) & (dup_frac < 0.60), 1).otherwise(0).alias("passes_repetition"),
+    )
