@@ -301,3 +301,79 @@ def test_kmeans_trained_ivf_search_end_to_end(spark):
     )
     assert inertia(emb, trained) < inertia(emb, seed_vecs)
     assert recall(trained_cents) >= recall(seed_cents) - 0.05
+
+
+def test_sample_by_weight_mixing(spark):
+    """Deterministic domain mixing: downsampled sources keep ~weight
+    fraction (exactly reproducible), upsampled sources replicate with
+    epoch tags, weight-0 sources vanish, and rerunning yields the
+    identical sample."""
+    from olist_ecommerce_data_warehouse_spark.operators.sampling import (
+        mixing_report,
+        sample_by_weight,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "source")
+    weights = {"src0": 0.5, "src1": 2.5, "src2": 0.0}
+    mixed = sample_by_weight(docs, weights)
+    rep = {r["source"]: r for r in mixing_report(docs, mixed).collect()}
+    assert set(weights) <= set(rep), "fixture must contain the weighted sources"
+    for src, w in weights.items():
+        got = rep[src]["realized_weight"]
+        if w == 0.0:
+            assert got == 0.0
+        else:
+            # deterministic hash sample over 25 docs/source → ±0.2
+            assert abs(got - w) < 0.2, (src, w, got)
+    # unlisted sources pass through once
+    unlisted = [s for s in rep if s not in weights]
+    for s in unlisted:
+        assert rep[s]["realized_weight"] == 1.0
+    # epochs: a weight-2.5 doc appears with epochs 0..n-1
+    by_doc = {}
+    for r in mixed.filter(F.col("source") == "src1").collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for d, eps in by_doc.items():
+        assert sorted(eps) == list(range(len(eps)))
+        assert len(eps) in (2, 3)
+    # determinism: identical on rerun
+    again = sorted(map(tuple, sample_by_weight(docs, weights).collect()))
+    assert again == sorted(map(tuple, mixed.collect()))
+
+
+def test_embedding_quantization_roundtrip(spark):
+    """int8 absmax quantization: roundtrip error bounded by scale/254
+    per component, cosine similarity preserved within 1%, zero vectors
+    stable."""
+    import math
+
+    from olist_ecommerce_data_warehouse_spark.functions.embedding import (
+        absmax,
+        dequantize_int8,
+        l2_norm,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings").limit(100)
+    df = emb.select(
+        "vec_id",
+        "embedding",
+        absmax("embedding").alias("s"),
+        quantize_int8("embedding").alias("q"),
+        l2_norm(l2_normalize("embedding")).alias("unit_norm"),
+    ).withColumn("deq", dequantize_int8("q", F.col("s")))
+    for r in df.collect():
+        v, dq, s = r["embedding"], r["deq"], r["s"]
+        assert len(v) == len(dq)
+        bound = s / 254.0 + 1e-9
+        for a, b in zip(v, dq):
+            assert abs(a - b) <= bound + s * 1e-6, (a, b, bound)
+        # normalized vectors have unit norm
+        assert abs(r["unit_norm"] - 1.0) < 1e-9
+        # cosine preserved
+        dot = sum(a * b for a, b in zip(v, dq))
+        nv = math.sqrt(sum(a * a for a in v))
+        nd = math.sqrt(sum(b * b for b in dq))
+        if nv > 0 and nd > 0:
+            assert dot / (nv * nd) > 0.99
