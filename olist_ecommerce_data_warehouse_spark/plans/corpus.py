@@ -147,17 +147,20 @@ GRAMS_SQL = f"""list_distinct(list_transform(
         UNION ALL SELECT * FROM injected
     ),
     train_grams AS (
-        SELECT DISTINCT unnest({GRAMS_SQL}) AS shingle
-        FROM assigned WHERE split = 'train'
+        SELECT DISTINCT {_H2I.format(h="substr(md5(shingle), 1, 8)")} AS gh
+        FROM (SELECT unnest({GRAMS_SQL}) AS shingle
+              FROM assigned WHERE split = 'train')
     ),
     eval_grams AS (
-        SELECT doc_id, split, unnest({GRAMS_SQL}) AS shingle FROM evals
+        SELECT doc_id, split,
+               {_H2I.format(h="substr(md5(shingle), 1, 8)")} AS gh
+        FROM (SELECT doc_id, split, unnest({GRAMS_SQL}) AS shingle FROM evals)
     ),
     scored AS (
         SELECT e.doc_id, e.split,
                COUNT(*) AS n_ngrams,
-               COUNT(t.shingle) AS n_overlap
-        FROM eval_grams e LEFT JOIN train_grams t ON e.shingle = t.shingle
+               COUNT(t.gh) AS n_overlap
+        FROM eval_grams e LEFT JOIN train_grams t ON e.gh = t.gh
         GROUP BY e.doc_id, e.split
     )
     SELECT doc_id, split, n_ngrams, n_overlap,
@@ -206,16 +209,26 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     evals = assigned.filter(F.col("split") != "train").unionByName(injected)
 
+    # distinct + join on the 8-byte md5-derived gram hash, not the
+    # ~40-byte shingle string: the dedup and join shuffles carry ints
+    # (~5× less volume).  md5 is identical in both engines, so the
+    # (astronomically rare) collision merges the same grams on both
+    # sides — results stay hash-equal, the flag stays a faithful
+    # heuristic.
     grams = shingles("text", n=CONTAM_N)
+    gram_hash = hex_to_long(F.substring(F.md5("shingle"), 1, 8)).alias("gh")
     train_grams = (
         assigned.filter(F.col("split") == "train")
         .select(F.explode(grams).alias("shingle"))
+        .select(gram_hash)
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    eval_grams = evals.select("doc_id", "split", F.explode(grams).alias("shingle"))
+    eval_grams = evals.select(
+        "doc_id", "split", F.explode(grams).alias("shingle")
+    ).select("doc_id", "split", gram_hash)
     scored = (
-        eval_grams.join(train_grams, "shingle", "left")
+        eval_grams.join(train_grams, "gh", "left")
         .groupBy("doc_id", "split")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),

