@@ -90,7 +90,7 @@ def connected_components(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    e.count()
+    n_edges = e.count()
     # symmetrized view over the cache (narrow column swap per round —
     # cheaper than persisting a second copy).  With both directions
     # present, the src column alone covers every endpoint.
@@ -110,9 +110,19 @@ def connected_components(
     # the loop's per-round tables are tiny (|endpoints| ≪ corpus) and
     # re-planned every round — AQE's runtime re-optimization costs more
     # than it saves there (measured ~2× round latency), so it is
-    # disabled for the loop's jobs and restored after.
+    # disabled for the loop's jobs and restored after.  Shuffle
+    # partitions are likewise right-sized from the MEASURED edge count
+    # (~500k edge rows per partition, ≥2, never above the session
+    # setting): a dedup pair graph is a sliver of the corpus, and
+    # running its per-round micro-shuffles at the corpus-sized
+    # partition count is pure task-scheduling overhead (measured ~3×
+    # round latency at 32 vs 8 partitions on a 10k-edge graph).  A
+    # billion-edge graph computes the session value and is unaffected.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    loop_parts = max(2, min(int(parts_before), (n_edges * 2) // 500_000 + 1))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         prev_sum = None
         for _ in range(max_iter):
@@ -140,6 +150,7 @@ def connected_components(
             prev_sum = cur_sum
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
         e.unpersist()
     # blocks already hot from the last round's action — track() only
     # moves ownership to the caller's release lifecycle, no new job
