@@ -377,3 +377,37 @@ def test_embedding_quantization_roundtrip(spark):
         nd = math.sqrt(sum(b * b for b in dq))
         if nv > 0 and nd > 0:
             assert dot / (nv * nd) > 0.99
+
+
+def test_scd2_apply_snapshot_lifecycle(spark):
+    """Incremental SCD-2: changed key closes + reopens, new key opens,
+    unchanged and absent keys pass through; history never touched."""
+    from olist_ecommerce_data_warehouse_spark.operators.scd import (
+        scd2_apply_snapshot,
+        scd2_from_history,
+    )
+
+    history = spark.createDataFrame(
+        [(1, "addr_a", 10), (1, "addr_b", 20), (2, "addr_x", 15), (3, "addr_z", 5)],
+        "k int, addr string, ts int",
+    )
+    dim = scd2_from_history(history, ["k"], "ts")
+    # snapshot at ts=30: k=1 changes, k=2 unchanged, k=3 absent, k=4 new
+    snap = spark.createDataFrame(
+        [(1, "addr_c"), (2, "addr_x"), (4, "addr_new")], "k int, addr string"
+    )
+    out = scd2_apply_snapshot(dim, snap, ["k"], 30)
+    rows = sorted(
+        map(tuple, out.select("k", "addr", "effective_start", "effective_end", "is_current").collect())
+    )
+    assert rows == sorted([
+        (1, "addr_a", 10, 20, 0),          # untouched history
+        (1, "addr_b", 20, 30, 0),          # closed at snapshot time
+        (1, "addr_c", 30, None, 1),        # reopened
+        (2, "addr_x", 15, None, 1),        # unchanged current survives
+        (3, "addr_z", 5, None, 1),         # absent from delta: untouched
+        (4, "addr_new", 30, None, 1),      # brand-new key opens
+    ])
+    # applying the identical snapshot again is a no-op (idempotent)
+    again = scd2_apply_snapshot(out, snap, ["k"], 40)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
