@@ -43,6 +43,25 @@ def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# GPT-2-style pretokenizer classes, lookahead-free so the same pattern
+# runs under Java regex (Spark) AND RE2 (DuckDB): optional leading
+# space + a letter run | digit run | punctuation run.  The real GPT-2
+# pattern adds English contractions and a trailing-space lookahead —
+# RE2 has no lookahead, and on a lowercase corpus the difference is
+# nil; the class structure (what becomes a token boundary) is the part
+# pipelines budget with.
+BPE_PRETOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_pretoken_count(col: Column | str) -> Column:
+    """Token-budget estimate by BPE PRETOKEN count (the GPT-2 split
+    that precedes byte-pair merging).  An upper bound on (and at these
+    text lengths a good proxy for) the post-merge token count — the
+    number LLM data pipelines budget sequences with when the real
+    tokenizer isn't in the engine."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_PRETOKEN_RE), 0))
+
+
 def marker_hits(col: Column | str, markers: list[str]) -> Column:
     """How many tokens are in the marker set (with multiplicity)."""
     toks = tokens(col)

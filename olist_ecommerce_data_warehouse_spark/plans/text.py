@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import (
     LANG_MARKERS,
+    bpe_pretoken_count,
     distinct_token_count,
     fingerprint_md5,
     marker_hits,
@@ -27,11 +28,13 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                length(text) AS n_chars_actual,
                len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
                len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_distinct_tokens,
+               len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+                   AS n_bpe_pretokens,
                len(list_filter(regexp_extract_all(text, '[a-z]+'),
                                x -> x IN ('the','a','of','and'))) AS n_stop
         FROM documents
     )
-    SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens,
+    SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens, n_bpe_pretokens,
            CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS type_token_ratio,
            n_stop,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
@@ -61,6 +64,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_actual"),
         n_tok.alias("n_tokens"),
         n_dis.alias("n_distinct_tokens"),
+        bpe_pretoken_count("text").alias("n_bpe_pretokens"),
         (n_dis.cast("double") / n_tok).alias("type_token_ratio"),
         n_stop.alias("n_stop"),
         stop_ratio.alias("stopword_ratio"),
