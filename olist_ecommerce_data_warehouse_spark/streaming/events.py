@@ -147,3 +147,13 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     what makes it runnable forever at 100 TB/day ingest (a plain
     streaming dropDuplicates accumulates keys without bound)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: decorate a stream with a batch dimension
+    (broadcast — each micro-batch joins map-side, no shuffle of the
+    stream).  The static side is re-read per micro-batch by Structured
+    Streaming, so a dim refreshed on disk is picked up without
+    restarting the query — the standard slowly-refreshing-lookup
+    pattern for 100 TB event enrichment."""
+    return events.join(F.broadcast(dim), on, "left")

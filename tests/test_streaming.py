@@ -153,3 +153,21 @@ def test_streaming_upsert_merges_incrementally(spark, tmp_path_factory):
     assert {k: (r["name"], r["val"]) for k, r in again.items()} == {
         k: (r["name"], r["val"]) for k, r in got.items()
     }
+
+
+def test_stream_static_enrichment_equals_batch(spark, event_source):
+    """Stream-static broadcast enrichment must produce exactly the
+    batch join's rows."""
+    from olist_ecommerce_data_warehouse_spark.streaming.events import enrich_with_dim
+
+    ev = table(spark, SF_DIR, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total_events"))
+    stream = read_event_stream(spark, event_source)
+    got = _drain(
+        spark,
+        enrich_with_dim(stream, dim).select("event_id", "user_id", "user_total_events"),
+        "t_enrich",
+        mode="append",
+    )
+    want = ev.join(dim, "user_id").select("event_id", "user_id", "user_total_events")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
