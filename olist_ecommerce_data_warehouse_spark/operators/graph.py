@@ -124,8 +124,13 @@ def connected_components(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        prev_sum = None
-        for _ in range(max_iter):
+        # empty graph: no endpoints, nothing to iterate — without this,
+        # SUM over zero rows is NULL every round and the sentinel-based
+        # equality below would still catch it after round 2, but the
+        # early exit skips even those empty jobs
+        _UNSET = object()
+        prev_sum = _UNSET
+        for _ in range(max_iter if n_edges > 0 else 0):
             # for edge (src→dst), dst hears src's current label
             heard = (
                 sym.join(labels, sym.src == labels.id)
@@ -145,7 +150,11 @@ def connected_components(
             ).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if prev_sum is not None and cur_sum == prev_sum:
+            # sentinel (not None): a SUM over an empty/degenerate label
+            # table is NULL, and `prev_sum is not None` would make
+            # None == None unreachable — the loop would spin all
+            # max_iter rounds instead of converging
+            if prev_sum is not _UNSET and cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
     finally:

@@ -94,38 +94,65 @@ def kmeans_train(
     ``kmeans_assign`` or divide by ``QUANT`` for float centroids).
 
     Empty clusters keep their previous centroid (FAISS behavior)."""
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
-    q = vectors.select(
-        F.col(id_col).alias("__id"), quantized(vec_col).alias("__q")
-    )
+    q = vectors.select(F.col(id_col).alias("__id"), quantized(vec_col).alias("__q"))
+    if n_iter > 0:
+        # one scan+quantize, reused by every Lloyd iteration
+        q = q.persist()
     centroids = _seed_centroids(vectors, id_col, vec_col, k)
-    d = len(centroids[0])
-    schema = StructType(
-        [StructField("__id", LongType()), StructField("cluster", IntegerType())]
+    train_schema = StructType(
+        [StructField("cluster", IntegerType()), StructField("__q", ArrayType(LongType()))]
     )
-    for _ in range(n_iter):
-        assigned = q.mapInPandas(
-            _assign_kernel(centroids, "__q"), schema=schema
-        ).join(q, "__id")
-        # update step: integer SUM/COUNT per (cluster, dim) — order-
-        # independent, so means are exact and runs reproducible
-        sums = (
-            assigned.select("cluster", F.posexplode("__q").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]  # empty clusters keep old
-        acc: dict[int, list[tuple[int, int, int]]] = {}
-        for r in sums:
-            acc.setdefault(r["cluster"], []).append((r["dim"], r["s"], r["n"]))
-        for c_id, dims in acc.items():
-            for dim, s, n in dims:
-                # floor-division mean on the quantized grid: exact,
-                # deterministic (Python ints, no float path)
-                new_c[c_id][dim] = s // n
-        centroids = new_c
+    try:
+        for _ in range(n_iter):
+            cm_snapshot = centroids
+
+            def train_kernel(batches, _cm=cm_snapshot):
+                # emits (cluster, vector) DIRECTLY — the kernel already
+                # holds the vector, so no shuffle join back onto q
+                import pandas as pd
+
+                cm = np.asarray(_cm, dtype=np.int64)
+                cn = np.einsum("ij,ij->i", cm, cm)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    vm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__q"]])
+                    cluster = np.argmin(-2 * (vm @ cm.T) + cn[None, :], axis=1)
+                    yield pd.DataFrame(
+                        {"cluster": cluster.astype("int32"), "__q": list(pdf["__q"])}
+                    )
+
+            # update step: integer SUM/COUNT per (cluster, dim) — order-
+            # independent, so means are exact and runs reproducible
+            sums = (
+                q.mapInPandas(train_kernel, schema=train_schema)
+                .select("cluster", F.posexplode("__q").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_c = [list(c) for c in centroids]  # empty clusters keep old
+            acc: dict[int, list[tuple[int, int, int]]] = {}
+            for r in sums:
+                acc.setdefault(r["cluster"], []).append((r["dim"], r["s"], r["n"]))
+            for c_id, dims in acc.items():
+                for dim, s, n in dims:
+                    # floor-division mean on the quantized grid: exact,
+                    # deterministic (Python ints, no float path)
+                    new_c[c_id][dim] = s // n
+            centroids = new_c
+    finally:
+        if n_iter > 0:
+            q.unpersist()
     return centroids
 
 

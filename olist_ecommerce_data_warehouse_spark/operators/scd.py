@@ -119,10 +119,18 @@ def scd2_apply_snapshot(
     closed = j.filter(in_c & in_s & differs).select(
         *[F.col(f"__c_{x}").alias(x) for x in dim_cols]
     ).withColumn(end_col, as_of_lit).withColumn(current_col, F.lit(0))
-    # newly opened rows: changed keys + unseen keys
+    # newly opened rows: changed keys + unseen keys.  Dim columns NOT
+    # in attr_cols (untracked decorations, e.g. audit notes) are not in
+    # the snapshot — carry them forward from the closing current row
+    # (NULL for brand-new keys, which have no prior row).
+    untracked = [
+        c for c in dim_cols
+        if c not in (*key_cols, *attr_cols, start_col, end_col, current_col)
+    ]
     opened = j.filter(in_s & (~in_c | differs)).select(
         *[F.col(f"__s_{k}").alias(k) for k in key_cols],
         *[F.col(f"__s_{a}").alias(a) for a in attr_cols],
+        *[F.col(f"__c_{u}").alias(u) for u in untracked],
     ).withColumn(start_col, as_of_lit).withColumn(
         end_col, F.lit(None).cast(dim.schema[end_col].dataType)
     ).withColumn(current_col, F.lit(1))

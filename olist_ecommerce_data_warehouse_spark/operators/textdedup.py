@@ -60,13 +60,36 @@ def hex_to_long(col: Column, width: int = 8) -> Column:
     return F.conv(col, 16, 10).cast("bigint")
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (space-joined)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+def hex2int_sql(hex_expr: str, width: int = 8) -> str:
+    """THE SQL twin of :func:`hex_to_long` — the single source of the
+    positional hex→BIGINT expansion every oracle uses (minhash bases,
+    split buckets, gram hashes).  One definition: if the scheme ever
+    changes, Spark and every oracle move together instead of three
+    hand-rolled copies silently diverging."""
+    terms = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({hex_expr}, {j}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (width - j)}"
+        for j in range(1, width + 1)
     )
+    return f"({terms})"
+
+
+def shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as array<string> (space-joined); distinct
+    by default (set membership), multiset with ``distinct=False`` (the
+    repetition plans need occurrences).
+
+    Documents with fewer than n tokens yield an EMPTY array — the
+    guard matters: ``F.sequence(1, 0)`` counts DOWN to [1, 0] (Spark
+    sequences are bidirectional) and ``slice(toks, 0, n)`` then throws
+    INVALID_PARAMETER_VALUE.START, killing the job on any short/empty/
+    non-matching document."""
+    toks = tokens(col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

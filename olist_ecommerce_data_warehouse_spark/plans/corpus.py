@@ -13,19 +13,13 @@ from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import token_count
-from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex_to_long
+from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex2int_sql, hex_to_long
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
-# DuckDB equivalent of hex_to_long(substr(md5(x),1,8)) — positional
-# hex expansion, same value as Spark's conv(hex, 16, 10).
-_H2I = (
-    "CAST(("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr({{h}}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-        for j in range(8)
-    )
-    + ") AS BIGINT)"
-)
+# DuckDB equivalent of hex_to_long(substr(md5(x),1,8)) — delegates to
+# the shared positional-expansion generator in operators.textdedup so
+# the scheme has one definition engine-wide.
+_H2I = hex2int_sql("{h}")
 
 
 def _split_bucket_sql(key: str) -> str:

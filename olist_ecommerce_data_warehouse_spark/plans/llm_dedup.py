@@ -23,6 +23,7 @@ from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import fingerprint_md5, tokens
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     MINHASH_K,
+    hex2int_sql,
     MINHASH_P,
     MINHASH_ROWS,
     jaccard_on_pairs,
@@ -70,12 +71,9 @@ def _corrupted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hex2int_sql(h: str) -> str:
-    """SQL twin of operators.textdedup.hex_to_long (width 8)."""
-    terms = [
-        f"(CAST(strpos('0123456789abcdef', substr({h}, {j}, 1)) AS BIGINT) - 1) * {16 ** (8 - j)}"
-        for j in range(1, 9)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """SQL twin of operators.textdedup.hex_to_long (width 8) — thin
+    alias over the shared generator."""
+    return hex2int_sql(h)
 
 
 # the oracle's minhash constants come from the SAME Python source as

@@ -16,7 +16,7 @@ from olist_ecommerce_data_warehouse_spark.functions.text import (
     token_count,
     tokens,
 )
-from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex_to_long
+from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex2int_sql, hex_to_long
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
 
@@ -160,12 +160,7 @@ def _gram_hash_sql(col: str) -> str:
     engines, so the (astronomically rare) collision merges the same two
     grams on BOTH sides — results stay hash-equal and the stats remain
     a faithful heuristic."""
-    terms = " + ".join(
-        f"(CAST(strpos('0123456789abcdef', substr(md5({col}), {j}, 1)) AS BIGINT) - 1)"
-        f" * {16 ** (8 - j)}"
-        for j in range(1, 9)
-    )
-    return f"({terms})"
+    return hex2int_sql(f"md5({col})")
 
 
 @query(
@@ -227,12 +222,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats, scales with corpus size not vocabulary.  Docs shorter than
     the n-gram order produce no rows and are excluded identically in
     both engines."""
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import shingles
+
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
 
     def grams_all(n: int):
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        # multiset shingles: occurrences ARE the signal (short-doc
+        # guard lives in the shared shingles helper)
+        return shingles("text", n=n, distinct=False)
 
     g = d.select(
         "doc_id", F.lit(2).alias("n"), F.explode(grams_all(2)).alias("gram")

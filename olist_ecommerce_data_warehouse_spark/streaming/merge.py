@@ -53,12 +53,23 @@ def upsert_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    from pyspark.errors import AnalysisException
+
     try:
         target = spark.read.parquet(target_path)
         target.schema  # force resolution: missing path raises HERE
-        merged = merge_upsert(target, latest, keys).drop("__merge_action")
-    except Exception:
-        merged = latest
+    except AnalysisException as ex:
+        # ONLY the first-batch missing-target case may fall back to the
+        # bare batch.  Any other error (schema drift, corrupt footer,
+        # transient FS failure) must PROPAGATE: swallowing it would make
+        # the overwrite below silently replace the whole table with one
+        # micro-batch — unrecoverable data loss.
+        if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+            raise
+        target = None
+    merged = latest if target is None else merge_upsert(target, latest, keys).drop(
+        "__merge_action"
+    )
     # pin the result before overwriting its own input
     merged.persist()
     merged.count()

@@ -411,3 +411,79 @@ def test_scd2_apply_snapshot_lifecycle(spark):
     # applying the identical snapshot again is a no-op (idempotent)
     again = scd2_apply_snapshot(out, snap, ["k"], 40)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs with fewer than n tokens must yield an EMPTY shingle array,
+    not an INVALID_PARAMETER_VALUE.START crash (F.sequence(1,0) counts
+    DOWN in Spark; the guard keeps slice() off index 0)."""
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words"), (4, "1234 5678"), (5, "a b c d")],
+        "id int, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            shingles("text", n=3).alias("tri"),
+            shingles("text", n=2, distinct=False).alias("bi"),
+            shingles("text", n=5).alias("five"),
+        ).collect()
+    }
+    assert rows[1]["tri"] == [] and rows[1]["bi"] == []
+    assert rows[2]["tri"] == [] and rows[2]["bi"] == []
+    assert rows[3]["tri"] == [] and rows[3]["bi"] == ["two words"]
+    assert rows[4]["tri"] == []  # digits don't tokenize
+    assert rows[5]["tri"] == ["a b c", "b c d"] and rows[5]["five"] == []
+
+
+def test_connected_components_empty_graph(spark):
+    """Zero edges: every vertex is its own component, and the operator
+    must not spin max_iter empty rounds (SUM over no rows is NULL; the
+    sentinel-based convergence treats it correctly)."""
+    from olist_ecommerce_data_warehouse_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, edges, max_iter=25).collect()
+    }
+    assert got == {i: i for i in range(5)}
+
+
+def test_scd2_apply_snapshot_untracked_columns(spark):
+    """attr_cols SUBSET: untracked dim columns carry forward from the
+    closing row (NULL for brand-new keys) instead of failing to
+    resolve."""
+    from olist_ecommerce_data_warehouse_spark.operators.scd import (
+        scd2_apply_snapshot,
+        scd2_from_history,
+    )
+
+    history = spark.createDataFrame(
+        [(1, "addr_a", "note1", 10), (2, "addr_x", "note2", 15)],
+        "k int, addr string, audit_note string, ts int",
+    )
+    dim = scd2_from_history(history, ["k"], "ts")
+    snap = spark.createDataFrame(
+        [(1, "addr_b"), (3, "addr_new")], "k int, addr string"
+    )
+    out = scd2_apply_snapshot(dim, snap, ["k"], 30, attr_cols=["addr"])
+    rows = sorted(
+        map(
+            tuple,
+            out.select(
+                "k", "addr", "audit_note", "effective_start", "effective_end", "is_current"
+            ).collect(),
+        ),
+        key=lambda t: (t[0], t[3]),
+    )
+    assert rows == [
+        (1, "addr_a", "note1", 10, 30, 0),     # closed
+        (1, "addr_b", "note1", 30, None, 1),   # reopened, note carried
+        (2, "addr_x", "note2", 15, None, 1),   # untouched
+        (3, "addr_new", None, 30, None, 1),    # new key, no prior note
+    ]

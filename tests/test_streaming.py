@@ -171,3 +171,23 @@ def test_stream_static_enrichment_equals_batch(spark, event_source):
     )
     want = ev.join(dim, "user_id").select("event_id", "user_id", "user_total_events")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_upsert_batch_schema_drift_raises(spark, tmp_path_factory):
+    """A batch whose schema does not match the target must RAISE — the
+    old blanket except would silently overwrite the whole table with
+    the one bad batch."""
+    import pytest
+
+    from olist_ecommerce_data_warehouse_spark.streaming.merge import upsert_batch
+
+    base = tmp_path_factory.mktemp("drift")
+    target = f"{base}/target"
+    spark.createDataFrame(
+        [(1, 100, "a")], "k long, ts long, name string"
+    ).write.parquet(target)
+    bad = spark.createDataFrame([(2, 200)], "k long, ts long")  # missing column
+    with pytest.raises(ValueError, match="schemas differ"):
+        upsert_batch(bad, target, keys=["k"], order_col="ts")
+    # target untouched
+    assert spark.read.parquet(target).count() == 1
