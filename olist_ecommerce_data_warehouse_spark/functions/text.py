@@ -105,18 +105,26 @@ PII_PATTERNS: dict[str, str] = {
 def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
     """Replace each PII match with ``<KIND>`` (e.g. ``<EMAIL>``).
     Patterns apply in PII_PATTERNS order; pass ``kinds`` to scrub a
-    subset."""
+    subset.  An explicitly EMPTY ``kinds`` list means "redact nothing"
+    (the ``is None`` check matters: a dynamically built empty list must
+    not silently fall back to scrubbing everything)."""
     out = _c(col)
-    for kind in kinds or list(PII_PATTERNS):
+    for kind in list(PII_PATTERNS) if kinds is None else kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
     return out
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
     """Per-kind match counts (for redaction-rate reporting): kind →
-    count column.  Uses the same patterns as ``redact_pii`` so counts
-    and redactions can never disagree."""
+    count column, 0 (not NULL) for NULL text so SUM-based rate reports
+    include every row.  Counts use the same patterns as ``redact_pii``
+    against the ORIGINAL text; because redaction applies patterns
+    sequentially, a match consumed by an earlier kind's placeholder can
+    make per-kind counts differ from the placeholders present in the
+    redacted string — counts answer "what did the raw text contain"."""
     return {
-        kind: F.size(F.regexp_extract_all(_c(col), F.lit(pat), 0))
+        kind: F.coalesce(
+            F.size(F.regexp_extract_all(_c(col), F.lit(pat), 0)), F.lit(0)
+        )
         for kind, pat in PII_PATTERNS.items()
     }

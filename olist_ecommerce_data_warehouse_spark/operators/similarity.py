@@ -57,14 +57,42 @@ def _collect_query_matrix(queries: DataFrame):
     set is broadcast-sized by contract (Q ≪ N — the same assumption a
     broadcast hash join makes about a dim table); collecting Q·d int64s
     to the driver and re-broadcasting them is the standard Spark
-    pattern for shipping a small matrix into an Arrow kernel."""
+    pattern for shipping a small matrix into an Arrow kernel.
+
+    An EMPTY input returns empty arrays (shape (0, 0) matrix) rather
+    than letting ``np.stack([])`` throw — callers emit empty results
+    for zero queries and raise their own contract errors for zero
+    centroids."""
     import numpy as np
 
     rows = sorted(queries.collect(), key=lambda r: r[0])
+    if not rows:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.zeros((0, 0), dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.int64) for r in rows])
     qn = np.sqrt(np.einsum("ij,ij->i", qm, qm).astype(np.float64))
     return qids, qm, qn
+
+
+def _safe_cos(gram, na, nb):
+    """cosine = dot / (|a|·|b|) with zero-norm vectors scoring 0.0
+    instead of NaN: 0/0 cosines would sort nondeterministically (numpy
+    lexsort puts NaN last, Spark DESC treats NaN as largest, SQL NULL
+    sorts per engine) and silently break the bit-identical-to-oracle
+    contract on corpora containing zero/padding embeddings."""
+    import numpy as np
+
+    denom = np.outer(na, nb)
+    return np.divide(
+        gram.astype(np.float64),
+        denom,
+        out=np.zeros_like(gram, dtype=np.float64),
+        where=denom > 0,
+    )
 
 
 def _topk_rows(ids, cos_col, query_id, k):
@@ -107,13 +135,13 @@ def brute_force_topk(
     def kernel(batches):
         qids, qm, qn = bq.value
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or qids.size == 0:
                 continue
             ids = pdf["vec_id"].to_numpy()
             cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["cvec"]])
             gram = cm @ qm.T  # (n, Q) exact int64 dots
             cn = np.sqrt(np.einsum("ij,ij->i", cm, cm).astype(np.float64))
-            cos = gram.astype(np.float64) / np.outer(cn, qn)
+            cos = _safe_cos(gram, cn, qn)
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(qids):
                 keep = _topk_rows(ids, cos[:, j], qid, k)
@@ -150,6 +178,8 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     import pandas as pd
 
     cent_ids, centm, _ = _collect_query_matrix(centroids.select("centroid_id", "centvec"))
+    if cent_ids.size == 0:
+        raise ValueError("ivf_assign: centroid set is empty (nlist must be >= 1)")
     centn2 = np.einsum("ij,ij->i", centm, centm)  # exact int64
     bc = corpus.sparkSession.sparkContext.broadcast((cent_ids, centm, centn2))
 
@@ -186,6 +216,8 @@ def ivf_probes(queries: DataFrame, centroids: DataFrame, nprobe: int = 2) -> dic
 
     qids, qm, qn = _collect_query_matrix(queries.select("query_id", "qvec"))
     cent_ids, centm, _ = _collect_query_matrix(centroids.select("centroid_id", "centvec"))
+    if qids.size == 0 or cent_ids.size == 0:
+        return {}
     centn2 = np.einsum("ij,ij->i", centm, centm)
     qn2 = np.einsum("ij,ij->i", qm, qm)
     d2 = qn2[:, None] + centn2[None, :] - 2 * (qm @ centm.T)  # exact int64
@@ -208,46 +240,55 @@ def ivf_topk(
     of ``ivf_assign``; ``probes`` maps centroid_id → list of
     (query_id, qvec int64 ndarray, qn float) for the queries probing
     that cluster (computed driver-side from the broadcast-sized query
-    and centroid sets).  One applyInPandas group per cluster — the IVF
-    partition layout at scale — scores its members against its probing
-    queries with one Gram matmul and emits each query's per-cluster
-    partial top-k; a final window takes the global top-k.  Shuffle
-    volume: corpus once on centroid_id (the index build), then ≤
-    nprobe·k rows per query."""
+    and centroid sets).
+
+    Scoring is a BATCH-BOUNDED ``mapInPandas`` pass: each Arrow batch
+    groups its rows by centroid, scores every group against that
+    cluster's probing queries with one Gram matmul, and emits each
+    query's per-batch partial top-k; a final window takes the global
+    top-k.  No shuffle in the scoring stage at all (probes are
+    broadcast, so co-locating a cluster is unnecessary for
+    correctness), and executor memory is bounded by the Arrow batch
+    size — an earlier formulation materialized ONE pandas frame per
+    cluster via ``groupBy(centroid_id).applyInPandas``, which at
+    nlist=8 means ~1/8 of the corpus per group and OOMs exactly at the
+    scale IVF exists for.  Shuffle volume: ≤ nprobe·k rows per query
+    into the final window."""
     import numpy as np
     import pandas as pd
 
     bp = assigned.sparkSession.sparkContext.broadcast(probes)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        plist = bp.value.get(int(pdf["centroid_id"].iloc[0]), [])
-        if not plist:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
+    def kernel(batches):
+        pr = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_v, out_c = [], [], []
+            for cid, grp in pdf.groupby("centroid_id"):
+                plist = pr.get(int(cid), [])
+                if not plist:
+                    continue
+                ids = grp["vec_id"].to_numpy()
+                cm = np.stack([np.asarray(v, dtype=np.int64) for v in grp["cvec"]])
+                cn = grp["cn"].to_numpy()
+                qm = np.stack([np.asarray(q[1], dtype=np.int64) for q in plist])
+                qn = np.array([q[2] for q in plist], dtype=np.float64)
+                cos = _safe_cos(cm @ qm.T, cn, qn)
+                for j, (qid, _, _) in enumerate(plist):
+                    keep = _topk_rows(ids, cos[:, j], qid, k)
+                    out_q.extend([qid] * len(keep))
+                    out_v.extend(ids[keep])
+                    out_c.extend(cos[keep, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "vec_id": pd.Series(out_v, dtype="int64"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                }
             )
-        ids = pdf["vec_id"].to_numpy()
-        cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["cvec"]])
-        cn = pdf["cn"].to_numpy()
-        qm = np.stack([np.asarray(q[1], dtype=np.int64) for q in plist])
-        qn = np.array([q[2] for q in plist], dtype=np.float64)
-        cos = (cm @ qm.T).astype(np.float64) / np.outer(cn, qn)
-        out_q, out_v, out_c = [], [], []
-        for j, (qid, _, _) in enumerate(plist):
-            keep = _topk_rows(ids, cos[:, j], qid, k)
-            out_q.extend([qid] * len(keep))
-            out_v.extend(ids[keep])
-            out_c.extend(cos[keep, j])
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(out_q, dtype="int64"),
-                "vec_id": pd.Series(out_v, dtype="int64"),
-                "cosine": pd.Series(out_c, dtype="float64"),
-            }
-        )
 
-    scored = assigned.groupBy("centroid_id").applyInPandas(
+    scored = assigned.mapInPandas(
         kernel, "query_id bigint, vec_id bigint, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
@@ -295,7 +336,7 @@ def blocked_cosine_pairs(
         m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
         gram = m @ m.T
         norms = np.sqrt(np.diag(gram).astype(np.float64))
-        cos = gram.astype(np.float64) / np.outer(norms, norms)
+        cos = _safe_cos(gram, norms, norms)
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = cos[ia, ib] >= threshold
         return pd.DataFrame(

@@ -1,10 +1,13 @@
 """Multimodal-column plans (extension tier).
 
-``multimodal_metadata`` is oracle-checked (binary plumbing that SQL
-can express: byte lengths, content hashes, per-kind rollups).  The
-mapInPandas decode/frame-sample operators are genuinely non-SQL
-(Arrow-batched Python kernels) → registered rows-only, with exact
-assertions in tests/test_multimodal.py."""
+ALL plans here are oracle-checked — no rows-only registrations
+(``test_every_plan_is_oracled`` enforces this repo-wide).
+``multimodal_metadata`` is straight SQL-expressible binary plumbing;
+the mapInPandas decode/frame-sample kernels are oracle-checked too,
+because the stubbed decode is a pure function of the payload bytes
+that the SQL oracle recomputes with character ops (byte-identical on
+the ASCII-only fixture).  Exact-value kernel assertions additionally
+live in tests/test_multimodal.py."""
 
 from __future__ import annotations
 

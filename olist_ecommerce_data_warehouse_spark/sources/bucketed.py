@@ -39,11 +39,19 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and bucket-sorted) managed parquet
     table.  ``sortBy`` additionally sorts within each bucket file, so a
     downstream sort-merge join skips its sort as well — the scan
-    delivers rows join-ready."""
-    # drop any prior incarnation: overwrite alone keeps the OLD bucket
-    # spec if the table already exists, which would silently change the
-    # layout contract downstream joins rely on
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
+    delivers rows join-ready.
+
+    Write-then-swap: the replacement is written to a staging table
+    FIRST, and only after that write commits is the old table dropped
+    and the staging table renamed in.  (Plain overwrite keeps the OLD
+    bucket spec if the table exists — silently changing the layout
+    contract — and drop-before-write destroys the only copy if the
+    write fails midway.  The remaining non-atomic window is two
+    metadata operations, not the data write; a metastore with atomic
+    rename, or Delta/Iceberg, closes it entirely.)"""
+    spark = df.sparkSession
+    staging = f"{table_name}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
     w = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -51,7 +59,9 @@ def write_bucketed(
     )
     if sort_cols:
         w = w.sortBy(*sort_cols)
-    w.saveAsTable(table_name)
+    w.saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
 
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:

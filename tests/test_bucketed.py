@@ -59,7 +59,7 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     between reading one day and reading three years."""
     out = str(tmp_path_factory.mktemp("part") / "events_by_type")
     ev = table(spark, SF_DIR, "events")
-    ev.withColumn("day", F.to_date("ts")).write.partitionBy("event_type").parquet(out)
+    ev.write.partitionBy("event_type").parquet(out)
     scan = spark.read.parquet(out).filter(F.col("event_type") == "click")
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan

@@ -487,3 +487,44 @@ def test_scd2_apply_snapshot_untracked_columns(spark):
         (2, "addr_x", "note2", 15, None, 1),   # untouched
         (3, "addr_new", None, 30, None, 1),    # new key, no prior note
     ]
+
+
+def test_ann_empty_queries_and_zero_norm_vectors(spark):
+    """Empty query sets return empty results (np.stack([]) used to
+    crash at plan build); zero-norm vectors score cosine 0.0, never
+    NaN (NaN sorts differently in numpy/Spark/SQL and broke the
+    oracle-identical contract)."""
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_probes,
+        ivf_topk,
+        quantized,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    c = emb.select("vec_id", quantized("embedding").alias("cvec"))
+    empty_q = c.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
+    )
+    assert brute_force_topk(empty_q, c, k=3).count() == 0
+    empty_cents = c.filter(F.lit(False)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("cvec").alias("centvec")
+    )
+    assert ivf_probes(empty_q, empty_cents) == {}
+
+    corpus = spark.createDataFrame(
+        [(1, [10, 0]), (2, [0, 0]), (3, [7, 7])], "vec_id long, cvec array<bigint>"
+    )
+    queries = spark.createDataFrame([(10, [10, 0])], "query_id long, qvec array<bigint>")
+    rows = brute_force_topk(queries, corpus, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [1, 3, 2]
+    assert rows[0]["cosine"] == 1.0
+    assert rows[2]["cosine"] == 0.0  # zero-norm vector: 0, not NaN
+    assert all(r["cosine"] == r["cosine"] for r in rows)  # no NaN anywhere
+
+    # ivf_topk with no probes for any cluster → empty, no crash
+    assigned = corpus.select(
+        "vec_id", F.lit(0).cast("long").alias("centroid_id"), "cvec",
+        F.lit(1.0).alias("cn"),
+    )
+    assert ivf_topk(assigned, {}, k=3).count() == 0
