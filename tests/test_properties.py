@@ -94,3 +94,50 @@ def test_surrogate_key_matches_simple_for_any_keys(spark, keys):
     fast = {r["k"]: r["sk"] for r in add_surrogate_key(df, ["k"], num_partitions=5).collect()}
     slow = {r["k"]: r["sk"] for r in add_surrogate_key_simple(df, ["k"]).collect()}
     assert fast == slow
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation ≡ classic union-find for ANY
+    small graph (self-loops, parallel edges, disconnected vertices,
+    long chains)."""
+    from olist_ecommerce_data_warehouse_spark.operators.graph import connected_components
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical truth: every vertex → minimum id in its component
+    comp: dict[int, list[int]] = {}
+    for v in range(n):
+        comp.setdefault(find(v), []).append(v)
+    truth = {v: min(members) for members in comp.values() for v in members}
+
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, edf, max_iter=20).collect()
+    }
+    assert got == truth
