@@ -95,11 +95,14 @@ def connected_components(
     # cheaper than persisting a second copy).  With both directions
     # present, the src column alone covers every endpoint.
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    parts_session = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(2, min(parts_session, (n_edges * 2) // 500_000 + 1))
     # round 0 folded into initialization: component⁰(v) = min(v, its
     # direct neighbors) is one narrow aggregation over the cached edge
     # list — one fewer join round
     labels = (
-        sym.groupBy("src")
+        sym.repartition(loop_parts, "src")
+        .groupBy("src")
         .agg(F.min("dst").alias("__min_nbr"))
         .select(
             F.col("src").alias("id"),
@@ -107,22 +110,21 @@ def connected_components(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the loop's per-round tables are tiny (|endpoints| ≪ corpus) and
-    # re-planned every round — AQE's runtime re-optimization costs more
-    # than it saves there (measured ~2× round latency), so it is
-    # disabled for the loop's jobs and restored after.  Shuffle
-    # partitions are likewise right-sized from the MEASURED edge count
-    # (~500k edge rows per partition, ≥2, never above the session
-    # setting): a dedup pair graph is a sliver of the corpus, and
-    # running its per-round micro-shuffles at the corpus-sized
+    # Shuffle partitions for the loop are right-sized from the MEASURED
+    # edge count (~500k edge rows per partition, ≥2, never above the
+    # session setting): a dedup pair graph is a sliver of the corpus,
+    # and running its per-round micro-shuffles at the corpus-sized
     # partition count is pure task-scheduling overhead (measured ~3×
-    # round latency at 32 vs 8 partitions on a 10k-edge graph).  A
-    # billion-edge graph computes the session value and is unaffected.
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    parts_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    loop_parts = max(2, min(int(parts_before), (n_edges * 2) // 500_000 + 1))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # round latency at 32 vs 8 partitions on a 10k-edge graph).  The
+    # sizing is applied PER-JOB via explicit hash repartition on the
+    # aggregation key — NOT by mutating spark.sql.shuffle.partitions /
+    # spark.sql.adaptive.enabled session-wide, which would re-plan any
+    # CONCURRENT query on the same session (parallel bench runs,
+    # streaming micro-batches) with 2-ish partitions and race the
+    # restore.  HashPartitioning(id, n) satisfies the groupBy's
+    # ClusteredDistribution, so the repartition IS the aggregation
+    # shuffle, not an extra one.  A billion-edge graph computes the
+    # session value and is unaffected.
     try:
         # empty graph: no endpoints, nothing to iterate — without this,
         # SUM over zero rows is NULL every round and the sentinel-based
@@ -138,6 +140,7 @@ def connected_components(
             )
             new_labels = (
                 labels.unionByName(heard)
+                .repartition(loop_parts, "id")
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
                 .persist(StorageLevel.MEMORY_AND_DISK)
@@ -158,8 +161,6 @@ def connected_components(
                 break
             prev_sum = cur_sum
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
         e.unpersist()
     # blocks already hot from the last round's action — track() only
     # moves ownership to the caller's release lifecycle, no new job

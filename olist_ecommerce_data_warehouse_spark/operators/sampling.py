@@ -69,7 +69,10 @@ def sample_by_weight(
     for s, w in weights.items():
         weight = F.when(src == s, F.lit(float(w))).otherwise(weight)
     n_full = F.floor(weight).cast("int")
-    frac_scaled = ((weight - F.floor(weight)) * _M).cast("bigint")
+    # round() before the cast: 0.3 in binary is 0.29999…, and a bare
+    # bigint cast truncates 299999.999… to 299999 — a persistent
+    # one-in-a-million under-bias vs the documented exact multiplicity.
+    frac_scaled = F.round((weight - F.floor(weight)) * _M).cast("bigint")
     takes_extra = _hash_frac(F.col(id_col), salt) < frac_scaled
     n_copies = (n_full + takes_extra.cast("int")).alias("__n")
     return (

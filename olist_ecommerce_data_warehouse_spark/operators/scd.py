@@ -88,8 +88,12 @@ def scd2_apply_snapshot(
             c for c in dim.columns
             if c not in (*key_cols, start_col, end_col, current_col)
         ]
-    cur = dim.filter(F.col(current_col) == 1)
-    hist = dim.filter(F.col(current_col) != 1)
+    # Exhaustive split: a NULL (or any non-1) flag from an external load
+    # must land in the history slice, not vanish — `flag != 1` alone is
+    # NULL-valued for NULL flags and would silently drop those rows.
+    is_current = F.coalesce(F.col(current_col), F.lit(0)) == 1
+    cur = dim.filter(is_current)
+    hist = dim.filter(~is_current)
 
     c = cur.select([F.col(x).alias(f"__c_{x}") for x in dim_cols] + [F.lit(1).alias("__in_c")])
     s = snapshot.select(

@@ -19,21 +19,32 @@ Exactly-once notes (the part people get wrong):
 - within a batch, multiple CDC rows per key collapse to the latest by
   ``order_col`` BEFORE merging — merge is then key-unique by
   construction;
-- plain parquet is not transactional: the merged result is pinned with
-  ``persist()+count()`` before the overwrite (lazy plans would
-  otherwise truncate the target mid-read — the classic
-  read-then-overwrite self-join bug), which leaves a small
-  non-atomicity window on crash *during* the write.  A real deployment
-  puts Delta/Iceberg under this exact loop for the atomic swap; the
-  operator keeps the engine-portable contract.
+- plain parquet is not transactional: the merged result is written to
+  a STAGING directory first, then swapped in with two FS renames
+  (old → trash, staging → live), mirroring ``sources.bucketed``'s
+  write-then-swap.  An executor loss or driver crash mid-write leaves
+  the live table intact (worst case: a stale staging dir that the next
+  batch overwrites).  Delta/Iceberg under this same loop would make
+  the swap a metadata commit; the operator keeps the engine-portable
+  contract.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.operators.merge import merge_upsert
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) pair for ``path`` via the JVM Hadoop API —
+    version-independent existence checks and atomic-ish renames,
+    instead of sniffing AnalysisException message text."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def upsert_batch(
@@ -53,30 +64,33 @@ def upsert_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    from pyspark.errors import AnalysisException
-
-    try:
-        target = spark.read.parquet(target_path)
-        target.schema  # force resolution: missing path raises HERE
-    except AnalysisException as ex:
-        # ONLY the first-batch missing-target case may fall back to the
-        # bare batch.  Any other error (schema drift, corrupt footer,
-        # transient FS failure) must PROPAGATE: swallowing it would make
-        # the overwrite below silently replace the whole table with one
-        # micro-batch — unrecoverable data loss.
-        if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
-            raise
-        target = None
+    # First-batch detection by explicit FS probe (not by parsing
+    # AnalysisException text, whose wording is Spark-version-dependent).
+    # Any read error on an EXISTING path (schema drift, corrupt footer,
+    # transient FS failure) propagates: swallowing it would replace the
+    # whole table with one micro-batch — unrecoverable data loss.
+    fs, live = _hadoop_fs(spark, target_path)
+    target = spark.read.parquet(target_path) if fs.exists(live) else None
     merged = latest if target is None else merge_upsert(target, latest, keys).drop(
         "__merge_action"
     )
-    # pin the result before overwriting its own input
-    merged.persist()
-    merged.count()
-    try:
-        merged.write.mode("overwrite").parquet(target_path)
-    finally:
-        merged.unpersist()
+    # Write-then-swap: stage the merged result, then rename into place.
+    # The live table is never half-deleted while a lazy plan still reads
+    # it, and a crash during the staging write leaves it untouched.
+    staging_path = target_path.rstrip("/") + "__staging"
+    trash_path = target_path.rstrip("/") + "__old"
+    _, staging = _hadoop_fs(spark, staging_path)
+    _, trash = _hadoop_fs(spark, trash_path)
+    fs.delete(staging, True)
+    merged.write.mode("overwrite").parquet(staging_path)
+    fs.delete(trash, True)
+    if fs.exists(live) and not fs.rename(live, trash):
+        raise IOError(f"failed to move {target_path} aside to {trash_path}")
+    if not fs.rename(staging, live):
+        # put the old table back so the sink stays readable
+        fs.rename(trash, live)
+        raise IOError(f"failed to swap {staging_path} into {target_path}")
+    fs.delete(trash, True)
 
 
 def streaming_upsert(
