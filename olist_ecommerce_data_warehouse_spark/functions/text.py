@@ -12,7 +12,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TOKEN_RE = "[a-z]+"
+# Unicode letter runs over lowercased text.  `\p{L}` is the Unicode
+# general-category letter class in BOTH Java regex (Spark) and RE2
+# (DuckDB), so the same literal pattern is the oracle's pattern; an
+# ASCII-only class here would silently drop uppercase, digits-adjacent
+# and ALL non-Latin text (a Chinese document would tokenize to
+# nothing).  Verified cross-engine on Latin/accents/CJK/Cyrillic/Kana:
+# identical token arrays.  Known divergence: Turkish dotted-İ (U+0130)
+# lowercases to "i"+combining-dot in the JVM but plain "i" in DuckDB —
+# one pathological code point, both sides still letters-only.
+TOKEN_RE = r"\p{L}+"
 
 # Deterministic marker vocabularies for the language-ID heuristic.
 # Real deployments would use character n-gram profiles; the heuristic
@@ -25,14 +34,40 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": ["join", "window"],
 }
 
+# Script-class evidence for language-ID: character classes whose mere
+# PRESENCE is near-conclusive for a language family, independent of
+# any marker vocabulary — this is how `zh` stays reachable from actual
+# Chinese text, whose letters never match a word-marker list.  Ranges
+# are written with `\x{...}` code-point escapes (the one syntax Java
+# regex and RE2 share; Java spells script classes `\p{IsHan}` while
+# RE2 uses `\p{Han}`, so named scripts can't be shared literally).
+SCRIPT_EVIDENCE: dict[str, str] = {
+    # CJK Unified Ideographs (the BMP block covers practical usage)
+    "zh": r"[\x{4E00}-\x{9FFF}]",
+}
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
 def tokens(col: Column | str) -> Column:
-    """Tokenize: all `[a-z]+` runs (array<string>)."""
-    return F.regexp_extract_all(_c(col), F.lit(TOKEN_RE), 0)
+    """Tokenize: all Unicode-letter `\\p{L}+` runs over the lowercased
+    text (array<string>)."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(TOKEN_RE), 0)
+
+
+def script_char_count(col: Column | str, script_re: str) -> Column:
+    """Count of characters matching a script character-class regex
+    (see SCRIPT_EVIDENCE) — evidence unit for language-ID."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(script_re), 0))
+
+
+def toks_sql(col: str = "text") -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`tokens` — every oracle that
+    tokenizes MUST build on this so the tokenizer can never drift
+    between engine and oracle."""
+    return f"regexp_extract_all(lower({col}), '\\p{{L}}+')"
 
 
 def token_count(col: Column | str) -> Column:

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
-from olist_ecommerce_data_warehouse_spark.functions.text import token_count
+from olist_ecommerce_data_warehouse_spark.functions.text import token_count, toks_sql
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex2int_sql, hex_to_long
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
@@ -28,6 +28,7 @@ def _split_bucket_sql(key: str) -> str:
 
 
 SEQ_BUDGET = 512  # tokens per packed training sequence
+TOKS = toks_sql()  # the oracle-side tokenizer twin, shared by all plans here
 
 
 @query(
@@ -68,7 +69,7 @@ def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sized AS (
         SELECT doc_id, lang,
-               len(regexp_extract_all(text, '[a-z]+')) AS n_tokens
+               len({TOKS}) AS n_tokens
         FROM documents
     ),
     packed AS (
@@ -116,7 +117,6 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- contamination
 
 CONTAM_N = 5  # n-gram order for overlap detection
-TOKS = "regexp_extract_all(text, '[a-z]+')"
 GRAMS_SQL = f"""list_distinct(list_transform(
     generate_series(1, greatest(len({TOKS}) - {CONTAM_N - 1}, 0)),
     i -> array_to_string(({TOKS})[i:i+{CONTAM_N - 1}], ' ')))"""

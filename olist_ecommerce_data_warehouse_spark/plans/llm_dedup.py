@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
-from olist_ecommerce_data_warehouse_spark.functions.text import fingerprint_md5, tokens
+from olist_ecommerce_data_warehouse_spark.functions.text import fingerprint_md5, tokens, toks_sql
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     MINHASH_K,
     hex2int_sql,
@@ -38,9 +38,9 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query, track_per
 
 # ---------------------------------------------------------------- corruption
 
-NEARDUP_SQL = """
+NEARDUP_SQL = f"""
     SELECT doc_id + 100000 AS doc_id,
-           array_to_string((regexp_extract_all(text, '[a-z]+'))[3:], ' ') AS text
+           array_to_string(({toks_sql()})[3:], ' ') AS text
     FROM documents WHERE doc_id % 5 = 0
 """
 
@@ -81,7 +81,7 @@ def _hex2int_sql(h: str) -> str:
 _A, _C = minhash_coeffs(MINHASH_K)
 _COEFF_VALUES = ", ".join(f"({i}, {_A[i]}, {_C[i]})" for i in range(MINHASH_K))
 
-TOKS = "regexp_extract_all(text, '[a-z]+')"
+TOKS = toks_sql()
 SHINGLES_SQL = f"""
     SELECT doc_id,
            unnest(list_distinct(list_transform(

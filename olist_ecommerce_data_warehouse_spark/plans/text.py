@@ -9,12 +9,15 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import (
     LANG_MARKERS,
+    SCRIPT_EVIDENCE,
     bpe_pretoken_count,
     distinct_token_count,
     fingerprint_md5,
     marker_hits,
+    script_char_count,
     token_count,
     tokens,
+    toks_sql,
 )
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex2int_sql, hex_to_long
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
@@ -22,15 +25,15 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
 @query(
     "text_metrics",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id,
                length(text) AS n_chars_actual,
-               len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
-               len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_distinct_tokens,
-               len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+               len({toks_sql()}) AS n_tokens,
+               len(list_distinct({toks_sql()})) AS n_distinct_tokens,
+               len(regexp_extract_all(text, ' ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
                    AS n_bpe_pretokens,
-               len(list_filter(regexp_extract_all(text, '[a-z]+'),
+               len(list_filter({toks_sql()},
                                x -> x IN ('the','a','of','and'))) AS n_stop
         FROM documents
     )
@@ -77,7 +80,11 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-    return f"len(list_filter(regexp_extract_all(text, '[a-z]+'), x -> x IN ({markers})))"
+    score = f"len(list_filter({toks_sql()}, x -> x IN ({markers})))"
+    if lang in SCRIPT_EVIDENCE:
+        # script-class characters are evidence too (see text_lang_id)
+        score += f" + len(regexp_extract_all(text, '{SCRIPT_EVIDENCE[lang]}'))"
+    return score
 
 
 @query(
@@ -101,12 +108,19 @@ def _lang_score_sql(lang: str) -> str:
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: per-language marker-token evidence
-    scores → argmax with a fixed precedence order (en,zh,es,de,fr) for
-    ties.  The production shape (char-n-gram profiles → argmax) is
-    identical; only the marker table changes."""
+    """Language-ID heuristic: per-language evidence scores → argmax
+    with a fixed precedence order (en,zh,es,de,fr) for ties.  Evidence
+    is marker-token hits PLUS script-class character counts
+    (SCRIPT_EVIDENCE): a Chinese document contains no Latin marker
+    words, but every Han character it contains is a unit of `zh`
+    evidence — so `zh` is reachable from actual CJK text, not only
+    from the synthetic-corpus marker vocabulary.  The production shape
+    (char-n-gram profiles → argmax) is identical; only the evidence
+    table changes."""
     d = table(spark, sf_dir, "documents")
     scores = {lang: marker_hits("text", m) for lang, m in LANG_MARKERS.items()}
+    for lang, script_re in SCRIPT_EVIDENCE.items():
+        scores[lang] = scores[lang] + script_char_count("text", script_re)
     best = F.greatest(*scores.values())
     pred = (
         F.when(scores["en"] == best, "en")
@@ -141,7 +155,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fp_md5"), F.substring(fp, 1, 16).alias("fp_prefix"))
 
 
-TOKS_SQL = "regexp_extract_all(text, '[a-z]+')"
+TOKS_SQL = toks_sql()
 
 
 def _grams_all_sql(n: int) -> str:

@@ -528,3 +528,88 @@ def test_ann_empty_queries_and_zero_norm_vectors(spark):
         F.lit(1.0).alias("cn"),
     )
     assert ivf_topk(assigned, {}, k=3).count() == 0
+
+
+def test_unicode_tokenizer_and_script_lang_id(spark):
+    """Mixed-script robustness: non-Latin documents must tokenize to
+    nonzero tokens (the old `[a-z]+` tokenizer silently dropped ALL
+    non-Latin text), the tokenizer must agree with its DuckDB oracle
+    twin, and actual CJK text must be able to win `zh` via script
+    evidence."""
+    import duckdb
+
+    from olist_ecommerce_data_warehouse_spark.functions.text import (
+        SCRIPT_EVIDENCE,
+        marker_hits,
+        script_char_count,
+        token_count,
+        tokens,
+        toks_sql,
+    )
+
+    samples = [
+        (1, "Hello World THE Table"),
+        (2, "café naïve Zürich señor"),
+        (3, "这是一个很大的表格文档"),
+        (4, "Русский текст и ещё слова"),
+        (5, "日本語のテキスト ハンカク"),
+        (6, "mixed123digits and_underscores"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            tokens("text").alias("toks"),
+            token_count("text").alias("n"),
+            script_char_count("text", SCRIPT_EVIDENCE["zh"]).alias("han"),
+            marker_hits("text", ["the", "table"]).alias("markers"),
+        ).collect()
+    }
+    # every document yields tokens — including pure CJK and Cyrillic
+    for i, _ in samples:
+        assert rows[i]["n"] > 0, f"doc {i} tokenized to nothing"
+    # case folding: uppercase THE counts as a marker hit now
+    assert rows[1]["markers"] == 2
+    # accents survive as letters (no silent ASCII stripping)
+    assert rows[2]["toks"] == ["café", "naïve", "zürich", "señor"]
+    # Han characters are zh evidence; Kana alone is not (no zh claim)
+    assert rows[3]["han"] == len("这是一个很大的表格文档")
+    assert rows[4]["han"] == 0 and rows[4]["n"] > 0
+    # kanji (日本語) are Han-block; kana (のテキスト ハンカク) are not
+    assert rows[5]["han"] == 3
+
+    # cross-engine twin: DuckDB toks_sql() produces identical arrays
+    con = duckdb.connect()
+    for _, s in samples:
+        duck = con.execute(
+            f"select {toks_sql('?')}", [s]
+        ).fetchone()[0]
+        spark_toks = (
+            spark.createDataFrame([(s,)], "text string")
+            .select(tokens("text"))
+            .first()[0]
+        )
+        assert list(duck) == list(spark_toks), s
+
+    # end-to-end: the lang-ID plan predicts zh for a CJK document even
+    # though no Latin marker word can ever appear in it
+    import tempfile
+
+    from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+
+    with tempfile.TemporaryDirectory() as td:
+        docs = spark.createDataFrame(
+            [
+                (1, "the big table has a value in each row", "en"),
+                (2, "这是一个非常大的表格，包含很多数据行。", "zh"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        docs.write.parquet(f"{td}/documents.parquet")
+        got = {
+            r["doc_id"]: r["lang_predicted"]
+            for r in REGISTRY["text_lang_id"].fn(spark, td).collect()
+        }
+        assert got[1] == "en"
+        assert got[2] == "zh"
