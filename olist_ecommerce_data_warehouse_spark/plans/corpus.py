@@ -8,7 +8,7 @@ cumulative sum), portable to the ANSI-SQL oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
@@ -31,17 +31,7 @@ SEQ_BUDGET = 512  # tokens per packed training sequence
 TOKS = toks_sql()  # the oracle-side tokenizer twin, shared by all plans here
 
 
-@query(
-    "train_eval_split",
-    oracle=f"""
-    SELECT doc_id, lang,
-           CASE WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 90 THEN 'train'
-                WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 95 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    """,
-)
-def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _split_col() -> Column:
     """Deterministic 90/5/5 train/val/test assignment by content-stable
     hash: bucket = md5(doc_id || ':split') mod 100.  The salt string
     keeps this split independent of any other hash use of doc_id;
@@ -49,19 +39,71 @@ def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental runs land every document in the same split forever —
     the property that prevents train/test leakage when the corpus is
     rebuilt.  Pure map-side expression: no shuffle, no state, scales
-    with input splits."""
-    d = table(spark, sf_dir, "documents")
+    with input splits.  (Formerly its own registry slot
+    ``train_eval_split``; merged into ``sequence_packing`` — same
+    table, same grain, both pure map — to free a slot while keeping
+    the split oracle-gated.)"""
     bucket = (
         hex_to_long(
             F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8)
         )
         % 100
     )
-    return d.select(
-        "doc_id",
-        "lang",
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
+
+
+_SPLIT_SQL = f"""CASE WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 90 THEN 'train'
+                WHEN {_split_bucket_sql("CAST(doc_id AS VARCHAR)")} < 95 THEN 'val'
+                ELSE 'test' END"""
+
+
+# Domain-mixing weights for the oracle-gated plan: per-language source
+# weights exercising all three regimes — down-sample (<1), pure
+# up-sample (integer >1), and fractional up-sample (expected
+# multiplicity 2.5).  Unlisted languages take the default 1.0.
+MIX_WEIGHTS: dict[str, float] = {"en": 2.5, "zh": 0.5, "de": 2.0}
+
+
+@query(
+    "corpus_mixing",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 0.5
+                         WHEN 'de' THEN 2.0 ELSE 1.0 END AS weight,
+               {_H2I.format(h="substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)")} % 1000000 AS hf
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, lang,
+               CAST(floor(weight) AS INT)
+               + CASE WHEN hf < CAST(round((weight - floor(weight)) * 1000000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM w
+    )
+    SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+    FROM n WHERE n_copies > 0
+    """,
+)
+def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing / weighted sampling
+    (operators.sampling.sample_by_weight): each language-source gets a
+    weight applied as deterministic down-sampling (md5-bucket keep
+    decision, NOT rand() — retries and corpus rebuilds must make the
+    same choice) or up-sampling (epoch-tagged replication, the
+    Pile/Dolma practice).  en×2.5 exercises fractional up-sampling,
+    zh×0.5 down-sampling, de×2 integer replication, default 1.0.
+    Pure map-side expressions + one explode — no shuffle; the oracle
+    replays the identical hash arithmetic, so the driver gate pins
+    every keep/replicate decision."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from olist_ecommerce_data_warehouse_spark.operators.sampling import sample_by_weight
+
+    return sample_by_weight(
+        d, MIX_WEIGHTS, source_col="lang", id_col="doc_id", salt=":mix"
+    ).withColumn("epoch", F.col("epoch").cast("int"))
 
 
 @query(
@@ -81,20 +123,22 @@ def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, n_tokens,
            CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS seq_no,
-           CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+           CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset,
+           {_SPLIT_SQL} AS split
     FROM packed
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing: within each language stream,
-    documents concatenate in doc_id order and cut into fixed
-    512-token (SEQ_BUDGET) training sequences; each document is assigned
-    the sequence where it STARTS (seq_no) and its token offset inside
-    it (seq_offset) — the GPT-style packing layout.  One window
-    cumulative sum per stream (a single shuffle on the stream key; at
-    100 TB the stream key is (lang, shard) so no partition outgrows an
-    executor), everything else narrow.  A greedy bin-packing variant
-    needs a stateful scan — that twin lives in
+    """Concat-and-chunk sequence packing + train/eval split assignment:
+    within each language stream, documents concatenate in doc_id order
+    and cut into fixed 512-token (SEQ_BUDGET) training sequences; each
+    document is assigned the sequence where it STARTS (seq_no) and its
+    token offset inside it (seq_offset) — the GPT-style packing layout
+    — plus its deterministic 90/5/5 split (see ``_split_col``).  One
+    window cumulative sum per stream (a single shuffle on the stream
+    key; at 100 TB the stream key is (lang, shard) so no partition
+    outgrows an executor), everything else narrow.  A greedy
+    bin-packing variant needs a stateful scan — that twin lives in
     streaming/applyInPandasWithState territory, while this layout is
     the one production packers actually use for dense batches."""
     d = table(spark, sf_dir, "documents")
@@ -111,6 +155,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / SEQ_BUDGET).cast("bigint").alias("seq_no"),
         (cum_before % SEQ_BUDGET).cast("bigint").alias("seq_offset"),
+        _split_col().alias("split"),
     )
 
 

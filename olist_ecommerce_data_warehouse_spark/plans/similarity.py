@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.operators.kmeans import kmeans_train
 from olist_ecommerce_data_warehouse_spark.operators.similarity import (
     blocked_cosine_pairs,
     brute_force_topk,
@@ -69,11 +70,69 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- trained-IVF index: k-means centroids, unrolled-Lloyd oracle ----
+#
+# The index is TRAINED (operators.kmeans.kmeans_train: distributed
+# Lloyd, bit-deterministic integer means), and the oracle re-derives
+# the identical centroids in pure SQL by UNROLLING the fixed Lloyd
+# iteration count into chained CTEs: seed = k smallest md5(vec_id)
+# rows, each iteration = argmin assignment (exact int64 L2², ties →
+# lower cluster id) + floor-division integer means (empty clusters
+# keep their previous centroid via the LEFT JOIN + COALESCE).  All
+# integer math on the shared 1e-6 quantization grid, so Spark training
+# and SQL training are bit-identical (verified: k=8, 2 iterations,
+# sf0.01).  floor(CAST(s AS DOUBLE)/n) is exact while |s| < 2^53 —
+# sums of 1e6-grid components over oracle-scale clusters are ≤ ~1e9.
+IVF_K = 8
+IVF_ITERS = 2
+
+
+def _lloyd_iter_sql(i: int) -> str:
+    """CTEs for Lloyd iteration ``i``: assign to cents{i-1}, integer
+    means, cents{i}."""
+    return f"""
+    assign{i} AS (
+        SELECT vec_id, cvec, cluster FROM (
+            SELECT c.vec_id, c.cvec, s.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                       {_dot_sql("c.cvec", "c.cvec")}
+                         - 2 * {_dot_sql("c.cvec", "s.centvec")}
+                         + {_dot_sql("s.centvec", "s.centvec")},
+                       s.cluster) AS rn
+            FROM c CROSS JOIN cents{i - 1} s
+        ) WHERE rn = 1
+    ),
+    expl{i} AS (
+        SELECT cluster, unnest(range(1, len(cvec) + 1)) AS dim, unnest(cvec) AS val
+        FROM assign{i}
+    ),
+    means{i} AS (
+        SELECT cluster, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS newvec
+        FROM (SELECT cluster, dim, SUM(val) AS s, COUNT(*) AS n FROM expl{i} GROUP BY 1, 2)
+        GROUP BY cluster
+    ),
+    cents{i} AS (
+        SELECT p.cluster, COALESCE(m.newvec, p.centvec) AS centvec
+        FROM cents{i - 1} p LEFT JOIN means{i} m USING (cluster)
+    )"""
+
+
+TRAINED_CENTS_SQL = (
+    f"""cents0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cluster, cvec AS centvec
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, cvec FROM c ORDER BY h LIMIT {IVF_K})
+    ),"""
+    + ",".join(_lloyd_iter_sql(i) for i in range(1, IVF_ITERS + 1))
+    + f""",
+    cents AS (SELECT cluster AS centroid_id, centvec FROM cents{IVF_ITERS})"""
+)
+
+
 @query(
     "ann_ivf_topk",
     oracle=f"""
     WITH c AS (SELECT vec_id, label, {QVEC_SQL} AS cvec FROM embeddings),
-    cents AS (SELECT vec_id AS centroid_id, cvec AS centvec FROM c WHERE vec_id < 8),
+    {TRAINED_CENTS_SQL},
     assign AS (
         SELECT vec_id, cvec, centroid_id FROM (
             SELECT c.vec_id, c.cvec, cents.centroid_id,
@@ -113,31 +172,32 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 — the billion-scale layout:
-    vectors are assigned to their nearest of 8 deterministic seed
-    centroids (exact-integer L2² argmin in one narrow Arrow kernel —
-    operators.similarity.ivf_assign); each query probes its 2 nearest
-    clusters (driver-side over the broadcast-sized query×centroid sets)
-    and scores ONLY those clusters' members, one Gram matmul per
-    cluster with per-cluster partial top-k (ivf_topk).  Cluster
-    assignment is the partition key at scale, so a query touches
-    nprobe/nlist of the corpus and the shuffle after scoring carries ≤
-    nprobe·k rows per query.
+    """TRAINED IVF approximate top-5 — the billion-scale layout, with
+    the production index-build in the loop: centroids come from
+    ``operators.kmeans.kmeans_train`` (distributed Lloyd — Arrow-batched
+    Gram-argmin assignment, one integer SUM/COUNT aggregation per
+    update, bit-deterministic on any partition layout); vectors are
+    assigned to their nearest trained centroid (exact-integer L2²
+    argmin in one narrow Arrow kernel — operators.similarity.ivf_assign);
+    each query probes its 2 nearest clusters (driver-side over the
+    broadcast-sized query×centroid sets) and scores ONLY those
+    clusters' members, one Gram matmul per cluster with per-cluster
+    partial top-k (ivf_topk).  Cluster assignment is the partition key
+    at scale, so a query touches nprobe/nlist of the corpus and the
+    shuffle after scoring carries ≤ nprobe·k rows per query.
 
-    Centroids here are deterministic SEEDS so the DuckDB oracle can
-    rebuild the identical index (Lloyd's loop is not one SQL query);
-    the production path trains them with
-    ``operators.kmeans.kmeans_train`` (distributed Lloyd, bit-
-    deterministic integer means) and plugs into this same
-    assign/probe/score pipeline unchanged — recall parity and the
-    inertia win are pinned in
-    ``tests/test_operators.py::test_kmeans_trained_ivf_search_end_to_end``."""
+    The oracle re-trains the SAME index in SQL (unrolled Lloyd — see
+    TRAINED_CENTS_SQL), so the driver's hash gate proves the whole
+    train→assign→probe→score pipeline, not just search over fixed
+    seeds.  Recall-vs-seed-centroids and the inertia win are further
+    pinned in ``tests/test_operators.py``."""
     emb = table(spark, sf_dir, "embeddings")
-    c = emb.select("vec_id", quantized("embedding").alias("cvec"))
-    cents = (
-        c.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
+    trained = kmeans_train(emb, k=IVF_K, n_iter=IVF_ITERS)
+    cents = spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in enumerate(trained)],
+        "centroid_id long, centvec array<bigint>",
     )
+    c = emb.select("vec_id", quantized("embedding").alias("cvec"))
     q = c.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("cvec").alias("qvec")
     )
@@ -146,6 +206,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, probes, k=5).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                               list_transform(v, x -> x*x)),
+                                  (a,b) -> a+b)) AS nrm
+          FROM e),
+    norm AS (SELECT vec_id, nrm,
+                    CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x/nrm) END AS u
+             FROM n),
+    sc AS (SELECT vec_id, nrm, u,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list_transform(u, x -> abs(x))),
+                             (a,b) -> CASE WHEN a > b THEN a ELSE b END) AS s
+           FROM norm),
+    q AS (SELECT vec_id, nrm, u, s,
+                 CASE WHEN s = 0 THEN list_transform(u, x -> 0)
+                      ELSE list_transform(u, x -> greatest(-127, least(127,
+                               CAST(round(x / s * 127) AS INT)))) END AS codes
+          FROM sc),
+    d AS (SELECT vec_id, nrm, s, codes,
+                 list_max(list_transform(
+                     list_zip(u, list_transform(codes, c -> CAST(c AS DOUBLE) * s / 127.0)),
+                     p -> abs(p[1] - p[2]))) AS max_abs_err
+          FROM q)
+    SELECT vec_id, nrm AS l2_norm, s AS scale,
+           md5(array_to_string(codes, ',')) AS codes_fp,
+           max_abs_err,
+           CASE WHEN max_abs_err <= s / 254.0 + 1e-12 THEN 1 ELSE 0 END AS in_bounds
+    FROM d
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization + symmetric int8 quantization
+    (functions.embedding.quantize_int8_stats) — the billion-vector
+    storage path: float32 vectors are L2-normalized (cosine fidelity)
+    and absmax-quantized to int8 (4× smaller, SIMD-friendly), the
+    layout production ANN systems store.  Emits per-vector l2_norm,
+    quantization scale, an md5 fingerprint of the FULL int8 code array
+    (pins every code cross-engine), the dequantization max-abs error
+    and its theoretical bound indicator (≤ scale/254, i.e. half a
+    quantization step).
+
+    One Arrow-batched mapInPandas kernel, pure map, zero shuffle.  The
+    chained-higher-order-expression formulation of the same math
+    (normalize → absmax → quantize → dequantize → error as nested
+    F.transform lambdas) re-inlines the norm fold inside every lambda
+    and evaluates interpreted per element — measured 165 s for 5k×64
+    at sf0.1 vs <1 s for this kernel; the column functions remain for
+    narrow single-step use.  The kernel's reductions are explicit
+    LEFT FOLDS in element order with half-away-from-zero rounding, so
+    its float64 outputs are bit-identical to the oracle's list_reduce
+    arithmetic and the code fingerprint is exact, not approximate."""
+    from olist_ecommerce_data_warehouse_spark.functions.embedding import (
+        quantize_int8_stats,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return quantize_int8_stats(emb, id_col="vec_id", vec_col="embedding")
 
 
 @query(

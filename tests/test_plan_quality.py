@@ -82,10 +82,12 @@ def test_fact_sk_no_global_window(spark):
 
 
 def test_corpus_plans_shuffle_budget(spark):
-    """train_eval_split is a pure map (zero Exchanges); sequence_packing
-    pays exactly one shuffle (the per-stream window)."""
-    split_plan = _plan(spark, "train_eval_split")
-    assert "Exchange" not in split_plan, split_plan
+    """corpus_mixing is a pure map + explode (zero Exchanges);
+    sequence_packing (which carries the train/eval split column, also a
+    pure-map expression) pays exactly one shuffle — the per-stream
+    window."""
+    mix_plan = _plan(spark, "corpus_mixing")
+    assert "Exchange" not in mix_plan, mix_plan
     pack_plan = _plan(spark, "sequence_packing")
     assert pack_plan.count("Exchange") == 1, pack_plan
 
