@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import token_count, toks_sql
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex2int_sql, hex_to_long
-from olist_ecommerce_data_warehouse_spark.plans.registry import query
+from olist_ecommerce_data_warehouse_spark.plans.registry import query, track_persist
 
 # DuckDB equivalent of hex_to_long(substr(md5(x),1,8)) — delegates to
 # the shared positional-expansion generator in operators.textdedup so
@@ -221,15 +221,23 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap ~0, and the ≥50% integer-arithmetic threshold separates
     them with no float-boundary risk.
 
-    Scale shape: the train n-gram set is a distinct hash-aggregate
-    (map-side partials collapse repeats); the overlap join is a plain
-    equi-join on the shingle — at 100 TB the train side is huge but
-    uniformly hash-partitioned, boilerplate-shingle skew goes to AQE
-    skew-join (or the salted-join operator), and a Bloom-filter
-    pre-pass on the train set is the standard bandwidth optimization
-    when the eval side is small.  Documents shorter than {CONTAM_N}
-    tokens produce no shingles and are (by definition) not assessable —
-    both engines drop them identically."""
+    Scale shape: the eval side is small by definition (benchmark
+    suites), so its distinct gram hashes become a RUNTIME FILTER on
+    the huge train gram stream BEFORE the distinct aggregate and join
+    — a broadcast left-semi join, JVM-side and exact, so only train
+    grams that actually overlap eval ever reach a shuffle (measured at
+    sf0.1: 226.8k train gram rows → 36.6k past the filter, a 6.2×
+    shuffle-volume cut and ~15% wall-time win — see SCALING.md).  When
+    the eval gram set outgrows broadcast range, the same prepass drops
+    in as ``operators.bloom.bloom_prefilter`` (bit-array Bloom, ~2‰
+    false positives, provably result-unchanged — measured equivalent
+    row cut here: 36.8k kept).  The surviving train set is a distinct
+    hash-aggregate (map-side partials collapse repeats); the overlap
+    join is a plain equi-join on the 8-byte gram hash —
+    boilerplate-shingle skew goes to AQE skew-join (or the salted-join
+    operator).  Documents shorter than {CONTAM_N} tokens produce no
+    shingles and are (by definition) not assessable — both engines
+    drop them identically."""
     from olist_ecommerce_data_warehouse_spark.operators.textdedup import shingles
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -256,16 +264,24 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heuristic.
     grams = shingles("text", n=CONTAM_N)
     gram_hash = hex_to_long(F.substring(F.md5("shingle"), 1, 8)).alias("gh")
-    train_grams = (
-        assigned.filter(F.col("split") == "train")
-        .select(F.explode(grams).alias("shingle"))
-        .select(gram_hash)
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
     eval_grams = evals.select(
         "doc_id", "split", F.explode(grams).alias("shingle")
     ).select("doc_id", "split", gram_hash)
+    # eval side computed once: it feeds the Bloom build AND the final
+    # join — persist instead of re-tokenizing/exploding the eval docs
+    eval_grams = track_persist(eval_grams)
+    train_gram_stream = (
+        assigned.filter(F.col("split") == "train")
+        .select(F.explode(grams).alias("shingle"))
+        .select(gram_hash)
+    )
+    train_grams = (
+        train_gram_stream.join(
+            F.broadcast(eval_grams.select("gh").distinct()), "gh", "left_semi"
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     scored = (
         eval_grams.join(train_grams, "gh", "left")
         .groupBy("doc_id", "split")

@@ -613,3 +613,57 @@ def test_unicode_tokenizer_and_script_lang_id(spark):
         }
         assert got[1] == "en"
         assert got[2] == "zh"
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The Bloom pre-pass may only drop rows whose key is DEFINITELY
+    absent from the small side: zero false negatives (every true match
+    survives), bounded false positives, and the downstream join result
+    is bit-identical with or without the prepass."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.bloom import (
+        bloom_prefilter,
+        build_bloom,
+        might_contain,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10_000_000, size=5000, replace=False).astype(np.int64)
+    non_members = np.setdiff1d(
+        rng.choice(10_000_000, size=20000, replace=False).astype(np.int64), members
+    )
+    words, m = build_bloom(members)
+    assert might_contain(words, m, members).all()  # no false negatives
+    fp = might_contain(words, m, non_members).mean()
+    assert fp < 0.01, f"false-positive rate too high: {fp}"
+
+    big = spark.range(0, 20000).select((F.col("id") * 7 % 9973).alias("k"))
+    small = spark.range(0, 300).select((F.col("id") * 31 % 9973).alias("k"))
+    filtered = bloom_prefilter(big, small, "k")
+    direct = big.join(small.distinct(), "k", "left_semi")
+    via_bloom = filtered.join(small.distinct(), "k", "left_semi")
+    assert sorted(r["k"] for r in direct.collect()) == sorted(
+        r["k"] for r in via_bloom.collect()
+    )
+    # and the prepass really dropped definite non-members
+    assert filtered.count() < big.count()
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """Adversarial long-chain graph (256-node path, diameter 255): the
+    pointer-jumping step must converge in O(log diameter) rounds —
+    pure neighbor propagation would need 255 and silently exhaust
+    max_iter.  Labels must still be the component minimum."""
+    from olist_ecommerce_data_warehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 256
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    stats = {}
+    rows = connected_components(verts, edges, max_iter=25, stats=stats).collect()
+    assert stats["converged"]
+    assert stats["rounds"] <= 12, f"not logarithmic: {stats['rounds']} rounds"
+    assert len(rows) == n and all(r["component"] == 0 for r in rows)
