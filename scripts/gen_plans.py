@@ -20,7 +20,7 @@ PICKS = {
     "gold_fact_lineitem": "3-way SK resolution: dims broadcast, the single genuine shuffle is orders join lineitem on orderkey; two-phase surrogate keys, no global window.",
     "dedup_minhash_lsh": "Shingle explode stays narrow; 16 codegen'd MIN aggregates (map-side partials); banded equi-join replaces all-pairs.",
     "dedup_cluster_cc": "Edge pipeline materialized once; min-label loop over endpoints only — the executed plan reads the loop's cached labels (InMemoryTableScan).",
-    "contamination_check": "Train n-gram set is one distinct hash-aggregate; overlap is a plain shuffle equi-join on the shingle; both document scans pruned.",
+    "contamination_check": "Runtime filter first: the train gram stream passes a broadcast LEFT-SEMI join against the eval gram set before the distinct hash-aggregate, so only overlapping grams reach a shuffle; overlap is then a plain equi-join on the 8-byte gram hash; both document scans pruned.",
 }
 
 
