@@ -141,3 +141,142 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(verts, edf, max_iter=20).collect()
     }
     assert got == truth
+
+
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-5, 5), st.sampled_from("abc")),
+        max_size=15,
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-5, 5), st.sampled_from("abc")),
+        max_size=15,
+    ),
+)
+@_SETTINGS
+def test_merge_upsert_laws(spark, target, source):
+    """MERGE algebra on arbitrary tables: (1) merging is IDEMPOTENT —
+    applying the same delta twice yields the same table, with every
+    previously-applied row now flagged unchanged; (2) an empty delta is
+    the identity (all rows kept); (3) the merged table's key set is
+    exactly target ∪ source keys."""
+    from olist_ecommerce_data_warehouse_spark.operators.merge import merge_upsert
+
+    # unique keys per side (MERGE contract: source key-unique)
+    tgt_rows = list({k: (k, v, s) for k, v, s in target}.values())
+    src_rows = list({k: (k, v, s) for k, v, s in source}.values())
+    schema = "k int, v int, s string"
+    t = spark.createDataFrame(tgt_rows, schema) if tgt_rows else spark.createDataFrame([], schema)
+    s = spark.createDataFrame(src_rows, schema) if src_rows else spark.createDataFrame([], schema)
+
+    once = merge_upsert(t, s, ["k"])
+    data_once = sorted(
+        (r["k"], r["v"], r["s"]) for r in once.collect()
+    )
+    twice = merge_upsert(once.drop("__merge_action"), s, ["k"])
+    rows_twice = twice.collect()
+    assert sorted((r["k"], r["v"], r["s"]) for r in rows_twice) == data_once
+    src_keys = {k for k, _, _ in src_rows}
+    for r in rows_twice:
+        if r["k"] in src_keys:
+            assert r["__merge_action"] == "unchanged", r
+
+    empty = merge_upsert(t, s.filter(F.lit(False)), ["k"])
+    assert sorted((r["k"], r["v"], r["s"]) for r in empty.collect()) == sorted(tgt_rows)
+    assert all(r["__merge_action"] == "keep" for r in empty.collect())
+
+    assert {r["k"] for r in once.collect()} == {k for k, _, _ in tgt_rows} | src_keys
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 12), st.sampled_from("xyz")), min_size=1, max_size=10
+    ),
+    snap=st.lists(
+        st.tuples(st.integers(0, 12), st.sampled_from("xyz")), max_size=10
+    ),
+)
+@_SETTINGS
+def test_scd2_apply_laws(spark, base, snap):
+    """SCD-2 apply on arbitrary dims/snapshots: (1) re-applying the
+    SAME snapshot at a later date changes nothing (idempotence — the
+    current rows already carry the snapshot attrs); (2) exactly one
+    current row per key; (3) closed rows keep their attrs and end at
+    the apply date."""
+    import datetime as dt
+
+    from olist_ecommerce_data_warehouse_spark.operators.scd import (
+        scd2_apply_snapshot,
+        scd2_from_history,
+    )
+
+    hist_rows = [
+        (k, v, dt.datetime(2024, 1, 1)) for k, v in {k: v for k, v in base}.items()
+    ]
+    hist = spark.createDataFrame(hist_rows, "k int, attr string, ts timestamp")
+    dim = scd2_from_history(hist, ["k"], "ts")
+    snap_rows = list({k: (k, v) for k, v in snap}.items())
+    snap_df = (
+        spark.createDataFrame([v for _, v in snap_rows], "k int, attr string")
+        if snap_rows
+        else spark.createDataFrame([], "k int, attr string")
+    )
+    applied = scd2_apply_snapshot(dim, snap_df, ["k"], dt.datetime(2024, 6, 1))
+    rows1 = sorted(map(tuple, applied.collect()))
+    again = scd2_apply_snapshot(applied, snap_df, ["k"], dt.datetime(2024, 9, 1))
+    assert sorted(map(tuple, again.collect())) == rows1  # idempotent
+
+    cur = [r for r in applied.collect() if r["is_current"] == 1]
+    per_key = {}
+    for r in cur:
+        per_key[r["k"]] = per_key.get(r["k"], 0) + 1
+    assert all(n == 1 for n in per_key.values())
+    snap_attr = {k: v for k, v in (v for _, v in snap_rows)}
+    # rows closed AT the apply date exist only for snapshotted keys
+    # whose attr actually changed
+    for r in applied.collect():
+        if r["is_current"] == 0 and r["effective_end"] == dt.datetime(2024, 6, 1):
+            assert r["k"] in snap_attr and snap_attr[r["k"]] != r["attr"], r
+    for k, v in snap_attr.items():
+        cur_k = [r for r in cur if r["k"] == k]
+        assert len(cur_k) == 1 and cur_k[0]["attr"] == v  # snapshot wins
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.integers(0, 3).map(float), st.sampled_from([0.5, 1.5, 2.5])),
+        max_size=3,
+    ),
+    docs=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c", "d"])),
+        max_size=20,
+    ),
+)
+@_SETTINGS
+def test_sampling_multiplicity_exact(spark, weights, docs):
+    """Weighted mixing: integer weights give EXACT multiplicity for
+    every doc; fractional weights give floor(w) or floor(w)+1 copies,
+    deterministically — the same docs get the extra copy on re-run."""
+    from olist_ecommerce_data_warehouse_spark.operators.sampling import sample_by_weight
+
+    doc_rows = list({d: (d, s) for d, s in docs}.values())
+    if not doc_rows:
+        return
+    df = spark.createDataFrame(doc_rows, "doc_id int, source string")
+    out1 = sample_by_weight(df, weights, source_col="source")
+    counts1 = {}
+    for r in out1.collect():
+        counts1[r["doc_id"]] = counts1.get(r["doc_id"], 0) + 1
+    for d, s in doc_rows:
+        w = weights.get(s, 1.0)
+        n = counts1.get(d, 0)
+        if w == int(w):
+            assert n == int(w), (d, s, w, n)
+        else:
+            assert n in (int(w), int(w) + 1), (d, s, w, n)
+    # determinism: identical multiset on re-run
+    counts2 = {}
+    for r in sample_by_weight(df, weights, source_col="source").collect():
+        counts2[r["doc_id"]] = counts2.get(r["doc_id"], 0) + 1
+    assert counts1 == counts2
