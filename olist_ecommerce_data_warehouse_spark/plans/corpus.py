@@ -137,10 +137,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     — plus its deterministic 90/5/5 split (see ``_split_col``).  One
     window cumulative sum per stream (a single shuffle on the stream
     key; at 100 TB the stream key is (lang, shard) so no partition
-    outgrows an executor), everything else narrow.  A greedy
-    bin-packing variant needs a stateful scan — that twin lives in
-    streaming/applyInPandasWithState territory, while this layout is
-    the one production packers actually use for dense batches."""
+    outgrows an executor), everything else narrow.  The greedy
+    first-fit variant (documents never straddle a boundary) needs a
+    stateful scan — implemented as its streaming twin in
+    ``streaming/packing.py`` (applyInPandasWithState, state survives
+    restarts; asserted in tests/test_streaming.py) — while this layout
+    is the one production packers use for dense batches."""
     d = table(spark, sf_dir, "documents")
     sized = d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
     w = (
