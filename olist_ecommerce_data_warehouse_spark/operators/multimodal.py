@@ -2,13 +2,23 @@
 typed metadata, with decode / feature-extract / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-Real image/audio decoding libraries are not available in this
-container, so the decode kernels are STUBBED: ``decode_media`` with
-``real_decode=True`` raises ``NotImplementedError`` at the exact point
-a PIL/ffmpeg call would go, and the default path computes a
-deterministic fake decode from the payload bytes.  Everything
-Spark-side — the binary schema, the mapInPandas batch iteration, the
-output schemas, the partitioning — is real and tested.
+Decode tiers:
+
+- ``real_decode_media`` REALLY decodes the container-friendly formats
+  with the Python stdlib alone — PNG (zlib inflate + full scanline
+  defilter, all 5 filter types), BMP (DIB header), WAV (RIFF/fmt/data
+  chunks + PCM sample decode) — emitting true dimensions, channel
+  counts, sample rates and a pixel/sample mean computed from the
+  actual decoded samples (round-trip-tested against independently
+  encoded fixtures).
+- formats that genuinely need PIL/ffmpeg (JPEG, MP4, …) raise
+  ``NotImplementedError`` at the exact point those calls would go —
+  that dependency is absent in this container, honestly gated.
+- ``decode_media`` keeps the deterministic fake-decode default used by
+  the oracle-gated plans (byte-derived metadata, engine-portable).
+
+Everything Spark-side — the binary schema, the mapInPandas batch
+iteration, the output schemas, the partitioning — is real and tested.
 
 Scale notes: payloads stay opaque bytes end-to-end (no driver
 collect); mapInPandas streams Arrow batches per partition, so memory
@@ -82,9 +92,10 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
         for pdf in batches:
             if real_decode:
                 raise NotImplementedError(
-                    "real image/audio decode needs PIL/soundfile/ffmpeg, "
-                    "not present in this environment; fake-decode path is "
-                    "the tested default"
+                    "use real_decode_media for the stdlib-decodable formats "
+                    "(PNG/BMP/WAV); other formats need PIL/soundfile/ffmpeg, "
+                    "not present in this environment — fake-decode path is "
+                    "the oracle-gated default"
                 )
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
@@ -107,6 +118,174 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     # serialization bytes per batch (mapInPandas gets no column pruning
     # from Catalyst; the kernel declares what it reads)
     return media.select("media_id", "kind", "payload").mapInPandas(kernel, DECODED_SCHEMA)
+
+
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),  # png | bmp | wav
+        T.StructField("width", T.IntegerType()),  # wav: n_samples/channel
+        T.StructField("height", T.IntegerType()),  # wav: 0
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),  # images: 0
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("sample_mean", T.DoubleType()),  # mean decoded value
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _parse_png(b: bytes):
+    """Full PNG decode via stdlib: walk chunks, inflate IDAT, undo the
+    per-scanline filters (None/Sub/Up/Average/Paeth), return
+    (w, h, channels, bit_depth, mean pixel value).  8-bit,
+    non-interlaced only — the overwhelmingly common case; anything
+    else raises NotImplementedError (→ PIL territory)."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = bit_depth = color_type = interlace = None
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            "PNG variant beyond the stdlib decoder (16-bit/interlaced) — PIL territory"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        f = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out.extend(line)
+        prev = line
+    mean = sum(out) / len(out) if out else 0.0
+    return w, h, ch, 8, mean
+
+
+def _parse_bmp(b: bytes):
+    """BMP/DIB header: width, height, bpp; mean over the (bottom-up)
+    pixel array."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    w, h = struct.unpack("<ii", b[18:26])
+    (bpp,) = struct.unpack("<H", b[28:30])
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError("BMP bpp beyond the stdlib decoder")
+    px = b[data_off:]
+    mean = sum(px) / len(px) if px else 0.0
+    return w, abs(h), bpp // 8, bpp // (bpp // 8), mean
+
+
+def _parse_wav(b: bytes):
+    """WAV via the stdlib ``wave`` module + PCM sample decode: channel
+    count, sample rate, per-channel frame count, mean |amplitude|
+    normalized to [0, 1]."""
+    import array
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b)) as wf:
+        ch = wf.getnchannels()
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        frames = wf.readframes(n)
+    if width == 2:
+        samples = array.array("h", frames)
+        mean = (sum(abs(s) for s in samples) / len(samples) / 32768.0) if samples else 0.0
+    elif width == 1:
+        mean = (sum(abs(s - 128) for s in frames) / len(frames) / 128.0) if frames else 0.0
+    else:
+        raise NotImplementedError("WAV sample width beyond the stdlib decoder")
+    return n, 0, ch, rate, width * 8, mean
+
+
+def real_decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode for stdlib-decodable payloads (PNG/BMP/WAV),
+    sniffing the container by magic bytes.  Anything else —
+    JPEG/MP4/… — raises ``NotImplementedError`` where the PIL/ffmpeg
+    call would go.  Same Arrow-batched shape as ``decode_media``;
+    per-row Python cost is the honest price of a pure-stdlib codec
+    (production swaps the kernel body for a vectorized decoder, the
+    Spark plumbing is identical)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["payload"])
+                if b[:8] == _PNG_SIG:
+                    w, h, ch, depth, mean = _parse_png(b)
+                    rows.append((r["media_id"], "png", w, h, ch, 0, depth, mean))
+                elif b[:2] == b"BM":
+                    w, h, ch, depth, mean = _parse_bmp(b)
+                    rows.append((r["media_id"], "bmp", w, h, ch, 0, depth, mean))
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    n, _, ch, rate, depth, mean = _parse_wav(b)
+                    rows.append((r["media_id"], "wav", n, 0, ch, rate, depth, mean))
+                else:
+                    raise NotImplementedError(
+                        "payload is not PNG/BMP/WAV — real decode of this format "
+                        "needs PIL/ffmpeg, not present in this environment"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height", "n_channels",
+                    "sample_rate", "bit_depth", "sample_mean",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, REAL_DECODED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
