@@ -70,6 +70,18 @@ def upsert_batch(
     # transient FS failure) propagates: swallowing it would replace the
     # whole table with one micro-batch — unrecoverable data loss.
     fs, live = _hadoop_fs(spark, target_path)
+    staging_path = target_path.rstrip("/") + "__staging"
+    trash_path = target_path.rstrip("/") + "__old"
+    _, staging = _hadoop_fs(spark, staging_path)
+    _, trash = _hadoop_fs(spark, trash_path)
+    # CRASH RECOVERY: a death between the swap's two renames leaves no
+    # live dir but a complete trash dir — without this restore, the
+    # next batch would misread that as "first batch", bootstrap from
+    # the bare micro-batch, and delete the trash below: silent loss of
+    # the whole table.  (trash is only ever written by the rename of a
+    # complete, previously-live table, so restoring it is always safe.)
+    if not fs.exists(live) and fs.exists(trash):
+        fs.rename(trash, live)
     target = spark.read.parquet(target_path) if fs.exists(live) else None
     merged = latest if target is None else merge_upsert(target, latest, keys).drop(
         "__merge_action"
@@ -77,10 +89,6 @@ def upsert_batch(
     # Write-then-swap: stage the merged result, then rename into place.
     # The live table is never half-deleted while a lazy plan still reads
     # it, and a crash during the staging write leaves it untouched.
-    staging_path = target_path.rstrip("/") + "__staging"
-    trash_path = target_path.rstrip("/") + "__old"
-    _, staging = _hadoop_fs(spark, staging_path)
-    _, trash = _hadoop_fs(spark, trash_path)
     fs.delete(staging, True)
     merged.write.mode("overwrite").parquet(staging_path)
     fs.delete(trash, True)

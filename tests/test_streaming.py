@@ -254,3 +254,30 @@ def test_greedy_packing_stateful_across_restarts(spark, tmp_path_factory):
     # continuity: batch2's first en-doc did NOT restart at seq 0 offset 0
     first_en = min(t for t in got2 if t[1] == "en")
     assert (first_en[3], first_en[4]) != (0, 0)
+
+
+def test_upsert_batch_recovers_from_crashed_swap(spark, tmp_path_factory):
+    """A crash between the swap's two renames leaves the live dir
+    missing and the previous table in __old; the next batch must
+    RESTORE it and merge into it — not bootstrap from the bare batch
+    and silently discard the table."""
+    import os
+
+    from olist_ecommerce_data_warehouse_spark.streaming.merge import upsert_batch
+
+    base = tmp_path_factory.mktemp("swapcrash")
+    target = f"{base}/target"
+    spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b")], "k long, ts long, name string"
+    ).write.parquet(target)
+    # simulate the crash window: live renamed aside, new table never
+    # swapped in
+    os.rename(target, target + "__old")
+    assert not os.path.exists(target)
+
+    batch = spark.createDataFrame([(2, 200, "b2"), (3, 200, "c")], "k long, ts long, name string")
+    upsert_batch(batch, target, keys=["k"], order_col="ts")
+    got = {r["k"]: r["name"] for r in spark.read.parquet(target).collect()}
+    # row 1 (only in the crashed-aside table) must survive
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    assert not os.path.exists(target + "__old")
