@@ -49,7 +49,10 @@ BASELINE_R01 = {
     "dedup_embedding_cosine": 0.622,
     "dedup_exact": 0.548, "dedup_keep_latest": 0.4163,
     "dedup_minhash_lsh": 30.6293, "dedup_ngram_jaccard": 12.3889,
-    "dedup_simhash": 1.9684, "doc_fingerprint": 0.3233,
+    # doc_fingerprint's r01 anchor (0.3233) retired: absorbed into
+    # text_metrics' summed anchor in round 3 — keeping it would
+    # double-count it in baseline_total_r01
+    "dedup_simhash": 1.9684,
     "events_json_props": 0.5688, "events_sessionization": 0.6615,
     # events_windows / text_metrics: round-2 slot merges (tumbling +
     # sliding windows; token stats + quality score) — anchor = sum of

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio splitmix constant
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash prime
@@ -89,8 +90,16 @@ def bloom_prefilter(
     condition — same contract as a broadcast join build side); the big
     side is filtered in one narrow Arrow pass before whatever
     distinct/join consumes it."""
+    # NULL keys never equi-join, so dropping them is result-preserving
+    # (and np.int64 cannot hold None — a NULL in a deny-list feed would
+    # otherwise kill the job on the driver)
+    key = small_keys.columns[0]
     vals = np.array(
-        [r[0] for r in small_keys.distinct().collect()], dtype=np.int64
+        [
+            r[0]
+            for r in small_keys.filter(F.col(key).isNotNull()).distinct().collect()
+        ],
+        dtype=np.int64,
     )
     words, m = build_bloom(vals, bits_per_item, n_hashes)
     bc = big.sparkSession.sparkContext.broadcast((words, m))

@@ -231,7 +231,12 @@ def connected_components(
         if not converged:
             # silently wrong labels are worse than failing: a component
             # whose diameter outruns the doubling budget (2^max_iter)
-            # means max_iter was set pathologically low
+            # means max_iter was set pathologically low.  Release the
+            # last round's persisted labels first — the finally below
+            # frees only the edge cache, and a caller that catches and
+            # retries would otherwise leak a vertex-sized cache table
+            # per attempt.
+            labels.unpersist()
             raise RuntimeError(
                 f"connected_components: no fixpoint after {max_iter} rounds"
             )

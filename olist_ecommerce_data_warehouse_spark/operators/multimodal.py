@@ -172,9 +172,13 @@ def _parse_png(b: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+    # palette PNGs (color type 3) are rejected too: without resolving
+    # indices through the PLTE chunk the "mean" would be over arbitrary
+    # palette positions, not pixel intensities — honestly out of scope
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
         raise NotImplementedError(
-            "PNG variant beyond the stdlib decoder (16-bit/interlaced) — PIL territory"
+            "PNG variant beyond the stdlib decoder (16-bit/interlaced/palette) "
+            "— PIL territory"
         )
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
@@ -210,7 +214,9 @@ def _parse_png(b: bytes):
 
 def _parse_bmp(b: bytes):
     """BMP/DIB header: width, height, bpp; mean over the (bottom-up)
-    pixel array."""
+    pixel array only — BMP rows are padded to 4-byte boundaries, and
+    averaging the padding (or any trailing ICC profile bytes) would
+    bias the mean low."""
     import struct
 
     if b[:2] != b"BM":
@@ -220,9 +226,18 @@ def _parse_bmp(b: bytes):
     (bpp,) = struct.unpack("<H", b[28:30])
     if bpp not in (8, 24, 32):
         raise NotImplementedError("BMP bpp beyond the stdlib decoder")
-    px = b[data_off:]
-    mean = sum(px) / len(px) if px else 0.0
-    return w, abs(h), bpp // 8, bpp // (bpp // 8), mean
+    ch = bpp // 8
+    row_bytes = w * ch
+    stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
+    n_rows = abs(h)
+    total = 0
+    count = 0
+    for y in range(n_rows):
+        row = b[data_off + y * stride : data_off + y * stride + row_bytes]
+        total += sum(row)
+        count += len(row)
+    mean = total / count if count else 0.0
+    return w, n_rows, ch, 8, mean
 
 
 def _parse_wav(b: bytes):

@@ -243,16 +243,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olist_ecommerce_data_warehouse_spark.operators.textdedup import shingles
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    bucket = (
-        hex_to_long(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8)
-        )
-        % 100
-    )
-    assigned = d.withColumn(
-        "split",
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
-    )
+    # ONE split definition engine-wide: reusing _split_col keeps the
+    # contamination gate's notion of "train" in lockstep with the
+    # packing plan's split column (a salt/threshold change applied to
+    # one inline copy but not the other would silently desynchronize
+    # them)
+    assigned = d.withColumn("split", _split_col())
     injected = assigned.filter((F.col("split") == "train") & (F.col("doc_id") % 7 == 0)).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text", F.lit("test").alias("split")
     )

@@ -81,7 +81,11 @@ def upsert_batch(
     # the whole table.  (trash is only ever written by the rename of a
     # complete, previously-live table, so restoring it is always safe.)
     if not fs.exists(live) and fs.exists(trash):
-        fs.rename(trash, live)
+        if not fs.rename(trash, live):
+            # Hadoop FileSystem.rename reports most failures as False,
+            # not an exception — falling through would re-enter the
+            # exact table-loss path this restore exists to prevent
+            raise IOError(f"failed to restore {trash_path} to {target_path}")
     target = spark.read.parquet(target_path) if fs.exists(live) else None
     merged = latest if target is None else merge_upsert(target, latest, keys).drop(
         "__merge_action"

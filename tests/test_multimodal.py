@@ -126,22 +126,28 @@ def test_real_decode_png_bmp_wav(spark):
         real_decode_media,
     )
 
-    # PNG: 5×4 RGB with a deterministic gradient, one row per filter type
+    # PNG: 5×5 RGB with a deterministic gradient, one row per filter
+    # type — ALL five defilter branches (None/Sub/Up/Average/Paeth)
     pixels = [
         [((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 73) % 256) for x in range(5)]
-        for y in range(4)
+        for y in range(5)
     ]
-    png = _encode_png(pixels, filters=[0, 1, 2, 4])
-    png_mean = sum(v for row in pixels for px in row for v in px) / (5 * 4 * 3)
+    png = _encode_png(pixels, filters=[0, 1, 2, 3, 4])
+    png_mean = sum(v for row in pixels for px in row for v in px) / (5 * 5 * 3)
 
-    # BMP: 2×2, 24bpp, minimal headers
-    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # BMP: 2×2, 24bpp, spec-correct 4-byte row padding (stride 8 for
+    # row_bytes 6) — the mean must be over pixel bytes only, padding
+    # excluded
+    row0 = bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00"
+    row1 = bytes([70, 80, 90, 100, 110, 120]) + b"\x00\x00"
+    px = row0 + row1
     bmp = (
         b"BM"
         + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
         + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
         + px
     )
+    bmp_mean = sum([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]) / 12
 
     # WAV: 1 channel, 8 kHz, 16-bit, 100 samples of a known ramp
     samples = [(i * 300 - 15000) for i in range(100)]
@@ -162,11 +168,12 @@ def test_real_decode_png_bmp_wav(spark):
     got = {r["media_id"]: r for r in real_decode_media(media).collect()}
     p = got[1]
     assert (p["format"], p["width"], p["height"], p["n_channels"], p["bit_depth"]) == (
-        "png", 5, 4, 3, 8,
+        "png", 5, 5, 3, 8,
     )
     assert abs(p["sample_mean"] - png_mean) < 1e-9
     b = got[2]
     assert (b["format"], b["width"], b["height"], b["n_channels"]) == ("bmp", 2, 2, 3)
+    assert abs(b["sample_mean"] - bmp_mean) < 1e-9  # padding excluded
     w = got[3]
     assert (w["format"], w["width"], w["n_channels"], w["sample_rate"], w["bit_depth"]) == (
         "wav", 100, 1, 8000, 16,
