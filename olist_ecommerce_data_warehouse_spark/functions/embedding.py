@@ -108,7 +108,7 @@ def quantize_int8_stats(vectors, id_col: str = "vec_id", vec_col: str = "embeddi
             acc = np.zeros(len(vm))
             for j in range(d):
                 acc = acc + vm[:, j] * vm[:, j]
-            nrm = np.sqrt(acc)
+            nrm = np.sqrt(acc) + 0.0  # +0.0 canonicalizes -0.0 (parity)
             safe = np.where(nrm == 0.0, 1.0, nrm)
             u = vm / safe[:, None]
             u[nrm == 0.0] = vm[nrm == 0.0]
@@ -117,6 +117,11 @@ def quantize_int8_stats(vectors, id_col: str = "vec_id", vec_col: str = "embeddi
             for j in range(d):
                 aj = np.abs(u[:, j])
                 s = np.where(aj > s, aj, s)  # CASE WHEN a > b THEN a ELSE b
+            # -0.0 components fold to a -0.0 scale in DuckDB (its abs
+            # keeps the sign of negative zero) but +0.0 here — add 0.0
+            # on BOTH sides so the outputs are bit-identical (IEEE:
+            # -0.0 + 0.0 = +0.0); the s == 0 branch is sign-blind
+            s = s + 0.0
             safe_s = np.where(s == 0.0, 1.0, s)
             y = u / safe_s[:, None] * 127.0
             codes = np.sign(y) * np.floor(np.abs(y) + 0.5)  # half-away
@@ -124,7 +129,7 @@ def quantize_int8_stats(vectors, id_col: str = "vec_id", vec_col: str = "embeddi
             codes[s == 0.0] = 0
             deq = codes.astype(np.float64) * safe_s[:, None] / 127.0
             deq[s == 0.0] = 0.0
-            err = np.abs(u - deq).max(axis=1)  # true max — order-free
+            err = np.abs(u - deq).max(axis=1) + 0.0  # +0.0: -0.0 parity
             fp = [
                 hashlib.md5(",".join(str(int(c)) for c in row).encode()).hexdigest()
                 for row in codes

@@ -236,9 +236,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      list_zip(u, list_transform(codes, c -> CAST(c AS DOUBLE) * s / 127.0)),
                      p -> abs(p[1] - p[2]))) AS max_abs_err
           FROM q)
-    SELECT vec_id, nrm AS l2_norm, s AS scale,
+    SELECT vec_id,
+           nrm + 0.0 AS l2_norm,
+           s + 0.0 AS scale,
            md5(array_to_string(codes, ',')) AS codes_fp,
-           max_abs_err,
+           max_abs_err + 0.0 AS max_abs_err,
            CASE WHEN max_abs_err <= s / 254.0 + 1e-12 THEN 1 ELSE 0 END AS in_bounds
     FROM d
     """,

@@ -280,3 +280,72 @@ def test_sampling_multiplicity_exact(spark, weights, docs):
     for r in sample_by_weight(df, weights, source_col="source").collect():
         counts2[r["doc_id"]] = counts2.get(r["doc_id"], 0) + 1
     assert counts1 == counts2
+
+
+# mixed-script alphabet for tokenizer fuzzing: Latin (upper/lower),
+# accents, CJK, Cyrillic, digits, punctuation, whitespace.  Turkish
+# dotted-İ is deliberately absent — the one documented cross-engine
+# lowercase divergence (see functions/text.py TOKEN_RE).
+_FUZZ_ALPHABET = (
+    "abcXYZ éñü 这表格 русский 012 ,.!-_()\n\t"
+)
+
+
+@given(texts=st.lists(st.text(alphabet=_FUZZ_ALPHABET, max_size=60), min_size=1, max_size=12))
+@_SETTINGS
+def test_tokenizer_cross_engine_parity(spark, ddb, texts):
+    """Fuzz the tokenizer twins: Spark `tokens()` and the oracle's
+    `toks_sql()` must produce IDENTICAL token arrays on arbitrary
+    mixed-script text — every tokenizing oracle in the registry rests
+    on this equivalence."""
+    from olist_ecommerce_data_warehouse_spark.functions.text import tokens, toks_sql
+
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    got = {r["i"]: list(r["t"]) for r in df.select("i", tokens("text").alias("t")).collect()}
+    for i, s in enumerate(texts):
+        duck = ddb.execute(f"select {toks_sql('?')}", [s]).fetchone()[0]
+        assert list(duck) == got[i], (s, duck, got[i])
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=4, max_size=4
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_quantize_kernel_cross_engine_parity(spark, ddb, vecs):
+    """Fuzz the int8-quantization kernel against its SQL twin on
+    arbitrary float32 vectors (including near-zero and all-zero):
+    l2_norm, scale, the md5 code fingerprint and max_abs_err must be
+    BIT-identical — the kernel's left-fold contract."""
+    from olist_ecommerce_data_warehouse_spark.functions.embedding import (
+        quantize_int8_stats,
+    )
+    from olist_ecommerce_data_warehouse_spark.plans import REGISTRY  # noqa: F401
+    from olist_ecommerce_data_warehouse_spark.plans.similarity import (
+        embedding_quantize,
+    )
+    import __spark_entry__ as e
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r
+        for r in quantize_int8_stats(df, "vec_id", "embedding").collect()
+    }
+    ddb.execute("CREATE OR REPLACE TABLE _fuzz_emb AS SELECT * FROM (VALUES (NULL::BIGINT, NULL::FLOAT[])) t(vec_id, embedding) WHERE FALSE")
+    for i, v in rows:
+        ddb.execute("INSERT INTO _fuzz_emb VALUES (?, ?)", [i, v])
+    oracle = e.oracle_sql()["embedding_quantize"].replace("embeddings", "_fuzz_emb")
+    for r in ddb.execute(oracle).fetchall():
+        vid, l2, sc, fp, err, inb = r
+        g = got[vid]
+        assert repr(g["l2_norm"]) == repr(l2), (vid, g["l2_norm"], l2)
+        assert repr(g["scale"]) == repr(sc)
+        assert g["codes_fp"] == fp, vid
+        assert repr(g["max_abs_err"]) == repr(err)
+        assert g["in_bounds"] == inb
