@@ -349,3 +349,121 @@ def test_quantize_kernel_cross_engine_parity(spark, ddb, vecs):
         assert g["codes_fp"] == fp, vid
         assert repr(g["max_abs_err"]) == repr(err)
         assert g["in_bounds"] == inb
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_rolling_gram_hash_cross_engine_parity(spark, ddb, texts):
+    """Fuzz the rolling gram-hash twins (text_repetition's gram
+    identity) on arbitrary SHORT documents — 0/1/2-token docs are the
+    trap: DuckDB slice ends go NEGATIVE there and would wrap to
+    from-the-end indexing without the greatest() guards.  The
+    (doc, n, gh, count) multisets must be identical across engines."""
+    import duckdb as _d
+
+    from olist_ecommerce_data_warehouse_spark.plans.text import (
+        _gram2_sql,
+        _gram3_sql,
+        _TH_SQL,
+    )
+    from olist_ecommerce_data_warehouse_spark.functions.text import tokens
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex_to_long
+    from olist_ecommerce_data_warehouse_spark.plans.text import GRAM_M, GRAM_P
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    th_expr = F.transform(
+        tokens("text"), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
+    )
+    dt_df = df.select("doc_id", th_expr.alias("th"))
+    n_th = F.size("th")
+
+    def combine(a, b):
+        return (a * GRAM_P) % GRAM_M + b
+
+    g2 = F.zip_with(
+        F.slice("th", 1, F.greatest(n_th - 1, F.lit(0))),
+        F.slice("th", 2, F.greatest(n_th - 1, F.lit(0))),
+        combine,
+    )
+    g3 = F.zip_with(
+        F.zip_with(
+            F.slice("th", 1, F.greatest(n_th - 2, F.lit(0))),
+            F.slice("th", 2, F.greatest(n_th - 2, F.lit(0))),
+            lambda a, b: combine(a, b) % GRAM_M,
+        ),
+        F.slice("th", 3, F.greatest(n_th - 2, F.lit(0))),
+        combine,
+    )
+    got = {
+        (r["doc_id"], 2): sorted(r["g2"]) for r in dt_df.select("doc_id", g2.alias("g2")).collect()
+    } | {
+        (r["doc_id"], 3): sorted(r["g3"]) for r in dt_df.select("doc_id", g3.alias("g3")).collect()
+    }
+
+    con = _d.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    rows = con.execute(
+        f"SELECT doc_id, {_gram2_sql(f'({_TH_SQL})')} AS g2, "
+        f"{_gram3_sql(f'({_TH_SQL})')} AS g3 FROM documents"
+    ).fetchall()
+    for doc_id, g2d, g3d in rows:
+        assert sorted(g2d) == got[(doc_id, 2)], (texts[doc_id], g2d, got[(doc_id, 2)])
+        assert sorted(g3d) == got[(doc_id, 3)], (texts[doc_id], g3d, got[(doc_id, 3)])
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-1000, 1000), min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    ),
+    k=st.integers(2, 4),
+)
+@_SETTINGS
+def test_kmeans_unrolled_lloyd_oracle_parity(spark, ddb, vecs, k):
+    """Fuzz the trained-IVF contract: kmeans_train (distributed Lloyd)
+    must be bit-identical to the oracle's unrolled-Lloyd SQL for
+    arbitrary integer vector sets and k — including duplicate seed
+    vectors and EMPTY clusters (a cluster losing all members must keep
+    its previous centroid on both sides)."""
+    import duckdb as _d
+
+    from olist_ecommerce_data_warehouse_spark.operators.kmeans import kmeans_train
+    from olist_ecommerce_data_warehouse_spark.plans.similarity import (
+        _dot_sql,
+        _lloyd_iter_sql,
+    )
+
+    k = min(k, len(vecs))
+    rows = [(i, [float(x) / 1000.0 for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trained = kmeans_train(df, k=k, n_iter=2)
+
+    con = _d.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    for i, v in rows:
+        con.execute("INSERT INTO embeddings VALUES (?, ?)", [i, v])
+    qvec = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+    sql = f"""
+    WITH c AS (SELECT vec_id, {qvec} AS cvec FROM embeddings),
+    cents0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cluster, cvec AS centvec
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, cvec FROM c ORDER BY h LIMIT {k})
+    ),
+    {_lloyd_iter_sql(1)},
+    {_lloyd_iter_sql(2)}
+    SELECT cluster, centvec FROM cents2 ORDER BY cluster
+    """
+    duck = {r[0]: list(r[1]) for r in con.execute(sql).fetchall()}
+    assert len(duck) == k
+    for i in range(k):
+        assert duck[i] == [int(x) for x in trained[i]], (i, duck[i], trained[i])
