@@ -147,68 +147,10 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _parse_png(b: bytes):
-    """Full PNG decode via stdlib: walk chunks, inflate IDAT, undo the
-    per-scanline filters (None/Sub/Up/Average/Paeth), return
-    (w, h, channels, bit_depth, mean pixel value).  8-bit,
-    non-interlaced only — the overwhelmingly common case; anything
-    else raises NotImplementedError (→ PIL territory)."""
-    import struct
-    import zlib
-
-    if b[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, idat = 8, bytearray()
-    w = h = bit_depth = color_type = interlace = None
-    while pos < len(b):
-        (length,) = struct.unpack(">I", b[pos : pos + 4])
-        ctype = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    # palette PNGs (color type 3) are rejected too: without resolving
-    # indices through the PLTE chunk the "mean" would be over arbitrary
-    # palette positions, not pixel intensities — honestly out of scope
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
-        raise NotImplementedError(
-            "PNG variant beyond the stdlib decoder (16-bit/interlaced/palette) "
-            "— PIL territory"
-        )
-    ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    out = bytearray()
-    prev = bytearray(stride)
-    for y in range(h):
-        row_start = y * (stride + 1)
-        f = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        if f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad PNG filter {f}")
-        out.extend(line)
-        prev = line
-    mean = sum(out) / len(out) if out else 0.0
+    """Full PNG decode via stdlib (see ``_png_pixels``): returns
+    (w, h, channels, bit_depth, mean pixel value)."""
+    w, h, ch, px = _png_pixels(b)
+    mean = sum(px) / len(px) if px else 0.0
     return w, h, ch, 8, mean
 
 
@@ -301,6 +243,120 @@ def real_decode_media(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, REAL_DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # row-major interleaved
+    ]
+)
+
+
+def _png_pixels(b: bytes):
+    """Full PNG decode via stdlib to (w, h, channels, flat pixel
+    bytes): walk chunks, inflate IDAT, undo the per-scanline filters
+    (None/Sub/Up/Average/Paeth).  8-bit non-interlaced only — the
+    overwhelmingly common case; 16-bit/interlaced raise
+    NotImplementedError (→ PIL territory), and palette PNGs (color
+    type 3) are rejected too: without resolving indices through the
+    PLTE chunk, downstream means would be over arbitrary palette
+    positions, not pixel intensities."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, bytearray()
+    w = h = bit_depth = color_type = interlace = None
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            "PNG variant beyond the stdlib decoder (16-bit/interlaced/palette) "
+            "— PIL territory"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        f = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if f == 1:
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out.extend(line)
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image RESIZE as an Arrow-batched kernel: really-decoded PNG
+    payloads are nearest-neighbor downsampled/upsampled to
+    (out_w, out_h) with numpy index sampling — the standard
+    preprocessing step before an embedding model.  Nearest-neighbor is
+    the deterministic, interpolation-free choice (bilinear needs a
+    pixel-math contract per library; production swaps the kernel body
+    for PIL/opencv, the Spark plumbing and schema stay identical).
+    Emits the resized pixel array as row-major interleaved bytes —
+    still an opaque binary column downstream.  Non-PNG payloads raise
+    where the real codec would go."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, blobs = [], [], []
+            for _, r in pdf.iterrows():
+                w, h, ch, px = _png_pixels(bytes(r["payload"]))
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = img[ys][:, xs]
+                ids.append(r["media_id"])
+                chans.append(ch)
+                blobs.append(resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "out_width": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "out_height": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "pixels": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -190,3 +190,35 @@ def test_real_decode_png_bmp_wav(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Resize really decodes the PNG and samples exact source pixels:
+    downsampling a known gradient picks the nearest-neighbor source
+    pixel at each grid point (verified against an independent numpy
+    resize of the original pixel array); upsampling replicates."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    pixels = [
+        [((x * 41 + y * 7) % 256, (x * 3) % 256, (y * 29) % 256) for x in range(8)]
+        for y in range(6)
+    ]
+    png = _encode_png(pixels, filters=[0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "t")],
+        "media_id long, kind string, payload binary, source string",
+    )
+    img = np.array(pixels, dtype=np.uint8)  # 6×8×3
+
+    for out_w, out_h in [(4, 3), (16, 12)]:
+        r = resize_images(media, out_w, out_h).first()
+        assert (r["out_width"], r["out_height"], r["n_channels"]) == (out_w, out_h, 3)
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(out_h, out_w, 3)
+        ys = (np.arange(out_h) * 6) // out_h
+        xs = (np.arange(out_w) * 8) // out_w
+        want = img[ys][:, xs]
+        assert np.array_equal(got, want), (out_w, out_h)
