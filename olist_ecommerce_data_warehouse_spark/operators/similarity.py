@@ -231,10 +231,112 @@ def ivf_probes(queries: DataFrame, centroids: DataFrame, nprobe: int = 2) -> dic
     return probes
 
 
+def srp_hyperplanes(d: int, n_bits: int = 4, n_tables: int = 8):
+    """Deterministic signed-random-projection hyperplanes for L
+    independent LSH tables: an (n_tables, n_bits, d) int64 tensor
+    derived from md5 of (table, bit, dim) — no ``rand()``, so
+    signatures are identical across runs/retries (the library-wide
+    determinism rule).  Values spread over [-1000, 1000]; exact-int
+    dot products with 1e-6-quantized vectors stay far inside int64."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((n_tables, n_bits, d), dtype=np.int64)
+    for t in range(n_tables):
+        for i in range(n_bits):
+            for j in range(d):
+                h = hashlib.md5(f"srp:{t}:{i}:{j}".encode()).hexdigest()
+                m[t, i, j] = int(h[:8], 16) % 2001 - 1000
+    return m
+
+
+def _srp_sigs(mat, hp):
+    """(n, L) bucket ids: per-table sign-bit signature offset into the
+    table's id space (bucket = table·2^bits + signature)."""
+    import numpy as np
+
+    n_tables, n_bits, _ = hp.shape
+    weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+    out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        proj = mat @ hp[t].T  # n × n_bits exact int64
+        sig = ((proj >= 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+        out[:, t] = (np.int64(t) << np.int64(n_bits)) + sig
+    return out
+
+
+def srp_assign(corpus: DataFrame, hyperplanes) -> DataFrame:
+    """Assign every corpus vector to its LSH bucket in EACH of the L
+    tables: signature = sign-bit pattern of the hyperplane projections
+    (Charikar's SRP — P[bit match] = 1 − θ/π, so cosine-close vectors
+    collide; L independent tables turn per-table collision probability
+    p^bits into 1−(1−p^bits)^L recall — the standard LSH memory/recall
+    trade: the index stores L rows per vector).  Output shape matches
+    ``ivf_assign`` (vec_id, centroid_id=bucket, cvec, cn) so
+    ``ivf_topk`` scores the buckets unchanged — the bucketing strategy
+    is pluggable, the scoring engine is shared."""
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(hyperplanes))
+
+    def kernel(batches):
+        hp = bc.value
+        n_tables = hp.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["cvec"]])
+            cn = np.sqrt(np.einsum("ij,ij->i", cm, cm).astype(np.float64))
+            buckets = _srp_sigs(cm, hp)  # n × L
+            out = pdf.loc[pdf.index.repeat(n_tables), ["vec_id", "cvec"]].reset_index(
+                drop=True
+            )
+            out["centroid_id"] = buckets.reshape(-1)
+            out["cn"] = np.repeat(cn, n_tables)
+            yield out[["vec_id", "centroid_id", "cvec", "cn"]]
+
+    return corpus.select("vec_id", "cvec").mapInPandas(
+        kernel, "vec_id bigint, centroid_id bigint, cvec array<bigint>, cn double"
+    )
+
+
+def srp_probes(queries: DataFrame, hyperplanes, multiprobe: int = 1) -> dict[int, list]:
+    """Driver-side bucket probes per query (same contract as
+    ``ivf_probes``): in every table, the query's own signature plus,
+    with ``multiprobe`` ≥ 1, every signature at Hamming distance 1 —
+    the standard recall boost that probes the buckets a borderline
+    projection could have flipped into.  Queries are broadcast-sized
+    by contract.  A vector can collide with a query in several
+    tables, so score with ``ivf_topk(..., dedup_candidates=True)``."""
+    import numpy as np
+
+    qids, qm, qn = _collect_query_matrix(queries.select("query_id", "qvec"))
+    if qids.size == 0:
+        return {}
+    hp = np.asarray(hyperplanes)
+    n_tables, n_bits, _ = hp.shape
+    sigs = _srp_sigs(qm, hp)  # Q × L bucket ids
+    probes: dict[int, list] = {}
+    for i, qid in enumerate(qids):
+        entry = (int(qid), qm[i], float(qn[i]))
+        targets = set()
+        for t in range(n_tables):
+            base = int(sigs[i, t])
+            targets.add(base)
+            if multiprobe >= 1:
+                targets |= {base ^ (1 << b) for b in range(n_bits)}
+        for tgt in targets:
+            probes.setdefault(tgt, []).append(entry)
+    return probes
+
+
 def ivf_topk(
     assigned: DataFrame,
     probes: dict[int, list],
     k: int = 5,
+    dedup_candidates: bool = False,
 ) -> DataFrame:
     """Per-cluster scoring for IVF search: ``assigned`` is the output
     of ``ivf_assign``; ``probes`` maps centroid_id → list of
@@ -291,6 +393,16 @@ def ivf_topk(
     scored = assigned.mapInPandas(
         kernel, "query_id bigint, vec_id bigint, cosine double"
     )
+    if dedup_candidates:
+        # multi-table LSH assignment scores a (query, vector) pair once
+        # per colliding table; without collapsing them the top-k window
+        # would count the same neighbor k times.  The cosine is
+        # identical across duplicates (exact-int math), so MAX is a
+        # pure dedup, and the groupBy shares the window's query_id-led
+        # shuffle key.
+        scored = scored.groupBy("query_id", "vec_id").agg(
+            F.max("cosine").alias("cosine")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

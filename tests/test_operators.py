@@ -667,3 +667,71 @@ def test_connected_components_long_chain_logarithmic(spark):
     assert stats["converged"]
     assert stats["rounds"] <= 12, f"not logarithmic: {stats['rounds']} rounds"
     assert len(rows) == n and all(r["component"] == 0 for r in rows)
+
+
+def test_srp_lsh_ann_recall_and_selectivity(spark):
+    """LSH-bucketed ANN (signed random projections, multi-table,
+    Hamming-1 multiprobe): on a corpus with planted near-duplicate
+    neighbors (the workload LSH exists for), the index must (1) return
+    the true nearest neighbor for ≥95% of queries, (2) scan only a
+    small fraction of the query×corpus pairs (the sub-linear promise),
+    and (3) score candidates with exactly the brute-force cosine."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        quantized,
+        srp_assign,
+        srp_hyperplanes,
+        srp_probes,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n_base = 32, 300
+    base = rng.normal(size=(n_base, d)).astype("float32")
+    # queries = slightly perturbed copies of every 10th base vector —
+    # their true nearest neighbor is their base twin (cos ≈ 0.999)
+    q_idx = list(range(0, n_base, 10))
+    queries = base[q_idx] + rng.normal(scale=0.02, size=(len(q_idx), d)).astype(
+        "float32"
+    )
+    corpus_rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    query_rows = [
+        (10000 + j, [float(x) for x in queries[j]]) for j in range(len(q_idx))
+    ]
+    cdf = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(query_rows, "vec_id long, embedding array<float>")
+    c = cdf.select("vec_id", quantized("embedding").alias("cvec"))
+    q = qdf.select(
+        F.col("vec_id").alias("query_id"), quantized("embedding").alias("qvec")
+    )
+
+    hp = srp_hyperplanes(d, n_bits=8, n_tables=4)
+    assigned = srp_assign(c, hp)
+    probes = srp_probes(q, hp, multiprobe=1)
+    got = {
+        r["query_id"]: (r["vec_id"], r["cosine"])
+        for r in ivf_topk(assigned, probes, k=1, dedup_candidates=True).collect()
+    }
+    truth = {
+        r["query_id"]: (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(q, c, k=1).collect()
+    }
+    hits = sum(
+        1 for qid, (vid, _) in truth.items() if got.get(qid, (None,))[0] == vid
+    )
+    assert hits / len(truth) >= 0.95, f"recall@1 {hits}/{len(truth)}"
+    # exact scoring: where LSH found the true neighbor, cosines match
+    for qid, (vid, cos) in truth.items():
+        if got.get(qid, (None,))[0] == vid:
+            assert abs(got[qid][1] - cos) < 1e-12
+
+    # sub-linear scan: candidate pairs ≪ Q×N
+    sizes = {
+        r["centroid_id"]: r["count"]
+        for r in assigned.groupBy("centroid_id").count().collect()
+    }
+    cand = sum(sizes.get(b, 0) * len(qs) for b, qs in probes.items())
+    frac = cand / (len(query_rows) * n_base)
+    assert frac < 0.35, f"LSH scanned {frac:.2f} of all pairs"
