@@ -218,3 +218,52 @@ def test_fail_fast_records_failed_audit_row(spark, tmp_path):
         p.ingest_bronze("customers", str(tmp_path / "missing.csv"))
     statuses = [r[8] for r in p.audit.rows]
     assert "FAILED" in statuses
+
+
+def test_sql_entry_surface(spark):
+    """SQL users can switch without the DataFrame API: registered views
+    answer the reference's own QA queries (08_validacionsql.sql shapes)
+    via plain spark.sql, matching the DataFrame plans' results, and the
+    view indirection keeps Catalyst optimizations (filter pushdown
+    visible in the scan)."""
+    from pyspark.sql import functions as F
+
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.sqlapi import create_warehouse_views
+    from tests.conftest import SF_DIR
+
+    created = create_warehouse_views(spark, SF_DIR)
+    assert "gold_fact_lineitem" in created and "orders" in created
+
+    # volumetric + KPI shapes straight from the reference's QA script
+    n_orders = spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"]
+    assert n_orders == table(spark, SF_DIR, "orders").count()
+
+    top = spark.sql(
+        """
+        SELECT p.p_brand, SUM(f.item_revenue) AS rev
+        FROM gold_fact_lineitem f
+        JOIN gold_dim_part p ON f.part_sk = p.part_sk
+        GROUP BY p.p_brand ORDER BY rev DESC LIMIT 3
+        """
+    ).collect()
+    assert len(top) == 3 and top[0]["rev"] >= top[2]["rev"]
+
+    # orphan check (J6) over the views: no fact row without its dim
+    orphans = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM gold_fact_orders f
+        LEFT ANTI JOIN gold_dim_customer d ON f.customer_sk = d.customer_sk
+        """
+    ).first()["n"]
+    assert orphans == 0
+
+    # Catalyst still optimizes through the view: a filtered SQL query
+    # pushes the predicate into the parquet scan
+    plan = (
+        spark.sql("SELECT o_orderkey FROM orders WHERE o_orderkey = 42")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan
