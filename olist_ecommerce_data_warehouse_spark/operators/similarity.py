@@ -304,12 +304,16 @@ def srp_assign(corpus: DataFrame, hyperplanes) -> DataFrame:
 
 def srp_probes(queries: DataFrame, hyperplanes, multiprobe: int = 1) -> dict[int, list]:
     """Driver-side bucket probes per query (same contract as
-    ``ivf_probes``): in every table, the query's own signature plus,
-    with ``multiprobe`` ≥ 1, every signature at Hamming distance 1 —
-    the standard recall boost that probes the buckets a borderline
-    projection could have flipped into.  Queries are broadcast-sized
-    by contract.  A vector can collide with a query in several
-    tables, so score with ``ivf_topk(..., dedup_candidates=True)``."""
+    ``ivf_probes``): in every table, the query's own signature plus
+    every signature within Hamming distance ``multiprobe`` — the
+    standard recall boost that probes the buckets borderline
+    projections could have flipped into (0 = own bucket only; each
+    extra unit widens the flip radius at C(bits, r) cost).  Queries
+    are broadcast-sized by contract.  A vector can collide with a
+    query in several tables, so score with
+    ``ivf_topk(..., dedup_candidates=True)``."""
+    from itertools import combinations
+
     import numpy as np
 
     qids, qm, qn = _collect_query_matrix(queries.select("query_id", "qvec"))
@@ -318,15 +322,15 @@ def srp_probes(queries: DataFrame, hyperplanes, multiprobe: int = 1) -> dict[int
     hp = np.asarray(hyperplanes)
     n_tables, n_bits, _ = hp.shape
     sigs = _srp_sigs(qm, hp)  # Q × L bucket ids
+    flip_masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, min(multiprobe, n_bits) + 1)
+        for bits in combinations(range(n_bits), r)
+    ]
     probes: dict[int, list] = {}
     for i, qid in enumerate(qids):
         entry = (int(qid), qm[i], float(qn[i]))
-        targets = set()
-        for t in range(n_tables):
-            base = int(sigs[i, t])
-            targets.add(base)
-            if multiprobe >= 1:
-                targets |= {base ^ (1 << b) for b in range(n_bits)}
+        targets = {int(sigs[i, t]) ^ m for t in range(n_tables) for m in flip_masks}
         for tgt in targets:
             probes.setdefault(tgt, []).append(entry)
     return probes
@@ -398,8 +402,11 @@ def ivf_topk(
         # per colliding table; without collapsing them the top-k window
         # would count the same neighbor k times.  The cosine is
         # identical across duplicates (exact-int math), so MAX is a
-        # pure dedup, and the groupBy shares the window's query_id-led
-        # shuffle key.
+        # pure dedup.  Cost: one extra exchange — the groupBy hashes on
+        # (query_id, vec_id), which does NOT satisfy the window's
+        # ClusteredDistribution(query_id), so the window re-shuffles;
+        # both shuffles carry ≤ probes·k rows per query, far below the
+        # scoring volume they sit on top of.
         scored = scored.groupBy("query_id", "vec_id").agg(
             F.max("cosine").alias("cosine")
         )

@@ -240,6 +240,47 @@ def _gram3_sql(th: str) -> str:
     )
 
 
+# ---- Spark twins of the gram-hash expressions above.  These are the
+# PRODUCTION expressions (text_repetition builds on them) AND what the
+# cross-engine fuzz test imports — one definition per side, so neither
+# twin can drift against the other unobserved.
+
+def token_hashes_expr():
+    """array<bigint>: 32-bit md5-derived hash per token of `text`."""
+    return F.transform(
+        tokens("text"), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
+    )
+
+
+def _combine(a, b):
+    return (a * GRAM_P) % GRAM_M + b
+
+
+def gram2_expr(th_col: str = "th"):
+    """2-gram rolling hashes from a token-hash array column (Spark twin
+    of ``_gram2_sql``)."""
+    n_th = F.size(th_col)
+    return F.zip_with(
+        F.slice(th_col, 1, F.greatest(n_th - 1, F.lit(0))),
+        F.slice(th_col, 2, F.greatest(n_th - 1, F.lit(0))),
+        _combine,
+    )
+
+
+def gram3_expr(th_col: str = "th"):
+    """3-gram rolling hashes (Spark twin of ``_gram3_sql``)."""
+    n_th = F.size(th_col)
+    return F.zip_with(
+        F.zip_with(
+            F.slice(th_col, 1, F.greatest(n_th - 2, F.lit(0))),
+            F.slice(th_col, 2, F.greatest(n_th - 2, F.lit(0))),
+            lambda a, b: _combine(a, b) % GRAM_M,
+        ),
+        F.slice(th_col, 3, F.greatest(n_th - 2, F.lit(0))),
+        _combine,
+    )
+
+
 @query(
     "text_repetition",
     oracle=f"""
@@ -301,32 +342,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size not vocabulary.  Docs shorter than the n-gram order
     produce no rows and are excluded identically in both engines."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    th_expr = F.transform(
-        tokens("text"), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
-    )
-    dt = d.select("doc_id", th_expr.alias("th"))
-    n_th = F.size("th")
-
-    def combine(a, b):
-        return (a * GRAM_P) % GRAM_M + b
-
-    g2 = F.zip_with(
-        F.slice("th", 1, F.greatest(n_th - 1, F.lit(0))),
-        F.slice("th", 2, F.greatest(n_th - 1, F.lit(0))),
-        combine,
-    )
-    g3 = F.zip_with(
-        F.zip_with(
-            F.slice("th", 1, F.greatest(n_th - 2, F.lit(0))),
-            F.slice("th", 2, F.greatest(n_th - 2, F.lit(0))),
-            lambda a, b: combine(a, b) % GRAM_M,
-        ),
-        F.slice("th", 3, F.greatest(n_th - 2, F.lit(0))),
-        combine,
-    )
+    dt = d.select("doc_id", token_hashes_expr().alias("th"))
     g = dt.select(
-        "doc_id", F.lit(2).alias("n"), F.explode(g2).alias("gh")
-    ).unionByName(dt.select("doc_id", F.lit(3).alias("n"), F.explode(g3).alias("gh")))
+        "doc_id", F.lit(2).alias("n"), F.explode(gram2_expr("th")).alias("gh")
+    ).unionByName(
+        dt.select("doc_id", F.lit(3).alias("n"), F.explode(gram3_expr("th")).alias("gh"))
+    )
     counts = g.groupBy("doc_id", "n", "gh").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy("doc_id", "n").agg(
         F.sum("c").alias("total"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from olist_ecommerce_data_warehouse_spark.catalog import TABLES, table
+from olist_ecommerce_data_warehouse_spark.catalog import TABLES, register_views, table
 from olist_ecommerce_data_warehouse_spark.pipeline.star import (
     build_dim_customer,
     build_dim_part,
@@ -45,11 +45,14 @@ _GOLD_BUILDERS = {
 def create_warehouse_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register raw + gold views for ``sf_dir``; returns the view
     names created."""
+    # bare-name raw views come from the one registration path the
+    # oracle-parity plans also use (catalog.register_views owns "what
+    # raw views exist", incl. per-table normalizations); this module
+    # only adds the raw_ namespace aliases and the gold tier on top
+    register_views(spark, sf_dir)
     created = []
     for name in TABLES:
-        df = table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        df.createOrReplaceTempView(f"raw_{name}")
+        table(spark, sf_dir, name).createOrReplaceTempView(f"raw_{name}")
         created += [name, f"raw_{name}"]
     for name, build in _GOLD_BUILDERS.items():
         build(spark, sf_dir).createOrReplaceTempView(name)

@@ -266,4 +266,7 @@ def test_sql_entry_surface(spark):
         .executedPlan()
         .toString()
     )
-    assert "PushedFilters: [" in plan and "o_orderkey" in plan
+    # assert the CONTENT of the pushed-filter list, not its mere
+    # presence (an empty "PushedFilters: []" would satisfy a substring
+    # check and make the assertion vacuous)
+    assert "EqualTo(o_orderkey,42)" in plan, plan

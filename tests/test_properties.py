@@ -367,39 +367,21 @@ def test_rolling_gram_hash_cross_engine_parity(spark, ddb, texts):
     (doc, n, gh, count) multisets must be identical across engines."""
     import duckdb as _d
 
+    # BOTH twins come from production (plans/text.py) — a drift on
+    # either side fails here instead of surviving behind a stale copy
     from olist_ecommerce_data_warehouse_spark.plans.text import (
         _gram2_sql,
         _gram3_sql,
         _TH_SQL,
+        gram2_expr,
+        gram3_expr,
+        token_hashes_expr,
     )
-    from olist_ecommerce_data_warehouse_spark.functions.text import tokens
-    from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex_to_long
-    from olist_ecommerce_data_warehouse_spark.plans.text import GRAM_M, GRAM_P
 
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
-    th_expr = F.transform(
-        tokens("text"), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
-    )
-    dt_df = df.select("doc_id", th_expr.alias("th"))
-    n_th = F.size("th")
-
-    def combine(a, b):
-        return (a * GRAM_P) % GRAM_M + b
-
-    g2 = F.zip_with(
-        F.slice("th", 1, F.greatest(n_th - 1, F.lit(0))),
-        F.slice("th", 2, F.greatest(n_th - 1, F.lit(0))),
-        combine,
-    )
-    g3 = F.zip_with(
-        F.zip_with(
-            F.slice("th", 1, F.greatest(n_th - 2, F.lit(0))),
-            F.slice("th", 2, F.greatest(n_th - 2, F.lit(0))),
-            lambda a, b: combine(a, b) % GRAM_M,
-        ),
-        F.slice("th", 3, F.greatest(n_th - 2, F.lit(0))),
-        combine,
-    )
+    dt_df = df.select("doc_id", token_hashes_expr().alias("th"))
+    g2 = gram2_expr("th")
+    g3 = gram3_expr("th")
     got = {
         (r["doc_id"], 2): sorted(r["g2"]) for r in dt_df.select("doc_id", g2.alias("g2")).collect()
     } | {
