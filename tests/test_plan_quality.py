@@ -165,3 +165,20 @@ def test_bucketed_merge_upsert_zero_exchange(spark):
     n_updates = sum(1 for r in got.values() if r["__merge_action"] == "update")
     assert n_updates == 500
     assert len(got) == base.count()
+
+
+def test_round3_plan_shapes(spark):
+    """Shape budget for the round-3 plans: embedding_quantize is one
+    narrow Arrow pass (ZERO Exchange); merge_upsert_incremental is one
+    full-outer sort-merge join — exactly two Exchanges (one per side),
+    no window, no broadcast-nested-loop; both mixing and quantize stay
+    window-free."""
+    q_plan = _plan(spark, "embedding_quantize")
+    assert "Exchange" not in q_plan, q_plan
+    assert "MapInPandas" in q_plan
+
+    m_plan = _plan(spark, "merge_upsert_incremental")
+    assert m_plan.count("Exchange") == 2, m_plan
+    assert "SortMergeJoin FullOuter" in m_plan or "SortMergeJoin" in m_plan
+    assert "BroadcastNestedLoopJoin" not in m_plan
+    assert "Window" not in m_plan
