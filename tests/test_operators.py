@@ -735,3 +735,63 @@ def test_srp_lsh_ann_recall_and_selectivity(spark):
     cand = sum(sizes.get(b, 0) * len(qs) for b, qs in probes.items())
     frac = cand / (len(query_rows) * n_base)
     assert frac < 0.35, f"LSH scanned {frac:.2f} of all pairs"
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketized range join ≡ the naive theta join (BETWEEN) on real
+    event data — lossless across bin boundaries, multi-match fan-out
+    included — and the plan must contain NO nested-loop/cartesian
+    join.  Left mode keeps unmatched points exactly once."""
+    from olist_ecommerce_data_warehouse_spark.operators.rangejoin import range_join
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "ts").limit(2000)
+    # intervals derived from the same data: per-user-ish windows of
+    # varying length, some overlapping, some empty
+    iv = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("iv_start"),
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("iv_end"),
+        )
+    )
+    got = range_join(ev, iv, "ts", "iv_start", "iv_end", bin_width_sec=3600)
+    want = ev.join(
+        iv, (F.col("ts") >= F.col("iv_start")) & (F.col("ts") <= F.col("iv_end"))
+    )
+    g = sorted((r["event_id"], r["iv_id"]) for r in got.collect())
+    w = sorted((r["event_id"], r["iv_id"]) for r in want.collect())
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    left = range_join(ev, iv, "ts", "iv_start", "iv_end", bin_width_sec=3600, how="left")
+    n_points = ev.count()
+    matched_points = {r["event_id"] for r in got.collect()}
+    rows = left.collect()
+    assert len(rows) == len(g) + (n_points - len(matched_points))
+    assert all(r["iv_id"] is None for r in rows if r["event_id"] not in matched_points)
+
+
+def test_unpivot_inverts_pivot(spark):
+    """unpivot(melt) restores the long form a pivot produced — the
+    wide↔long round trip is exact."""
+    from olist_ecommerce_data_warehouse_spark.functions.reshape import unpivot
+
+    ev = table(spark, SF_DIR, "events")
+    long0 = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .count()
+        .filter(F.col("event_type").isin("click", "view"))
+    )
+    wide = (
+        long0.groupBy("day").pivot("event_type", ["click", "view"]).sum("count").na.fill(0)
+    )
+    back = unpivot(wide, ["day"], ["click", "view"], "event_type", "count").filter(
+        F.col("count") > 0
+    )
+    a = sorted(map(tuple, long0.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
