@@ -38,23 +38,55 @@ def range_join(
     end_col: str,
     bin_width_sec: int = 3600,
     how: str = "inner",
+    max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Join each ``points`` row to every ``intervals`` row whose
     [start, end] contains its timestamp (inclusive bounds, the SQL
     BETWEEN contract).  ``how``: 'inner' or 'left' (unmatched points
-    kept with NULL interval columns).  Column sets must be disjoint
-    apart from none — both sides' columns pass through."""
+    kept with NULL interval columns — each point maps to exactly ONE
+    bin, so a (point, interval) match hits exactly one replica and a
+    plain left outer join gives exact left semantics).  Column sets
+    must be disjoint; both sides' columns pass through.
+
+    Guard rails: inverted intervals (end < start — bad data; no point
+    can satisfy the BETWEEN anyway) are filtered out instead of
+    letting ``sequence`` build a DESCENDING bin list that replicates
+    the row everywhere; an interval spanning more than
+    ``max_bins_per_interval`` bins raises at execution (a 9999-12-31
+    sentinel end would otherwise materialize a ~70M-element array per
+    row — pick a wider ``bin_width_sec`` or cap the sentinel first)."""
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be inner/left, got {how!r}")
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"range_join: overlapping column names {sorted(overlap)}")
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        raise ValueError("range_join: '__bin' is a reserved column name")
     w = F.lit(int(bin_width_sec))
     p_bin = F.floor(F.unix_timestamp(F.col(point_ts)) / w)
     i_lo = F.floor(F.unix_timestamp(F.col(start_col)) / w)
     i_hi = F.floor(F.unix_timestamp(F.col(end_col)) / w)
-    exploded = intervals.withColumn(
-        "__bin", F.explode(F.sequence(i_lo, i_hi))
+    span_ok = (i_hi - i_lo) < F.lit(int(max_bins_per_interval))
+    exploded = (
+        intervals.filter(F.col(end_col) >= F.col(start_col))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.when(span_ok, F.sequence(i_lo, i_hi)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "range_join: interval spans more than "
+                                f"{max_bins_per_interval} bins of {bin_width_sec}s — "
+                                "widen bin_width_sec or cap sentinel end dates; "
+                                "offending start="
+                            ),
+                            F.col(start_col).cast("string"),
+                        )
+                    )
+                )
+            ),
+        )
     )
     p = points.withColumn("__bin", p_bin)
     cond = (
@@ -62,16 +94,4 @@ def range_join(
         & (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) <= F.col(end_col))
     )
-    joined = p.join(exploded, cond, "inner").drop("__bin")
-    if how == "inner":
-        return joined
-    # left: one row per unmatched point with NULL interval columns —
-    # matched points must NOT also emit a null row, so anti-join the
-    # matched key set (the points' physical identity is their full row;
-    # a distinct on the point columns keeps multiplicity per point row)
-    matched_points = joined.select(*points.columns)
-    unmatched = p.drop("__bin").exceptAll(matched_points)
-    null_side = unmatched.select(
-        "*", *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in intervals.columns]
-    )
-    return joined.unionByName(null_side)
+    return p.join(exploded, cond, how).drop("__bin")

@@ -179,6 +179,6 @@ def test_round3_plan_shapes(spark):
 
     m_plan = _plan(spark, "merge_upsert_incremental")
     assert m_plan.count("Exchange") == 2, m_plan
-    assert "SortMergeJoin FullOuter" in m_plan or "SortMergeJoin" in m_plan
+    assert "SortMergeJoin" in m_plan and "FullOuter" in m_plan
     assert "BroadcastNestedLoopJoin" not in m_plan
     assert "Window" not in m_plan
