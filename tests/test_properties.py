@@ -449,3 +449,99 @@ def test_kmeans_unrolled_lloyd_oracle_parity(spark, ddb, vecs, k):
     assert len(duck) == k
     for i in range(k):
         assert duck[i] == [int(x) for x in trained[i]], (i, duck[i], trained[i])
+
+
+@given(
+    pts=st.lists(st.integers(0, 50_000), min_size=1, max_size=20),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(0, 20_000)), max_size=10
+    ),
+    bin_w=st.sampled_from([1, 7, 3600]),
+)
+@_SETTINGS
+def test_range_join_equals_theta_join_fuzz(spark, pts, ivs, bin_w):
+    """Bucketized range join ≡ naive theta join for arbitrary point
+    sets, interval layouts (touching bin edges, zero-length, nested,
+    disjoint) and bin widths including width 1 — the bin-boundary
+    arithmetic is the part a unit test on one dataset cannot pin."""
+    from olist_ecommerce_data_warehouse_spark.operators.rangejoin import range_join
+
+    base = 1_700_000_000  # epoch anchor keeps timestamps in range
+    p = spark.createDataFrame(
+        [(i, t + base) for i, t in enumerate(pts)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("ts")).drop("sec")
+    iv = spark.createDataFrame(
+        [(j, s + base, s + base + ln) for j, (s, ln) in enumerate(ivs)],
+        "ivid long, s long, e long",
+    ).select(
+        "ivid",
+        F.timestamp_seconds("s").alias("iv_s"),
+        F.timestamp_seconds("e").alias("iv_e"),
+    )
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in range_join(
+            p, iv, "ts", "iv_s", "iv_e", bin_width_sec=bin_w,
+            # width-1 bins on 20k-second intervals legitimately exceed
+            # the default 10k-bin safety cap — raise it for the fuzz
+            max_bins_per_interval=100_000,
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["ivid"])
+        for r in p.join(
+            iv, (F.col("ts") >= F.col("iv_s")) & (F.col("ts") <= F.col("iv_e"))
+        ).collect()
+    )
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abzZ09@._-+() \t:/#%&',;!",
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_pii_regex_cross_engine_parity(spark, ddb, texts):
+    """Fuzz the PII regex twins: per-kind match counts and the fully
+    redacted string must agree between Spark (Java regex) and DuckDB
+    (RE2) on arbitrary punctuation-dense text — \\b, bounded repeats
+    and alternations are where regex dialects drift, and text_metrics'
+    oracle hash rests on their agreement."""
+    from olist_ecommerce_data_warehouse_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+    from olist_ecommerce_data_warehouse_spark.plans.text import (
+        _pii_count_sql,
+        _pii_redact_sql,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            redact_pii("text").alias("red"),
+            *[c.alias(k) for k, c in pii_counts("text").items()],
+        ).collect()
+    }
+    for i, s in enumerate(texts):
+        cnt_exprs = ", ".join(
+            f"{_pii_count_sql('?', k)} AS c_{k.lower()}" for k in PII_PATTERNS
+        )
+        row = ddb.execute(
+            f"select {_pii_redact_sql('?')} AS red, {cnt_exprs}".replace("?", "$1"),
+            [s],
+        ).fetchone()
+        red = row[0]
+        counts = dict(zip(PII_PATTERNS, row[1:]))
+        assert red == got[i]["red"], (s, red, got[i]["red"])
+        for k in PII_PATTERNS:
+            assert counts[k] == got[i][k], (s, k, counts[k], got[i][k])
