@@ -81,7 +81,14 @@ def _make_packing_fn(budget: int):
             seq_no, used = state.get
         else:
             seq_no, used = 0, 0
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        frames = list(pdfs)
+        if not frames:
+            # defensive: pd.concat([]) raises; an empty iterator can
+            # only reach here on a timeout-triggered invocation (not
+            # used with NoTimeout, but the guard keeps the operator
+            # safe under a timeoutConf change)
+            return
+        batch = pd.concat(frames, ignore_index=True)
         if len(batch) == 0:
             return
         batch = batch.sort_values("doc_id")
