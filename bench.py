@@ -68,20 +68,13 @@ BASELINE_R01 = {
     "multimodal_metadata": 0.4053, "orphan_check": 0.5465,
     "per_order_rollup": 1.6498, "pivot_event_types_daily": 0.5582,
     "pricing_summary": 1.1094, "rollup_region_segment": 1.2103,
-    # scalar_kpis absorbed kpi_daterange_dim_join in round 3 (slot
-    # merge): anchor = sum of the two round-1 parts (1.0867 + 1.0491)
-    "scalar_kpis": 2.1358,
-    # scd2_dim_customer gained the incremental snapshot APPLY stage in
-    # round 3 (build + apply, both oracle-gated) — roughly double the
-    # round-1 build-only work; anchor doubled accordingly
-    "scd2_dim_customer": 0.935,
+    # scalar_kpis / scd2_dim_customer / text_metrics: capability
+    # changed in round 3 (slot merges, incremental-apply stage, PII
+    # columns) — re-anchored in BASELINE_R03 with MEASURED round-3
+    # values instead of the hand-scaled r01 numbers this dict briefly
+    # carried (an anchor that was never measured is not an anchor)
     "sk_resolution_chain": 1.338, "skew_salted_join": 3.0472,
     "surrogate_keys": 0.8046, "text_lang_id": 0.6537,
-    # text_metrics absorbed doc_fingerprint (r01 0.3233) plus the
-    # PII-scrub columns in round 3: anchor = sum of parts + the
-    # measured PII regex cost (~0.45 s at sf0.1: 6 regex passes over
-    # the full text column)
-    "text_metrics": 1.58,
     "volumetrics": 0.9386,
 }
 
@@ -98,6 +91,20 @@ BASELINE_R02 = {
     "sequence_packing": 0.4014,
     "text_repetition": 4.4033,
     "ann_ivf_topk": 2.6,
+}
+
+# Frozen round-3 anchors (BENCH_r03, same rig): the three plans new in
+# round 3, plus the three whose capability changed in round 3 (slot
+# merges / incremental-apply stage / PII columns) — those moved here
+# from BASELINE_R01 so every anchor in every dict is a MEASURED number
+# on this rig, never a hand-scaled estimate.
+BASELINE_R03 = {
+    "corpus_mixing": 0.1904,
+    "embedding_quantize": 0.2557,
+    "merge_upsert_incremental": 0.2978,
+    "scalar_kpis": 0.7855,
+    "scd2_dim_customer": 0.6077,
+    "text_metrics": 0.9331,
 }
 
 
@@ -158,6 +165,7 @@ def main() -> None:
         "baseline_total_r01": round(sum(BASELINE_R01.values()), 2),
         "regressions_vs_r01": _diff(BASELINE_R01, "r01"),
         "regressions_vs_r02": _diff(BASELINE_R02, "r02"),
+        "regressions_vs_r03": _diff(BASELINE_R03, "r03"),
     }
     print(json.dumps(out))
     spark.stop()

@@ -18,10 +18,16 @@ from pyspark.sql import functions as F
 # ASCII-only class here would silently drop uppercase, digits-adjacent
 # and ALL non-Latin text (a Chinese document would tokenize to
 # nothing).  Verified cross-engine on Latin/accents/CJK/Cyrillic/Kana:
-# identical token arrays.  Known divergence: Turkish dotted-İ (U+0130)
-# lowercases to "i"+combining-dot in the JVM but plain "i" in DuckDB —
-# one pathological code point, both sides still letters-only.
+# identical token arrays.  Turkish dotted-İ (U+0130) is the one code
+# point whose `lower()` diverges between engines (JVM: "i"+combining
+# dot U+0307; DuckDB: plain "i"), so both tokenizer twins TRANSLATE
+# İ→i (and dotless ı U+0131 → i, its case-pair partner) BEFORE
+# lowering — a codepoint-for-codepoint substitution both engines
+# perform identically, which removes the divergence instead of
+# documenting around it.
 TOKEN_RE = r"\p{L}+"
+_TR_I_SRC = "İı"  # İ ı
+_TR_I_DST = "ii"
 
 # Deterministic marker vocabularies for the language-ID heuristic.
 # Real deployments would use character n-gram profiles; the heuristic
@@ -53,8 +59,10 @@ def _c(col: Column | str) -> Column:
 
 def tokens(col: Column | str) -> Column:
     """Tokenize: all Unicode-letter `\\p{L}+` runs over the lowercased
-    text (array<string>)."""
-    return F.regexp_extract_all(F.lower(_c(col)), F.lit(TOKEN_RE), 0)
+    text (array<string>), with Turkish İ/ı pre-normalized to ASCII i
+    (see TOKEN_RE notes — the one cross-engine lower() divergence)."""
+    normalized = F.translate(_c(col), _TR_I_SRC, _TR_I_DST)
+    return F.regexp_extract_all(F.lower(normalized), F.lit(TOKEN_RE), 0)
 
 
 def script_char_count(col: Column | str, script_re: str) -> Column:
@@ -66,8 +74,11 @@ def script_char_count(col: Column | str, script_re: str) -> Column:
 def toks_sql(col: str = "text") -> str:
     """ANSI-SQL (DuckDB) twin of :func:`tokens` — every oracle that
     tokenizes MUST build on this so the tokenizer can never drift
-    between engine and oracle."""
-    return f"regexp_extract_all(lower({col}), '\\p{{L}}+')"
+    between engine and oracle (incl. the İ/ı pre-normalization)."""
+    return (
+        f"regexp_extract_all(lower(translate({col}, "
+        f"'{_TR_I_SRC}', '{_TR_I_DST}')), '\\p{{L}}+')"
+    )
 
 
 def token_count(col: Column | str) -> Column:

@@ -89,10 +89,18 @@ def bloom_prefilter(
     and broadcast (its smallness is the operator's applicability
     condition — same contract as a broadcast join build side); the big
     side is filtered in one narrow Arrow pass before whatever
-    distinct/join consumes it."""
-    # NULL keys never equi-join, so dropping them is result-preserving
-    # (and np.int64 cannot hold None — a NULL in a deny-list feed would
-    # otherwise kill the job on the driver)
+    distinct/join consumes it.
+
+    NULL handling, both sides: NULL keys never pass an equality probe,
+    so on the SMALL side they are dropped before the filter is built
+    (np.int64 cannot hold None — a NULL in a deny-list feed would
+    otherwise kill the job on the driver); on the BIG side NULL-keyed
+    rows BYPASS the filter untouched — the Bloom test may only drop
+    rows whose key is DEFINITELY absent, and NULL is not a key the
+    filter knows anything about.  Passing them through preserves the
+    no-result-change guarantee for every consumer (an inner/semi join
+    drops them later anyway; a left join, null-safe join or aggregate
+    sees exactly the rows it would have seen without the prepass)."""
     key = small_keys.columns[0]
     vals = np.array(
         [
@@ -106,11 +114,17 @@ def bloom_prefilter(
     out_schema = big.schema
 
     def kernel(batches):
+        import pandas as pd
+
         w, mm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep = might_contain(w, mm, pdf[key_col].to_numpy(), n_hashes)
+            null_mask = pd.isna(pdf[key_col]).to_numpy()
+            keep = null_mask.copy()  # NULL-keyed rows always pass through
+            if (~null_mask).any():
+                keys = pdf.loc[~null_mask, key_col].to_numpy(dtype=np.int64)
+                keep[~null_mask] = might_contain(w, mm, keys, n_hashes)
             yield pdf[keep]
 
     return big.mapInPandas(kernel, out_schema)

@@ -166,8 +166,13 @@ def _parse_bmp(b: bytes):
     (data_off,) = struct.unpack("<I", b[10:14])
     w, h = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
-    if bpp not in (8, 24, 32):
-        raise NotImplementedError("BMP bpp beyond the stdlib decoder")
+    # 8bpp BMP bytes are PALETTE INDICES, not intensities — averaging
+    # them is semantically wrong, the same reason _png_pixels rejects
+    # palette (color type 3) PNGs.  Same policy, same honest gate.
+    if bpp not in (24, 32):
+        raise NotImplementedError(
+            "BMP bpp beyond the stdlib decoder (8bpp is palette-indexed)"
+        )
     ch = bpp // 8
     row_bytes = w * ch
     stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries

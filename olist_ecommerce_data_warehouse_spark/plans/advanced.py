@@ -14,6 +14,7 @@ from olist_ecommerce_data_warehouse_spark.functions.numeric import as_out, dec, 
 from olist_ecommerce_data_warehouse_spark.operators.asof import asof_join
 from olist_ecommerce_data_warehouse_spark.operators.datedim import build_date_dim
 from olist_ecommerce_data_warehouse_spark.operators.merge import merge_upsert
+from olist_ecommerce_data_warehouse_spark.operators.rangejoin import range_join
 from olist_ecommerce_data_warehouse_spark.operators.scd import (
     scd2_apply_snapshot,
     scd2_from_history,
@@ -134,18 +135,45 @@ def pivot_event_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
         FROM events WHERE event_type = 'view'
         GROUP BY user_id, ts
+    ),
+    asof_part AS (
+        SELECT 'asof' AS kind, c.event_id, c.user_id, c.ts,
+               v.view_event_id AS matched_id, v.view_ts AS matched_ts
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND v.view_ts <= c.ts
+    ),
+    win AS (
+        SELECT event_id AS w_id, ts AS w_start,
+               ts + INTERVAL 15 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    ),
+    interval_part AS (
+        SELECT 'interval' AS kind, c.event_id, c.user_id, c.ts,
+               w.w_id AS matched_id, w.w_start AS matched_ts
+        FROM clicks c LEFT JOIN win w
+          ON c.ts BETWEEN w.w_start AND w.w_end
     )
-    SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_event_id
-    FROM clicks c ASOF LEFT JOIN views v
-      ON c.user_id = v.user_id AND v.view_ts <= c.ts
+    SELECT * FROM asof_part UNION ALL SELECT * FROM interval_part
     """,
 )
 def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (click → most recent prior view per user): the
-    point-in-time attribution primitive Spark lacks natively,
-    re-expressed as union + running last(ignoreNulls) window
-    (operators.asof) — one shuffle on user_id, no range explosion.
-    Oracle uses DuckDB's native ASOF JOIN."""
+    """Point-in-time attribution, BOTH temporal-join primitives Spark
+    lacks natively, merged into one slot (kind discriminator — the
+    events_windows pattern):
+
+    - kind='asof': click → most recent prior view per user, as union +
+      running last(ignoreNulls) window (operators.asof) — one shuffle
+      on user_id, no range explosion.  Oracle: DuckDB's native
+      ASOF LEFT JOIN.
+    - kind='interval': click → every 15-minute error window containing
+      it, via the BUCKETIZED range join (operators.rangejoin): windows
+      replicate to the 600 s bins they overlap (≤ 3 replicas each),
+      points map to exactly ONE bin, equi-join on the bin + exact
+      BETWEEN filter — a hash join, never a BroadcastNestedLoopJoin
+      (asserted in tests/test_plan_quality.py).  'left' keeps
+      unmatched clicks with NULL window columns, exactly like the
+      oracle's naive BETWEEN theta join — the driver hash gate proves
+      the rewrite LOSSLESS against it."""
     ev = table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = (
@@ -153,10 +181,34 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.col("ts").alias("view_ts"))
         .agg(F.max("event_id").alias("view_event_id"))
     )
-    return asof_join(
+    asof_part = asof_join(
         clicks, views, key="user_id", left_ts="ts", right_ts="view_ts",
         right_payload=["view_ts", "view_event_id"],
+    ).select(
+        F.lit("asof").alias("kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id").alias("matched_id"),
+        F.col("view_ts").alias("matched_ts"),
     )
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("w_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    interval_part = range_join(
+        clicks, windows, point_ts="ts", start_col="w_start", end_col="w_end",
+        bin_width_sec=600, how="left",
+    ).select(
+        F.lit("interval").alias("kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("w_id").alias("matched_id"),
+        F.col("w_start").alias("matched_ts"),
+    )
+    return asof_part.unionByName(interval_part)
 
 
 @query(

@@ -16,6 +16,9 @@ from olist_ecommerce_data_warehouse_spark.operators.similarity import (
     ivf_probes,
     ivf_topk,
     quantized,
+    srp_assign,
+    srp_hyperplanes,
+    srp_probes,
 )
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
@@ -33,6 +36,38 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+# ---- SRP-LSH index parameters (shared by the Spark plan and the SQL
+# oracle).  The hyperplane tensor is DETERMINISTIC integer math (md5 of
+# (table, bit, dim) — operators.similarity.srp_hyperplanes), so the
+# oracle replays bucket assignment EXACTLY by embedding the same
+# weights as SQL literals: signature bit b of vector v in table t is
+# sign(v · hp[t][b]), all exact int64 dots on the 1e-6 quantization
+# grid — the same replay trick the trained-IVF oracle uses for its
+# unrolled-Lloyd centroids.
+SRP_DIM = 64  # embeddings vector dim at every SF (TESTDATA.md)
+SRP_BITS = 4
+SRP_TABLES = 8
+SRP_MULTIPROBE = 1  # Hamming-1 multiprobe
+
+_SRP_HP = srp_hyperplanes(SRP_DIM, SRP_BITS, SRP_TABLES)
+
+
+def _srp_hp_values_sql() -> str:
+    rows = []
+    for t in range(SRP_TABLES):
+        for i in range(SRP_BITS):
+            w = ", ".join(str(int(x)) for x in _SRP_HP[t, i])
+            rows.append(f"({t}, {i}, [{w}])")
+    return ",\n        ".join(rows)
+
+
+# multiprobe=1 → each table probes its own signature plus every
+# 1-bit flip of it
+_SRP_FLIPS_SQL = ", ".join(
+    f"({m})" for m in [0] + [1 << b for b in range(SRP_BITS)]
+)
+
+
 @query(
     "ann_cosine_topk",
     oracle=f"""
@@ -45,29 +80,100 @@ def _cos_sql(a: str, b: str) -> str:
         SELECT query_id, vec_id, {_cos_sql("qvec", "cvec")} AS cosine
         FROM c CROSS JOIN q
         WHERE vec_id != query_id
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    hp AS (SELECT * FROM (VALUES
+        {{HP_VALUES}}) AS hp(tbl, bit, wvec)),
+    sigs AS (
+        SELECT v.vec_id, hp.tbl,
+               CAST(SUM(CASE WHEN {_dot_sql("v.cvec", "hp.wvec")} >= 0
+                             THEN (1 << hp.bit) ELSE 0 END) AS BIGINT) AS sig
+        FROM c v CROSS JOIN hp GROUP BY 1, 2
+    ),
+    buckets AS (SELECT vec_id, tbl * {2 ** SRP_BITS} + sig AS bucket FROM sigs),
+    qsig AS (SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id % 50 = 0),
+    qbuckets AS (
+        SELECT DISTINCT query_id, tbl * {2 ** SRP_BITS} + xor(sig, fm.m) AS bucket
+        FROM qsig CROSS JOIN (VALUES {_SRP_FLIPS_SQL}) AS fm(m)
+    ),
+    cand AS (
+        SELECT DISTINCT qb.query_id, b.vec_id
+        FROM qbuckets qb JOIN buckets b USING (bucket)
+        WHERE b.vec_id != qb.query_id
+    ),
+    lsh_scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_cos_sql("qv.cvec", "cv.cvec")} AS cosine
+        FROM cand
+        JOIN c qv ON qv.vec_id = cand.query_id
+        JOIN c cv ON cv.vec_id = cand.vec_id
+    ),
+    lsh_top AS (
+        SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+            FROM lsh_scored
+        ) WHERE rank <= 5
     )
-    SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rank AS INT) AS rank
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id) AS rank
-        FROM scored
-    ) WHERE rank <= 5
-    """,
+    SELECT 'exact' AS kind, * FROM exact_top
+    UNION ALL
+    SELECT 'lsh' AS kind, * FROM lsh_top
+    """.replace("{HP_VALUES}", _srp_hp_values_sql()),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 — the exact-ANN baseline.  Query
-    vectors broadcast; scoring is map-side exact-integer math over
-    quantized vectors (see operators.similarity); one shuffle for the
-    per-query top-k window.  At 100 TB the same plan holds: Q queries
-    broadcast against a partitioned corpus."""
+    """Exact + LSH ANN panel over the same query set, one slot (kind
+    discriminator):
+
+    - kind='exact': brute-force cosine top-5 — the exact-ANN baseline.
+      Query vectors broadcast; scoring is map-side exact-integer math
+      over quantized vectors with per-batch partial top-k
+      (operators.similarity.brute_force_topk); one shuffle for the
+      per-query top-k window.  At 100 TB the same plan holds: Q
+      queries broadcast against a partitioned corpus.
+    - kind='lsh': signed-random-projection LSH top-5 — the sub-linear
+      scale path.  Corpus vectors hash into 8 independent
+      4-bit sign-signature tables (srp_assign — one narrow
+      Arrow pass, L rows per vector); queries probe their own bucket
+      per table plus every Hamming-1 flip (srp_probes, driver-side
+      over the broadcast-sized query set); only colliding buckets are
+      scored, with the SAME exact-integer cosine as the brute-force
+      path (ivf_topk with candidate dedup — the scorer is shared, the
+      bucketing is pluggable).  The oracle replays the identical
+      hyperplane integer math from SQL literals, so the driver hash
+      gates index build, multiprobe expansion AND scoring — and
+      because both kinds sit in one result, it also pins LSH's
+      recall-vs-exact behavior at this SF.  Recall ≥95% at <35% pair
+      scan is separately asserted in tests/test_operators.py."""
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", quantized("embedding").alias("cvec"))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), quantized("embedding").alias("qvec")
     )
-    return brute_force_topk(queries, corpus, k=5).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+    exact = brute_force_topk(queries, corpus, k=5).select(
+        F.lit("exact").alias("kind"),
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine",
+        "rank",
     )
+    assigned = srp_assign(corpus, _SRP_HP)
+    probes = srp_probes(queries, _SRP_HP, multiprobe=SRP_MULTIPROBE)
+    lsh = ivf_topk(assigned, probes, k=5, dedup_candidates=True).select(
+        F.lit("lsh").alias("kind"),
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+    return exact.unionByName(lsh)
 
 
 # ---- trained-IVF index: k-means centroids, unrolled-Lloyd oracle ----

@@ -20,7 +20,9 @@ Exactly-once notes (the part people get wrong):
   ``order_col`` BEFORE merging — merge is then key-unique by
   construction;
 - plain parquet is not transactional: the merged result is written to
-  a STAGING directory first, then swapped in with two FS renames
+  a STAGING directory first (under a hidden ``.upsert_tmp/`` namespace
+  beside the target — never a bare ``<target>__suffix`` path a real
+  table could occupy), then swapped in with two FS renames
   (old → trash, staging → live), mirroring ``sources.bucketed``'s
   write-then-swap.  An executor loss or driver crash mid-write leaves
   the live table intact (worst case: a stale staging dir that the next
@@ -70,10 +72,22 @@ def upsert_batch(
     # transient FS failure) propagates: swallowing it would replace the
     # whole table with one micro-batch — unrecoverable data loss.
     fs, live = _hadoop_fs(spark, target_path)
-    staging_path = target_path.rstrip("/") + "__staging"
-    trash_path = target_path.rstrip("/") + "__old"
+    # Staging/trash live in a HIDDEN namespaced dir next to the target
+    # (.upsert_tmp/<basename>__{staging,old}), not at bare
+    # target_path+suffix: nothing reserves plain sibling suffixes, so a
+    # genuine user table at "<target>__old" would have been silently
+    # destroyed by the unconditional cleanup deletes below.  Dot-prefixed
+    # dirs are also invisible to Spark/Hive directory listings, so a
+    # glob over the warehouse root never picks up half-written staging
+    # files as data.
+    base = target_path.rstrip("/")
+    parent, _, name = base.rpartition("/")
+    tmp_ns = f"{parent or '.'}/.upsert_tmp"
+    staging_path = f"{tmp_ns}/{name}__staging"
+    trash_path = f"{tmp_ns}/{name}__old"
     _, staging = _hadoop_fs(spark, staging_path)
     _, trash = _hadoop_fs(spark, trash_path)
+    fs.mkdirs(_hadoop_fs(spark, tmp_ns)[1])
     # CRASH RECOVERY: a death between the swap's two renames leaves no
     # live dir but a complete trash dir — without this restore, the
     # next batch would misread that as "first batch", bootstrap from

@@ -650,6 +650,32 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert filtered.count() < big.count()
 
 
+def test_bloom_prefilter_null_probe_keys_pass_through(spark):
+    """NULL keys on the BIG (probe) side must neither crash the Arrow
+    kernel (np.int64 can't hold None) nor be dropped: the Bloom test
+    only knows about real keys, so NULL-keyed rows bypass the filter —
+    a left join downstream sees exactly the rows it would without the
+    prepass."""
+    from olist_ecommerce_data_warehouse_spark.operators.bloom import bloom_prefilter
+
+    big = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (99, "d"), (None, "e")],
+        "k long, payload string",
+    )
+    small = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    filtered = bloom_prefilter(big, small, "k")
+    rows = {r["payload"]: r["k"] for r in filtered.collect()}
+    # members kept, NULLs passed through untouched, non-member dropped
+    assert set(rows) == {"a", "b", "c", "e"}
+    assert rows["c"] is None and rows["e"] is None
+    # the inner join the prepass feeds is bit-identical with or
+    # without it (the operator's result-preservation contract)
+    keys = small.filter(F.col("k").isNotNull()).distinct()
+    direct = big.join(keys, "k", "inner")
+    via = filtered.join(keys, "k", "inner")
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, via.collect()))
+
+
 def test_connected_components_long_chain_logarithmic(spark):
     """Adversarial long-chain graph (256-node path, diameter 255): the
     pointer-jumping step must converge in O(log diameter) rounds —

@@ -182,3 +182,20 @@ def test_round3_plan_shapes(spark):
     assert "SortMergeJoin" in m_plan and "FullOuter" in m_plan
     assert "BroadcastNestedLoopJoin" not in m_plan
     assert "Window" not in m_plan
+
+
+def test_range_join_branch_is_hash_join(spark):
+    """The interval branch of asof_click_attribution must plan the
+    bucketized rewrite as an EQUI-join on the bin (hash/sort-merge
+    shuffle, AQE-splittable) — a naive BETWEEN theta join would plan a
+    BroadcastNestedLoopJoin, quadratic at corpus scale.  The oracle IS
+    that naive theta join, so the driver's hash gate plus this shape
+    gate together prove 'same rows, scalable plan'."""
+    plan = _plan(spark, "asof_click_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the bin equi-join is a real join (broadcast or shuffled hash) and
+    # the window-explosion side stays bounded (Generate = the sequence
+    # explode of interval replicas)
+    assert "Generate" in plan and "explode" in plan
+    assert "Join" in plan

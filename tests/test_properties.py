@@ -283,11 +283,13 @@ def test_sampling_multiplicity_exact(spark, weights, docs):
 
 
 # mixed-script alphabet for tokenizer fuzzing: Latin (upper/lower),
-# accents, CJK, Cyrillic, digits, punctuation, whitespace.  Turkish
-# dotted-İ is deliberately absent — the one documented cross-engine
-# lowercase divergence (see functions/text.py TOKEN_RE).
+# accents, CJK, Cyrillic, digits, punctuation, whitespace — AND the
+# Turkish İ/ı pair, whose JVM-vs-DuckDB lower() divergence the
+# tokenizer twins now remove via pre-translate (functions/text.py
+# TOKEN_RE): parity must hold even on the formerly pathological
+# code points.
 _FUZZ_ALPHABET = (
-    "abcXYZ éñü 这表格 русский 012 ,.!-_()\n\t"
+    "abcXYZ éñü 这表格 русский 012 İı ,.!-_()\n\t"
 )
 
 

@@ -270,9 +270,12 @@ def test_upsert_batch_recovers_from_crashed_swap(spark, tmp_path_factory):
     spark.createDataFrame(
         [(1, 100, "a"), (2, 100, "b")], "k long, ts long, name string"
     ).write.parquet(target)
-    # simulate the crash window: live renamed aside, new table never
-    # swapped in
-    os.rename(target, target + "__old")
+    # simulate the crash window: live renamed aside into the hidden
+    # .upsert_tmp namespace (where the swap stages it), new table
+    # never swapped in
+    trash = f"{base}/.upsert_tmp/target__old"
+    os.makedirs(f"{base}/.upsert_tmp")
+    os.rename(target, trash)
     assert not os.path.exists(target)
 
     batch = spark.createDataFrame([(2, 200, "b2"), (3, 200, "c")], "k long, ts long, name string")
@@ -280,4 +283,27 @@ def test_upsert_batch_recovers_from_crashed_swap(spark, tmp_path_factory):
     got = {r["k"]: r["name"] for r in spark.read.parquet(target).collect()}
     # row 1 (only in the crashed-aside table) must survive
     assert got == {1: "a", 2: "b2", 3: "c"}
-    assert not os.path.exists(target + "__old")
+    assert not os.path.exists(trash)
+
+
+def test_upsert_batch_preserves_sibling_suffix_tables(spark, tmp_path_factory):
+    """A genuine user table that happens to live at ``<target>__old``
+    or ``<target>__staging`` must survive upserts untouched — the
+    swap's staging/trash dirs are namespaced under ``.upsert_tmp/``,
+    never bare sibling suffixes nothing reserves."""
+    from olist_ecommerce_data_warehouse_spark.streaming.merge import upsert_batch
+
+    base = tmp_path_factory.mktemp("siblings")
+    target = f"{base}/t"
+    user_old = f"{base}/t__old"
+    user_staging = f"{base}/t__staging"
+    spark.createDataFrame([(9, "keep")], "k long, name string").write.parquet(user_old)
+    spark.createDataFrame([(8, "keep2")], "k long, name string").write.parquet(user_staging)
+    for ts in (100, 200):
+        batch = spark.createDataFrame(
+            [(1, ts, f"v{ts}")], "k long, ts long, name string"
+        )
+        upsert_batch(batch, target, keys=["k"], order_col="ts")
+    assert {r["name"] for r in spark.read.parquet(user_old).collect()} == {"keep"}
+    assert {r["name"] for r in spark.read.parquet(user_staging).collect()} == {"keep2"}
+    assert {r["name"] for r in spark.read.parquet(target).collect()} == {"v200"}
