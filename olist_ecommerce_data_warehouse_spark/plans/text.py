@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import (
+    LANG_ID_LANGS,
     LANG_MARKERS,
     PII_PATTERNS,
     SCRIPT_EVIDENCE,
@@ -142,60 +143,76 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_score_sql(lang: str) -> str:
-    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-    score = f"len(list_filter({toks_sql()}, x -> x IN ({markers})))"
+    parts = []
+    markers = LANG_MARKERS.get(lang) or []
+    if markers:
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        parts.append(f"len(list_filter({toks_sql()}, x -> x IN ({in_list})))")
     if lang in SCRIPT_EVIDENCE:
         # script-class characters are evidence too (see text_lang_id)
-        score += f" + len(regexp_extract_all(text, '{SCRIPT_EVIDENCE[lang]}'))"
-    return score
+        parts.append(f"len(regexp_extract_all(text, '{SCRIPT_EVIDENCE[lang]}'))")
+    return " + ".join(parts) if parts else "0"
 
 
-@query(
-    "text_lang_id",
-    oracle=f"""
+def _lang_id_oracle() -> str:
+    score_cols = ",\n               ".join(
+        f"{_lang_score_sql(lg)} AS score_{lg}" for lg in LANG_ID_LANGS
+    )
+    greatest = ", ".join(f"score_{lg}" for lg in LANG_ID_LANGS)
+    whens = " ".join(
+        f"WHEN score_{lg} THEN '{lg}'" for lg in LANG_ID_LANGS[:-1]
+    )
+    return f"""
     WITH scored AS (
         SELECT doc_id, lang AS lang_actual,
-               {_lang_score_sql("en")} AS score_en,
-               {_lang_score_sql("zh")} AS score_zh,
-               {_lang_score_sql("es")} AS score_es,
-               {_lang_score_sql("de")} AS score_de,
-               {_lang_score_sql("fr")} AS score_fr
+               {score_cols}
         FROM documents
     )
-    SELECT doc_id, lang_actual, score_en, score_zh, score_es, score_de, score_fr,
-           CASE greatest(score_en, score_zh, score_es, score_de, score_fr)
-                WHEN score_en THEN 'en' WHEN score_zh THEN 'zh'
-                WHEN score_es THEN 'es' WHEN score_de THEN 'de'
-                ELSE 'fr' END AS lang_predicted
+    SELECT doc_id, lang_actual, {greatest},
+           CASE greatest({greatest})
+                {whens}
+                ELSE '{LANG_ID_LANGS[-1]}' END AS lang_predicted
     FROM scored
-    """,
-)
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: per-language evidence scores → argmax
-    with a fixed precedence order (en,zh,es,de,fr) for ties.  Evidence
-    is marker-token hits PLUS script-class character counts
-    (SCRIPT_EVIDENCE): a Chinese document contains no Latin marker
-    words, but every Han character it contains is a unit of `zh`
-    evidence — so `zh` is reachable from actual CJK text, not only
-    from the synthetic-corpus marker vocabulary.  The production shape
-    (char-n-gram profiles → argmax) is identical; only the evidence
-    table changes."""
+    """Language-ID heuristic over a 10-language universe
+    (en,zh,es,de,fr,ru,ja,ko,ar,hi): per-language evidence scores →
+    argmax with fixed precedence for ties.  Evidence is REAL
+    function-word marker hits for the Latin-script languages (el/que/
+    los, der/und/die, le/et/les — actual closed-class vocabulary, not
+    corpus-specific content words) PLUS script-class character counts
+    (SCRIPT_EVIDENCE: Han, Cyrillic, Kana, Hangul, Arabic,
+    Devanagari): a Chinese/Russian/Japanese document contains no Latin
+    marker words, but every native-script character it contains is a
+    unit of evidence — so those languages are reachable from actual
+    text.  Genuine one-sentence-per-language fixtures are classified
+    correctly in tests/test_operators.py; on the driver's synthetic
+    corpus (English data-words tagged es/de/fr) the Latin non-English
+    labels intentionally no longer "win" — the old markers were
+    synthetic-corpus content words, misleading on any real corpus.
+    The production shape (char-n-gram profiles → argmax) is identical;
+    only the evidence table changes.  Pure map-side expressions, zero
+    shuffle."""
     d = table(spark, sf_dir, "documents")
-    scores = {lang: marker_hits("text", m) for lang, m in LANG_MARKERS.items()}
-    for lang, script_re in SCRIPT_EVIDENCE.items():
-        scores[lang] = scores[lang] + script_char_count("text", script_re)
+    scores = {}
+    for lang in LANG_ID_LANGS:
+        markers = LANG_MARKERS.get(lang) or []
+        score = marker_hits("text", markers) if markers else F.lit(0)
+        if lang in SCRIPT_EVIDENCE:
+            score = score + script_char_count("text", SCRIPT_EVIDENCE[lang])
+        scores[lang] = score
     best = F.greatest(*scores.values())
-    pred = (
-        F.when(scores["en"] == best, "en")
-        .when(scores["zh"] == best, "zh")
-        .when(scores["es"] == best, "es")
-        .when(scores["de"] == best, "de")
-        .otherwise("fr")
-    )
+    pred = F.when(scores[LANG_ID_LANGS[0]] == best, LANG_ID_LANGS[0])
+    for lang in LANG_ID_LANGS[1:-1]:
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise(LANG_ID_LANGS[-1])
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
-        *[scores[lg].alias(f"score_{lg}") for lg in ("en", "zh", "es", "de", "fr")],
+        *[scores[lg].alias(f"score_{lg}") for lg in LANG_ID_LANGS],
         pred.alias("lang_predicted"),
     )
 

@@ -615,6 +615,40 @@ def test_unicode_tokenizer_and_script_lang_id(spark):
         assert got[2] == "zh"
 
 
+def test_lang_id_real_sentences(spark):
+    """One GENUINE sentence per supported language must classify
+    correctly — the realism gate the synthetic-corpus marker words
+    could never pass: Latin-script languages are separated by real
+    function words, non-Latin ones by script-class evidence (and kana
+    must outvote the kanji inside mixed Japanese text)."""
+    import tempfile
+
+    from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+
+    fixtures = [
+        (1, "the cat sat on the mat and it was happy to see the dog", "en"),
+        (2, "el perro corre por la calle y los niños juegan para divertirse", "es"),
+        (3, "der hund läuft durch die straße und das kind spielt nicht gern", "de"),
+        (4, "le chien court dans la rue et les enfants jouent pour gagner", "fr"),
+        (5, "这是一个关于机器学习的中文文档，包含很多汉字。", "zh"),
+        (6, "это русский текст о машинном обучении и данных", "ru"),
+        (7, "これは日本語のテキストです。機械学習について説明します。", "ja"),
+        (8, "이것은 기계 학습에 관한 한국어 텍스트입니다", "ko"),
+        (9, "هذا نص عربي عن التعلم الآلي والبيانات", "ar"),
+        (10, "यह मशीन लर्निंग के बारे में हिंदी पाठ है", "hi"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            fixtures, "doc_id long, text string, lang string"
+        ).write.parquet(f"{td}/documents.parquet")
+        rows = REGISTRY["text_lang_id"].fn(spark, td).collect()
+        got = {r["doc_id"]: r["lang_predicted"] for r in rows}
+        want = {i: lang for i, _, lang in fixtures}
+        assert got == want, {
+            i: (got[i], want[i]) for i in want if got[i] != want[i]
+        }
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     """The Bloom pre-pass may only drop rows whose key is DEFINITELY
     absent from the small side: zero false negatives (every true match
