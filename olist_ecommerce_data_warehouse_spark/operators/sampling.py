@@ -60,14 +60,29 @@ def sample_by_weight(
     weight 0.25 → keep 25% of the source's docs (one copy each);
     weight 2.5  → every doc twice, plus a deterministic 50% third copy.
     Copies carry ``epoch_col`` ∈ 0..ceil(w)-1.  Unlisted sources get
-    ``default_weight``."""
+    ``default_weight``.
+
+    The weight lookup is a BROADCAST-JOINED weights table, not a
+    chained CASE WHEN per source: a production mixing config can carry
+    thousands of domains, and a per-domain conditional grows the
+    Catalyst expression tree (and codegen size) linearly while a
+    broadcast hash join stays one O(1)-per-row probe regardless of the
+    domain count (1,000-domain case exercised in
+    tests/test_operators.py)."""
     for w in weights.values():
         if w < 0:
             raise ValueError(f"negative weight: {w}")
-    src = F.col(source_col)
-    weight = F.lit(float(default_weight))
-    for s, w in weights.items():
-        weight = F.when(src == s, F.lit(float(w))).otherwise(weight)
+    if "__w" in df.columns:
+        raise ValueError("sample_by_weight: '__w' is a reserved column name")
+    if weights:
+        wdf = df.sparkSession.createDataFrame(
+            [(str(s), float(w)) for s, w in weights.items()],
+            f"{source_col} string, __w double",
+        )
+        df = df.join(F.broadcast(wdf), source_col, "left")
+        weight = F.coalesce(F.col("__w"), F.lit(float(default_weight)))
+    else:
+        weight = F.lit(float(default_weight))
     n_full = F.floor(weight).cast("int")
     # round() before the cast: 0.3 in binary is 0.29999…, and a bare
     # bigint cast truncates 299999.999… to 299999 — a persistent
@@ -79,7 +94,7 @@ def sample_by_weight(
         df.withColumn("__n", n_copies)
         .filter(F.col("__n") > 0)
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
-        .drop("__n")
+        .drop("__n", "__w")
     )
 
 

@@ -50,26 +50,41 @@ PACK_STATE_SCHEMA = T.StructType(
 )
 
 
+def _first_fit(ns, seq_no: int, used: int, budget: int):
+    """The ONE greedy first-fit inner loop every twin shares (reference
+    / streaming / batch — a shared definition means the three cannot
+    drift): fold token counts in order, opening a new sequence when the
+    current one can't fit the next document.  Returns (per-doc seq_no
+    list, per-doc offset list, final seq_no, final used)."""
+    out_seq, out_off = [], []
+    for n in ns:
+        n = int(n)
+        if used > 0 and used + n > budget:
+            seq_no, used = seq_no + 1, 0
+        out_seq.append(seq_no)
+        out_off.append(used)
+        used += n
+    return out_seq, out_off, seq_no, used
+
+
 def greedy_pack_reference(
     rows: list[tuple[int, str, int]], budget: int = 512
 ) -> list[tuple[int, str, int, int, int]]:
     """Driver-side reference implementation (doc_id, lang, n_tokens) →
     (…, seq_no, seq_offset), processing each lang's docs in doc_id
-    order.  The streaming operator must equal this exactly — tests
-    compare against it."""
+    order.  The streaming and batch operators must equal this exactly —
+    tests compare against it."""
     out = []
-    state: dict[str, tuple[int, int]] = {}
     by_lang: dict[str, list[tuple[int, int]]] = {}
     for doc_id, lang, n in rows:
         by_lang.setdefault(lang, []).append((doc_id, n))
     for lang, docs in by_lang.items():
-        seq_no, used = state.get(lang, (0, 0))
-        for doc_id, n in sorted(docs):
-            if used > 0 and used + n > budget:
-                seq_no, used = seq_no + 1, 0
-            out.append((doc_id, lang, n, seq_no, used))
-            used += n
-        state[lang] = (seq_no, used)
+        ordered = sorted(docs)
+        seqs, offs, _, _ = _first_fit([n for _, n in ordered], 0, 0, budget)
+        out.extend(
+            (doc_id, lang, n, s, o)
+            for (doc_id, n), s, o in zip(ordered, seqs, offs)
+        )
     return sorted(out)
 
 
@@ -92,14 +107,9 @@ def _make_packing_fn(budget: int):
         if len(batch) == 0:
             return
         batch = batch.sort_values("doc_id")
-        out_seq, out_off = [], []
-        for n in batch["n_tokens"]:
-            n = int(n)
-            if used > 0 and used + n > budget:
-                seq_no, used = seq_no + 1, 0
-            out_seq.append(seq_no)
-            out_off.append(used)
-            used += n
+        out_seq, out_off, seq_no, used = _first_fit(
+            batch["n_tokens"], seq_no, used, budget
+        )
         state.update((seq_no, used))
         yield pd.DataFrame(
             {
@@ -124,4 +134,35 @@ def greedy_packing(sized_docs: DataFrame, budget: int = 512) -> DataFrame:
         stateStructType=PACK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def greedy_pack_batch(sized_docs: DataFrame, budget: int = 512) -> DataFrame:
+    """BATCH twin of :func:`greedy_packing`: the same first-fit rule
+    over a static (doc_id, lang, n_tokens) DataFrame, one
+    ``applyInPandas`` group per stream key — state starts at (0, 0)
+    because a batch run IS the whole stream.  Runs the identical
+    ``_first_fit`` loop as the stateful operator, so the two layouts
+    cannot drift (equality asserted on the sf0.01 corpus in
+    tests/test_streaming.py).
+
+    Scale shape: one keyed shuffle (the groupBy) then a narrow Arrow
+    pass per group; the sequential fold is inherent to first-fit
+    semantics (each placement depends on the running fill), so the
+    parallel unit is the stream key — at 100 TB key on (lang, shard)
+    exactly like the streaming twin, bounding every group to an
+    executor."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seqs, offs, _, _ = _first_fit(pdf["n_tokens"], 0, 0, budget)
+        out = pdf[["doc_id", "lang", "n_tokens"]].copy()
+        out["seq_no"] = seqs
+        out["seq_offset"] = offs
+        return out
+
+    return (
+        sized_docs.select("doc_id", "lang", "n_tokens")
+        .groupBy("lang")
+        .applyInPandas(fn, PACK_OUT_SCHEMA)
     )

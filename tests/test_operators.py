@@ -341,6 +341,45 @@ def test_sample_by_weight_mixing(spark):
     assert again == sorted(map(tuple, mixed.collect()))
 
 
+def test_sample_by_weight_thousand_domains(spark):
+    """The weight lookup is a broadcast-joined table, so a
+    1,000-domain mixing config must (a) plan a BroadcastHashJoin with
+    no 1,000-branch CASE chain, and (b) produce exact deterministic
+    multiplicities — integer replication exact per doc, overall
+    realized weight tracking the config."""
+    from olist_ecommerce_data_warehouse_spark.operators.sampling import (
+        mixing_report,
+        sample_by_weight,
+    )
+
+    n_domains = 1000
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % n_domains).cast("string")).alias(
+            "source"
+        ),
+    )
+    # weights cycle through the three regimes across 1,000 domains
+    weights = {
+        f"dom{i}": [0.5, 1.0, 2.0, 2.5][i % 4] for i in range(n_domains)
+    }
+    mixed = sample_by_weight(docs, weights)
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CaseWhen" not in plan, "weight lookup regressed to a CASE chain"
+    rep = {r["source"]: r for r in mixing_report(docs, mixed).collect()}
+    # integer-weight domains replicate exactly; each domain has 4 docs
+    assert rep["dom1"]["n_mixed"] == rep["dom1"]["n_input"]  # w=1.0
+    assert rep["dom2"]["n_mixed"] == 2 * rep["dom2"]["n_input"]  # w=2.0
+    # fractional regimes stay within the deterministic-hash envelope
+    total_in = sum(r["n_input"] for r in rep.values())
+    total_out = sum(r["n_mixed"] for r in rep.values())
+    expected = sum(
+        rep[f"dom{i}"]["n_input"] * weights[f"dom{i}"] for i in range(n_domains)
+    )
+    assert abs(total_out - expected) / total_in < 0.05, (total_out, expected)
+
+
 def test_embedding_quantization_roundtrip(spark):
     """int8 absmax quantization: roundtrip error bounded by scale/254
     per component, cosine similarity preserved within 1%, zero vectors

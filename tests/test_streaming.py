@@ -256,6 +256,42 @@ def test_greedy_packing_stateful_across_restarts(spark, tmp_path_factory):
     assert (first_en[3], first_en[4]) != (0, 0)
 
 
+def test_greedy_pack_batch_equals_streaming_layout(spark):
+    """The BATCH first-fit packer must produce the identical layout as
+    the streaming twin (both share one _first_fit loop; the streaming
+    side is separately asserted equal to greedy_pack_reference, so
+    batch ≡ reference ⇒ batch ≡ streaming) — checked on the real
+    sf0.01 corpus sized by the engine's own tokenizer, plus the
+    oversized-document edge (n_tokens > budget → a sequence alone)."""
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.functions.text import token_count
+    from olist_ecommerce_data_warehouse_spark.streaming.packing import (
+        greedy_pack_batch,
+        greedy_pack_reference,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    sized = (
+        table(spark, SF_DIR_MID, "documents")
+        .select("doc_id", "lang", token_count("text").cast("long").alias("n_tokens"))
+    )
+    got = sorted(map(tuple, greedy_pack_batch(sized, budget=512).collect()))
+    want = greedy_pack_reference(
+        [(r["doc_id"], r["lang"], r["n_tokens"]) for r in sized.collect()]
+    )
+    assert got == want
+
+    # oversized doc takes a sequence alone, following docs open fresh
+    tiny = spark.createDataFrame(
+        [(1, "en", 600), (2, "en", 100), (3, "en", 100)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    rows = {r["doc_id"]: r for r in greedy_pack_batch(tiny, budget=512).collect()}
+    assert (rows[1]["seq_no"], rows[1]["seq_offset"]) == (0, 0)
+    assert (rows[2]["seq_no"], rows[2]["seq_offset"]) == (1, 0)
+    assert (rows[3]["seq_no"], rows[3]["seq_offset"]) == (1, 100)
+
+
 def test_upsert_batch_recovers_from_crashed_swap(spark, tmp_path_factory):
     """A crash between the swap's two renames leaves the live dir
     missing and the previous table in __old; the next batch must
