@@ -109,7 +109,7 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sequence_packing",
     oracle=f"""
-    WITH sized AS (
+    WITH RECURSIVE sized AS (
         SELECT doc_id, lang,
                len({TOKS}) AS n_tokens
         FROM documents
@@ -120,29 +120,65 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         FROM sized
+    ),
+    ordered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM sized
+    ),
+    greedy AS (
+        SELECT doc_id, lang, n_tokens, rn,
+               CAST(0 AS BIGINT) AS gseq, CAST(0 AS BIGINT) AS goff
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.lang, o.n_tokens, o.rn,
+               CASE WHEN g.goff + g.n_tokens > 0
+                     AND g.goff + g.n_tokens + o.n_tokens > {SEQ_BUDGET}
+                    THEN g.gseq + 1 ELSE g.gseq END,
+               CASE WHEN g.goff + g.n_tokens > 0
+                     AND g.goff + g.n_tokens + o.n_tokens > {SEQ_BUDGET}
+                    THEN 0 ELSE g.goff + g.n_tokens END
+        FROM greedy g JOIN ordered o ON o.lang = g.lang AND o.rn = g.rn + 1
     )
-    SELECT doc_id, lang, n_tokens,
+    SELECT p.doc_id, p.lang, p.n_tokens,
            CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS seq_no,
            CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset,
-           {_SPLIT_SQL} AS split
-    FROM packed
+           {_SPLIT_SQL} AS split,
+           g.gseq AS greedy_seq_no,
+           g.goff AS greedy_seq_offset
+    FROM packed p JOIN greedy g USING (doc_id)
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing + train/eval split assignment:
-    within each language stream, documents concatenate in doc_id order
-    and cut into fixed 512-token (SEQ_BUDGET) training sequences; each
-    document is assigned the sequence where it STARTS (seq_no) and its
-    token offset inside it (seq_offset) — the GPT-style packing layout
-    — plus its deterministic 90/5/5 split (see ``_split_col``).  One
-    window cumulative sum per stream (a single shuffle on the stream
-    key; at 100 TB the stream key is (lang, shard) so no partition
-    outgrows an executor), everything else narrow.  The greedy
-    first-fit variant (documents never straddle a boundary) needs a
-    stateful scan — implemented as its streaming twin in
-    ``streaming/packing.py`` (applyInPandasWithState, state survives
-    restarts; asserted in tests/test_streaming.py) — while this layout
-    is the one production packers use for dense batches."""
+    """BOTH production sequence-packing layouts + train/eval split in
+    one slot, all oracle-gated:
+
+    - concat-and-chunk (seq_no/seq_offset): within each language
+      stream, documents concatenate in doc_id order and cut into fixed
+      512-token (SEQ_BUDGET) sequences; a document is assigned the
+      sequence where it STARTS — the GPT-style dense layout.  One
+      window cumulative sum per stream.
+    - greedy first-fit (greedy_seq_no/greedy_seq_offset): documents
+      never straddle a boundary — a doc that doesn't fit opens a new
+      sequence.  Inherently a SEQUENTIAL fold (each placement depends
+      on the running fill), so it runs as the batch packer
+      ``streaming/packing.py::greedy_pack_batch`` (one Arrow pass per
+      stream key, the same ``_first_fit`` loop as the restart-safe
+      streaming operator) and the ORACLE replays the fold as a
+      recursive CTE stepping rn → rn+1 per language — the driver hash
+      now gates the greedy rule itself, closing the last
+      pytest-only-batch-operator gap.
+    - deterministic 90/5/5 split (``_split_col``): md5-bucket, salt
+      ':split'.
+
+    One shuffle total: the window's hash partitioning on lang also
+    satisfies the packer's ``groupBy(lang)`` clustering, so the Arrow
+    stage reuses the exchange (asserted in test_plan_quality).  At
+    100 TB the stream key is (lang, shard), bounding every group to an
+    executor — same contract as the streaming packer."""
+    import pandas as pd
+
+    from olist_ecommerce_data_warehouse_spark.streaming.packing import _first_fit
+
     d = table(spark, sf_dir, "documents")
     sized = d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
     w = (
@@ -151,13 +187,28 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return sized.select(
+    chunked = sized.select(
         "doc_id",
         "lang",
         "n_tokens",
         F.floor(cum_before / SEQ_BUDGET).cast("bigint").alias("seq_no"),
         (cum_before % SEQ_BUDGET).cast("bigint").alias("seq_offset"),
         _split_col().alias("split"),
+    )
+
+    def add_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seqs, offs, _, _ = _first_fit(pdf["n_tokens"], 0, 0, SEQ_BUDGET)
+        pdf = pdf.copy()
+        pdf["greedy_seq_no"] = pd.Series(seqs, index=pdf.index, dtype="int64")
+        pdf["greedy_seq_offset"] = pd.Series(offs, index=pdf.index, dtype="int64")
+        return pdf
+
+    return chunked.groupBy("lang").applyInPandas(
+        add_greedy,
+        "doc_id bigint, lang string, n_tokens int, seq_no bigint, "
+        "seq_offset bigint, split string, greedy_seq_no bigint, "
+        "greedy_seq_offset bigint",
     )
 
 

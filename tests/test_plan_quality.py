@@ -82,12 +82,17 @@ def test_fact_sk_no_global_window(spark):
 
 
 def test_corpus_plans_shuffle_budget(spark):
-    """corpus_mixing is a pure map + explode (zero Exchanges);
-    sequence_packing (which carries the train/eval split column, also a
-    pure-map expression) pays exactly one shuffle — the per-stream
-    window."""
+    """corpus_mixing is a pure map + explode with ZERO shuffles — its
+    only Exchange is the BROADCAST of the weights table (the
+    thousand-domain lookup device; broadcasting a dict-sized table
+    moves no fact data); sequence_packing pays exactly one shuffle —
+    the per-stream window, whose partitioning the greedy Arrow stage
+    reuses."""
     mix_plan = _plan(spark, "corpus_mixing")
-    assert "Exchange" not in mix_plan, mix_plan
+    assert "ShuffleExchange" not in mix_plan.replace(
+        "Exchange hashpartitioning", "ShuffleExchange"
+    ).replace("Exchange rangepartitioning", "ShuffleExchange"), mix_plan
+    assert "BroadcastHashJoin" in mix_plan, mix_plan
     pack_plan = _plan(spark, "sequence_packing")
     assert pack_plan.count("Exchange") == 1, pack_plan
 
@@ -182,6 +187,17 @@ def test_round3_plan_shapes(spark):
     assert "SortMergeJoin" in m_plan and "FullOuter" in m_plan
     assert "BroadcastNestedLoopJoin" not in m_plan
     assert "Window" not in m_plan
+
+
+def test_sequence_packing_single_exchange(spark):
+    """The packing plan computes BOTH layouts (window cumsum + greedy
+    Arrow fold) off ONE hash exchange on the stream key: the window's
+    partitioning satisfies the packer's groupBy clustering, so adding
+    the greedy stage must not add a shuffle."""
+    plan = _plan(spark, "sequence_packing")
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" in plan
 
 
 def test_range_join_branch_is_hash_join(spark):

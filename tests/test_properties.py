@@ -282,6 +282,48 @@ def test_sampling_multiplicity_exact(spark, weights, docs):
     assert counts1 == counts2
 
 
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 100),
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(0, 700),  # includes oversized (> budget) docs
+        ),
+        max_size=30,
+    ),
+    budget=st.sampled_from([64, 512]),
+)
+@_SETTINGS
+def test_greedy_pack_batch_matches_reference_fuzz(spark, docs, budget):
+    """Fuzz the batch first-fit packer against the driver-side
+    reference on arbitrary (doc_id, lang, n_tokens) multis — incl.
+    zero-token and oversized documents: layouts must be identical (the
+    invariant that also pins the streaming twin, which shares the same
+    _first_fit loop)."""
+    from olist_ecommerce_data_warehouse_spark.streaming.packing import (
+        greedy_pack_batch,
+        greedy_pack_reference,
+    )
+
+    doc_rows = list({(d, lg): (d, lg, n) for d, lg, n in docs}.values())
+    if not doc_rows:
+        return
+    # reference keys by doc_id within lang — keep doc_id unique per lang
+    uniq = {}
+    for d, lg, n in doc_rows:
+        uniq[(d, lg)] = (d, lg, n)
+    rows = sorted(uniq.values())
+    # drop cross-lang doc_id duplicates to keep doc_id a stable sort key
+    seen, final = set(), []
+    for d, lg, n in rows:
+        if d not in seen:
+            seen.add(d)
+            final.append((d, lg, n))
+    df = spark.createDataFrame(final, "doc_id long, lang string, n_tokens long")
+    got = sorted(map(tuple, greedy_pack_batch(df, budget=budget).collect()))
+    assert got == greedy_pack_reference(final, budget=budget)
+
+
 # mixed-script alphabet for tokenizer fuzzing: Latin (upper/lower),
 # accents, CJK, Cyrillic, digits, punctuation, whitespace — AND the
 # Turkish İ/ı pair, whose JVM-vs-DuckDB lower() divergence the
