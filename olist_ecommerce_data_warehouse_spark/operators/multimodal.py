@@ -123,7 +123,7 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
 REAL_DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("format", T.StringType()),  # png | bmp | wav
+        T.StructField("format", T.StringType()),  # png | bmp | wav | gif
         T.StructField("width", T.IntegerType()),  # wav: n_samples/channel
         T.StructField("height", T.IntegerType()),  # wav: 0
         T.StructField("n_channels", T.IntegerType()),
@@ -187,6 +187,112 @@ def _parse_bmp(b: bytes):
     return w, n_rows, ch, 8, mean
 
 
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/end
+    codes, table growth to 12 bits.  Returns the index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + code_size <= nbits:
+        byte_i, bit_o = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(literals)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad GIF LZW stream: first code not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _parse_gif(b: bytes):
+    """GIF87a/89a first frame via stdlib: header + color tables walked
+    by offset, LZW index stream decoded (``_lzw_decode_gif``), indices
+    resolved THROUGH the color table to RGB before averaging — the
+    resolution step palette PNGs can't do without PLTE handling is
+    mandatory here because every GIF carries its table, so the mean is
+    over pixel intensities, never palette positions.  Interlaced GIFs
+    raise (PIL territory, same policy as interlaced PNG)."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _, _, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    # skip extension blocks to the first image separator
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x2C:
+            break
+        if marker == 0x21:  # extension: introducer + label, then sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    _, _, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+    pos += 10
+    ct = gct
+    if iflags & 0x80:  # local color table overrides
+        n = 2 << (iflags & 0x07)
+        ct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF image without any color table")
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIF beyond the stdlib decoder")
+    min_code_size = b[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        blen = b[pos]
+        pos += 1
+        if blen == 0:
+            break
+        data += b[pos : pos + blen]
+        pos += blen
+    indices = _lzw_decode_gif(bytes(data), min_code_size)
+    if len(indices) < w * h:
+        raise ValueError("truncated GIF pixel data")
+    total = sum(
+        ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2] for i in indices[: w * h]
+    )
+    mean = total / (3 * w * h) if w * h else 0.0
+    return w, h, 3, 8, mean
+
+
 def _parse_wav(b: bytes):
     """WAV via the stdlib ``wave`` module + PCM sample decode: channel
     count, sample rate, per-channel frame count, mean |amplitude|
@@ -212,7 +318,7 @@ def _parse_wav(b: bytes):
 
 
 def real_decode_media(media: DataFrame) -> DataFrame:
-    """REAL decode for stdlib-decodable payloads (PNG/BMP/WAV),
+    """REAL decode for stdlib-decodable payloads (PNG/BMP/WAV/GIF),
     sniffing the container by magic bytes.  Anything else —
     JPEG/MP4/… — raises ``NotImplementedError`` where the PIL/ffmpeg
     call would go.  Same Arrow-batched shape as ``decode_media``;
@@ -234,10 +340,13 @@ def real_decode_media(media: DataFrame) -> DataFrame:
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     n, _, ch, rate, depth, mean = _parse_wav(b)
                     rows.append((r["media_id"], "wav", n, 0, ch, rate, depth, mean))
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, ch, depth, mean = _parse_gif(b)
+                    rows.append((r["media_id"], "gif", w, h, ch, 0, depth, mean))
                 else:
                     raise NotImplementedError(
-                        "payload is not PNG/BMP/WAV — real decode of this format "
-                        "needs PIL/ffmpeg, not present in this environment"
+                        "payload is not PNG/BMP/WAV/GIF — real decode of this "
+                        "format needs PIL/ffmpeg, not present in this environment"
                     )
             yield pd.DataFrame(
                 rows,

@@ -66,3 +66,63 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
     assert "event_type" in pf_line, pf_line
     assert scan.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path_factory):
+    """JSONL source/sink: a corpus shard round-trips exactly through
+    write_jsonl/read_jsonl with an explicit schema; corrupt lines land
+    in the quarantine side with their raw text instead of failing the
+    load or being silently dropped; FAILFAST aborts on them."""
+    import gzip
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+    from tests.conftest import SF_DIR
+
+    base = tmp_path_factory.mktemp("jsonl")
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    # clean round-trip (gzip-sharded, the production corpus layout)
+    out = f"{base}/shards"
+    write_jsonl(docs, out)
+    assert any(f.endswith(".json.gz") for f in os.listdir(out))
+    back = read_jsonl(spark, out, schema)
+    clean, quarantine = split_corrupt(back)
+    assert quarantine.count() == 0
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, docs.collect()))
+
+    # corrupt lines: quarantined with raw text, clean rows unaffected
+    dirty = f"{base}/dirty"
+    os.makedirs(dirty)
+    with gzip.open(f"{dirty}/part-0.jsonl.gz", "wt") as f:
+        f.write('{"doc_id": 1, "text": "ok one", "lang": "en"}\n')
+        f.write("{not json at all\n")
+        f.write('{"doc_id": 2, "text": "ok two", "lang": "de"}\n')
+        f.write('["an", "array", "line"]\n')
+    clean, quarantine = split_corrupt(read_jsonl(spark, dirty, schema))
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    bad = sorted(r["raw_line"] for r in quarantine.collect())
+    assert bad == ['["an", "array", "line"]', "{not json at all"]
+
+    # FAILFAST aborts the load on the first corrupt line
+    with pytest.raises(Exception):
+        read_jsonl(spark, dirty, schema, mode="FAILFAST").collect()
+    with pytest.raises(ValueError):
+        read_jsonl(spark, dirty, schema, mode="DROPMALFORMED")
+    _ = F  # keep the shared import convention explicit

@@ -192,6 +192,110 @@ def test_real_decode_png_bmp_wav(spark):
     )
 
 
+def _gif_bitpack(codes):
+    """LSB-first variable-width code packer (independent of the
+    decoder's reader): codes = [(code, width), ...]."""
+    acc = bitlen = 0
+    out = bytearray()
+    for code, width in codes:
+        acc |= code << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_wrap(w, h, palette, lzw_data, min_code_size=2, with_ext=False):
+    import struct
+
+    assert len(palette) == 4  # 4-entry global color table → size bits 1
+    gct = b"".join(bytes(c) for c in palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+    out += gct
+    if with_ext:  # graphics-control extension the decoder must skip
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code_size])
+    # split into sub-blocks of ≤255
+    for i in range(0, len(lzw_data), 255):
+        blk = lzw_data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_real_decode_gif(spark):
+    """GIF decode is REAL: (1) a literal-coded stream (clear codes
+    keep the table flat — the classic 'uncompressed GIF' encoding, an
+    independent encoding path from the decoder's table logic) decodes
+    with the palette-resolved RGB mean exact; (2) a hand-packed
+    compressed stream exercises the LZW table-growth path including
+    the code==len(table) self-reference case; (3) interlaced GIFs
+    raise — same honest policy as interlaced PNG."""
+    import pytest
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        real_decode_media,
+    )
+
+    palette = [(0, 0, 0), (30, 60, 90), (120, 150, 180), (210, 240, 255)]
+
+    # fixture 1: 4×2 image, literal coding (clear before every code so
+    # the table never grows and widths stay at 3 bits)
+    indices = [0, 1, 2, 3, 3, 2, 1, 0]
+    codes = []
+    for i in indices:
+        codes += [(4, 3), (i, 3)]  # clear, literal
+    codes.append((5, 3))  # end
+    gif1 = _gif_wrap(4, 2, palette, _gif_bitpack(codes), with_ext=True)
+    mean1 = sum(sum(palette[i]) for i in indices) / (3 * 8)
+
+    # fixture 2: 2×2 all-index-1 image as a REAL LZW stream
+    # (clear, 1, 6, 1, end) — code 6 == len(table) is the prev+prev[0]
+    # self-reference; after entry 7 the width bumps to 4 bits, so the
+    # end code is 4 bits wide
+    lzw2 = _gif_bitpack([(4, 3), (1, 3), (6, 3), (1, 3), (5, 4)])
+    assert list(_lzw_decode_gif(lzw2, 2)) == [1, 1, 1, 1]
+    gif2 = _gif_wrap(2, 2, palette, lzw2)
+    mean2 = sum(palette[1]) / 3
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(gif1), "t"), (2, "image", bytearray(gif2), "t")],
+        "media_id long, kind string, payload binary, source string",
+    )
+    got = {r["media_id"]: r for r in real_decode_media(media).collect()}
+    g1 = got[1]
+    assert (g1["format"], g1["width"], g1["height"], g1["n_channels"]) == (
+        "gif", 4, 2, 3,
+    )
+    assert abs(g1["sample_mean"] - mean1) < 1e-9
+    g2 = got[2]
+    assert (g2["format"], g2["width"], g2["height"]) == ("gif", 2, 2)
+    assert abs(g2["sample_mean"] - mean2) < 1e-9
+
+    # interlaced → honest NotImplementedError
+    interlaced = bytearray(gif2)
+    # image descriptor sits right after header+LSD+GCT: set interlace bit
+    idesc = 6 + 7 + 12
+    assert interlaced[idesc] == 0x2C
+    interlaced[idesc + 9] |= 0x40
+    bad = spark.createDataFrame(
+        [(3, "image", interlaced, "t")],
+        "media_id long, kind string, payload binary, source string",
+    )
+    with pytest.raises(Exception) as ei:
+        real_decode_media(bad).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
 def test_resize_images_nearest_neighbor_exact(spark):
     """Resize really decodes the PNG and samples exact source pixels:
     downsampling a known gradient picks the nearest-neighbor source

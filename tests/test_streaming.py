@@ -292,6 +292,47 @@ def test_greedy_pack_batch_equals_streaming_layout(spark):
     assert (rows[3]["seq_no"], rows[3]["seq_offset"]) == (1, 100)
 
 
+def test_stream_range_enrich_equals_batch(spark, event_source):
+    """Stream-static range join: streaming clicks enriched against a
+    static table of 15-minute error windows must produce EXACTLY the
+    batch range_join rows (same bucketized rewrite, same bins), with
+    stateless stream-side processing — and reject misuse (batch points
+    / streaming intervals)."""
+    import pytest as _pytest
+
+    from olist_ecommerce_data_warehouse_spark.operators.rangejoin import range_join
+    from olist_ecommerce_data_warehouse_spark.streaming.rangejoin import (
+        stream_range_enrich,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("w_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    stream = read_event_stream(spark, event_source)
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    enriched = stream_range_enrich(
+        clicks_s, windows, "ts", "w_start", "w_end", bin_width_sec=600
+    )
+    got = _drain(spark, enriched, "t_range_enrich", mode="append")
+    want = range_join(
+        clicks_b, windows, "ts", "w_start", "w_end", bin_width_sec=600
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    with _pytest.raises(ValueError, match="must be a streaming"):
+        stream_range_enrich(clicks_b, windows, "ts", "w_start", "w_end")
+    with _pytest.raises(ValueError, match="must be static"):
+        stream_range_enrich(clicks_s, clicks_s, "ts", "w_start", "w_end")
+
+
 def test_upsert_batch_recovers_from_crashed_swap(spark, tmp_path_factory):
     """A crash between the swap's two renames leaves the live dir
     missing and the previous table in __old; the next batch must
