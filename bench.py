@@ -35,13 +35,16 @@ from olist_ecommerce_data_warehouse_spark.session import get_spark  # noqa: E402
 # documents.  Plans merged in round 2 carry the SUM of their round-1
 # parts (e.g. scalar_kpis = total_revenue + order_date_range).
 BASELINE_R01 = {
-    "ann_cosine_topk": 1.3931,
+    # ann_cosine_topk re-anchored in BASELINE_R04: round 4 added the
+    # SRP-LSH panel branch (capability change)
     # ann_ivf_topk's r01 anchor (1.4946) retired: round 3 put k-means
     # TRAINING in the loop — re-anchored in BASELINE_R02
     # approx_aggregates re-anchored in round 2: the plan gained exact
     # distinct/percentile anchors + in-bounds indicators to become
     # driver-oracle-checkable (round-1 0.4329 s was sketch-only work)
-    "approx_aggregates": 1.59, "asof_click_attribution": 0.7604,
+    "approx_aggregates": 1.59,
+    # asof_click_attribution re-anchored in BASELINE_R04: round 4 added
+    # the bucketized range-join branch (capability change)
     "cleanse_accent_fold_dedup": 0.3901, "cleanse_decimal_comma": 1.4546,
     "cleanse_trim_case_prefix": 0.5716, "cleanse_try_timestamp": 0.4566,
     "cleanse_validity_filter": 0.2993, "csv_roundtrip_ingest": 1.7187,
@@ -74,7 +77,9 @@ BASELINE_R01 = {
     # values instead of the hand-scaled r01 numbers this dict briefly
     # carried (an anchor that was never measured is not an anchor)
     "sk_resolution_chain": 1.338, "skew_salted_join": 3.0472,
-    "surrogate_keys": 0.8046, "text_lang_id": 0.6537,
+    "surrogate_keys": 0.8046,
+    # text_lang_id re-anchored in BASELINE_R04: round 4 widened it to a
+    # 10-language universe (capability change)
     "volumetrics": 0.9386,
 }
 
@@ -86,10 +91,13 @@ BASELINE_R01 = {
 # k-means TRAINING in the loop (2 distributed Lloyd iterations at
 # query time) — a capability change, not a regression.
 BASELINE_R02 = {
-    "contamination_check": 5.1701,
+    # contamination_check re-anchored in BASELINE_R04: round 4 replaced
+    # gram strings with rolling token-hash folds (3× faster — the old
+    # 5.17 anchor would hide any regression back toward the slow shape)
     "dedup_cluster_cc": 6.4824,
-    "sequence_packing": 0.4014,
-    "text_repetition": 4.4033,
+    # sequence_packing / text_repetition re-anchored in BASELINE_R04:
+    # round 4 added the greedy-packing layout and the exact-substring
+    # span-dedup columns (capability changes)
     "ann_ivf_topk": 2.6,
 }
 
@@ -105,6 +113,21 @@ BASELINE_R03 = {
     "scalar_kpis": 0.7855,
     "scd2_dim_customer": 0.6077,
     "text_metrics": 0.9331,
+}
+
+# Frozen round-4 anchors (measured this round, sf0.1 local[32],
+# best-of-2): the five plans whose capability widened in round 4
+# (range-join branch, LSH panel, 10-language ID, greedy-packing
+# columns, span-dedup columns) plus contamination_check, whose gram
+# identity moved to rolling token-hash folds (3× faster — re-anchored
+# at the fast shape so a regression back to gram strings gets flagged).
+BASELINE_R04 = {
+    "asof_click_attribution": 0.748,
+    "ann_cosine_topk": 1.133,
+    "text_lang_id": 0.724,
+    "sequence_packing": 0.451,
+    "text_repetition": 2.549,
+    "contamination_check": 1.514,
 }
 
 
@@ -166,6 +189,7 @@ def main() -> None:
         "regressions_vs_r01": _diff(BASELINE_R01, "r01"),
         "regressions_vs_r02": _diff(BASELINE_R02, "r02"),
         "regressions_vs_r03": _diff(BASELINE_R03, "r03"),
+        "regressions_vs_r04": _diff(BASELINE_R04, "r04"),
     }
     print(json.dumps(out))
     spark.stop()

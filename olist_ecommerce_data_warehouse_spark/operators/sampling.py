@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex_to_long
 
 _M = 1_000_000
+# config sizes up to this use an inline conditional; larger ones a
+# broadcast-joined weights table (see sample_by_weight docstring)
+_EXPR_LOOKUP_MAX = 32
 
 
 def _hash_frac(id_col: Column, salt: str) -> Column:
@@ -62,25 +65,33 @@ def sample_by_weight(
     Copies carry ``epoch_col`` ∈ 0..ceil(w)-1.  Unlisted sources get
     ``default_weight``.
 
-    The weight lookup is a BROADCAST-JOINED weights table, not a
-    chained CASE WHEN per source: a production mixing config can carry
-    thousands of domains, and a per-domain conditional grows the
-    Catalyst expression tree (and codegen size) linearly while a
-    broadcast hash join stays one O(1)-per-row probe regardless of the
-    domain count (1,000-domain case exercised in
-    tests/test_operators.py)."""
+    The weight lookup auto-selects by config size: up to
+    ``_EXPR_LOOKUP_MAX`` domains it stays a codegen'd conditional
+    (zero extra jobs — a 3-entry mixing config should not pay a
+    broadcast build); beyond that it becomes a BROADCAST-JOINED
+    weights table, because a production config can carry thousands of
+    domains and a per-domain conditional grows the Catalyst expression
+    tree (and codegen size) linearly while a broadcast hash join stays
+    one O(1)-per-row probe regardless of domain count (1,000-domain
+    case exercised in tests/test_operators.py).  Both paths compute
+    the identical weight per row."""
     for w in weights.values():
         if w < 0:
             raise ValueError(f"negative weight: {w}")
     if "__w" in df.columns:
         raise ValueError("sample_by_weight: '__w' is a reserved column name")
-    if weights:
+    if len(weights) > _EXPR_LOOKUP_MAX:
         wdf = df.sparkSession.createDataFrame(
             [(str(s), float(w)) for s, w in weights.items()],
             f"{source_col} string, __w double",
         )
         df = df.join(F.broadcast(wdf), source_col, "left")
         weight = F.coalesce(F.col("__w"), F.lit(float(default_weight)))
+    elif weights:
+        src = F.col(source_col)
+        weight = F.lit(float(default_weight))
+        for s, w in weights.items():
+            weight = F.when(src == s, F.lit(float(w))).otherwise(weight)
     else:
         weight = F.lit(float(default_weight))
     n_full = F.floor(weight).cast("int")

@@ -30,6 +30,17 @@ def _split_bucket_sql(key: str) -> str:
 SEQ_BUDGET = 512  # tokens per packed training sequence
 TOKS = toks_sql()  # the oracle-side tokenizer twin, shared by all plans here
 
+# Shared rolling-gram-hash machinery (ONE definition engine-wide, in
+# plans.text): per-token 32-bit md5 hashes, k-window polynomial folds.
+from olist_ecommerce_data_warehouse_spark.plans.text import (  # noqa: E402
+    _TH_SQL as TH_SQL,
+    _gramk_sql,
+    gramk_expr,
+    token_hashes_expr,
+)
+
+GRAMK_SQL = _gramk_sql("th", 5)  # CONTAM_N-window rolling hashes
+
 
 def _split_col() -> Column:
     """Deterministic 90/5/5 train/val/test assignment by content-stable
@@ -215,9 +226,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- contamination
 
 CONTAM_N = 5  # n-gram order for overlap detection
-GRAMS_SQL = f"""list_distinct(list_transform(
-    generate_series(1, greatest(len({TOKS}) - {CONTAM_N - 1}, 0)),
-    i -> array_to_string(({TOKS})[i:i+{CONTAM_N - 1}], ' ')))"""
+
+# Gram identity is the ROLLING polynomial hash of per-token md5 hashes
+# (plans.text machinery: _TH_SQL token hashes, _gramk_sql k-window
+# fold) — the same hash-before-explode treatment text_repetition got
+# in round 2: no gram strings are ever built, each token is hashed
+# once per document instead of appearing in ~5 concatenated shingle
+# strings, and the exploded rows are 8-byte ints.  Round 4 measured
+# the old string-shingle path at 2× the cost once the tokenizer gained
+# the İ-normalizing translate (the `toks` subtree re-evaluates per
+# transform element in the string formulation; the zip_with fold
+# evaluates it once per row).
 
 
 @query(
@@ -238,15 +257,18 @@ GRAMS_SQL = f"""list_distinct(list_transform(
         SELECT * FROM assigned WHERE split <> 'train'
         UNION ALL SELECT * FROM injected
     ),
-    train_grams AS (
-        SELECT DISTINCT {_H2I.format(h="substr(md5(shingle), 1, 8)")} AS gh
-        FROM (SELECT unnest({GRAMS_SQL}) AS shingle
-              FROM assigned WHERE split = 'train')
+    train_th AS (
+        SELECT {TH_SQL} AS th FROM assigned WHERE split = 'train'
     ),
+    train_grams AS (
+        SELECT DISTINCT gh FROM (
+            SELECT unnest(list_distinct({GRAMK_SQL})) AS gh FROM train_th
+        )
+    ),
+    eval_th AS (SELECT doc_id, split, {TH_SQL} AS th FROM evals),
     eval_grams AS (
-        SELECT doc_id, split,
-               {_H2I.format(h="substr(md5(shingle), 1, 8)")} AS gh
-        FROM (SELECT doc_id, split, unnest({GRAMS_SQL}) AS shingle FROM evals)
+        SELECT doc_id, split, unnest(list_distinct({GRAMK_SQL})) AS gh
+        FROM eval_th
     ),
     scored AS (
         SELECT e.doc_id, e.split,
@@ -291,8 +313,6 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator).  Documents shorter than {CONTAM_N} tokens produce no
     shingles and are (by definition) not assessable — both engines
     drop them identically."""
-    from olist_ecommerce_data_warehouse_spark.operators.textdedup import shingles
-
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # ONE split definition engine-wide: reusing _split_col keeps the
     # contamination gate's notion of "train" in lockstep with the
@@ -305,24 +325,29 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     evals = assigned.filter(F.col("split") != "train").unionByName(injected)
 
-    # distinct + join on the 8-byte md5-derived gram hash, not the
-    # ~40-byte shingle string: the dedup and join shuffles carry ints
-    # (~5× less volume).  md5 is identical in both engines, so the
-    # (astronomically rare) collision merges the same grams on both
-    # sides — results stay hash-equal, the flag stays a faithful
-    # heuristic.
-    grams = shingles("text", n=CONTAM_N)
-    gram_hash = hex_to_long(F.substring(F.md5("shingle"), 1, 8)).alias("gh")
+    # distinct + join on the 8-byte ROLLING gram hash (token md5s →
+    # polynomial k-window fold, plans.text.gramk_expr), never a
+    # ~40-byte shingle string: tokens hash once per doc, shuffles
+    # carry ints, and the zip_with fold evaluates the token array once
+    # per ROW where the string-shingle transform re-evaluated it per
+    # element.  The arithmetic is identical in both engines, so the
+    # (rare) collision merges the same grams on both sides — results
+    # stay hash-equal, the flag stays a faithful heuristic.
+    # token hashes land in a PROJECTED column before the k-window fold
+    # (gramk's slices reference their input k times — against the raw
+    # expression that re-runs tokenize+md5 per slice; see the same
+    # note in text_repetition)
+    grams = F.explode(F.array_distinct(gramk_expr("th", CONTAM_N))).alias("gh")
     eval_grams = evals.select(
-        "doc_id", "split", F.explode(grams).alias("shingle")
-    ).select("doc_id", "split", gram_hash)
+        "doc_id", "split", token_hashes_expr().alias("th")
+    ).select("doc_id", "split", grams)
     # eval side computed once: it feeds the Bloom build AND the final
     # join — persist instead of re-tokenizing/exploding the eval docs
     eval_grams = track_persist(eval_grams)
     train_gram_stream = (
         assigned.filter(F.col("split") == "train")
-        .select(F.explode(grams).alias("shingle"))
-        .select(gram_hash)
+        .select(token_hashes_expr().alias("th"))
+        .select(grams)
     )
     train_grams = (
         train_gram_stream.join(

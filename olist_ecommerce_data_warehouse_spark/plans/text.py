@@ -233,6 +233,18 @@ TOKS_SQL = toks_sql()
 GRAM_P = 1_000_003  # multiplier (prime > 2^19)
 GRAM_M = 4_294_967_296  # 2^32 fold keeps every product within int64
 
+# Exact-substring (cross-document span) dedup parameters: window
+# length in tokens (Lee et al. use 50 on web corpora; 8 here because
+# the driver's documents run 15–80 tokens — the criterion, ≥k-token
+# verbatim overlap across documents, is the same), and the
+# deterministic boilerplate sentence injected into every 5th document
+# so the detector has true positives (10 tokens → 3 shared spans per
+# injected doc).
+SPAN_K = 8
+SPAN_BOILER = (
+    "subscribe to our newsletter for updates and exclusive offers today"
+)
+
 _TH_SQL = f"list_transform({TOKS_SQL}, t -> {hex2int_sql('md5(t)')})"
 
 
@@ -298,6 +310,46 @@ def gram3_expr(th_col: str = "th"):
     )
 
 
+def gramk_expr(th_col, k: int):
+    """k-window rolling hashes for ANY k ≥ 2 — the generalization of
+    ``gram2_expr``/``gram3_expr`` (identical arithmetic at k=2,3):
+    k−1 chained ``zip_with`` folds over shifted slices, intermediate
+    steps mod-folded to stay in int64, all codegen'd JVM expressions
+    (no interpreted per-window lambdas, no gram strings)."""
+    if k < 2:
+        raise ValueError("gramk_expr: k must be >= 2")
+    n_th = F.size(th_col)
+    m = F.greatest(n_th - (k - 1), F.lit(0))
+    acc = F.slice(th_col, 1, m)
+    for j in range(2, k + 1):
+        nxt = F.slice(th_col, j, m)
+        if j < k:
+            acc = F.zip_with(acc, nxt, lambda a, b: _combine(a, b) % GRAM_M)
+        else:
+            acc = F.zip_with(acc, nxt, _combine)
+    return acc
+
+
+def _gramk_sql(th: str, k: int) -> str:
+    """SQL twin of :func:`gramk_expr` (DuckDB list_zip/list_transform
+    fold over the same shifted slices — ``list_zip`` pads to the
+    LONGEST input, so every slice is cut to the same m elements)."""
+    if k < 2:
+        raise ValueError("_gramk_sql: k must be >= 2")
+
+    def sl(j: int) -> str:
+        # elements j .. len-(k-j): exactly m = len-k+1 per slice
+        return f"{th}[{j}:greatest(len({th}) - {k - j}, 0)]"
+
+    acc = sl(1)
+    for j in range(2, k + 1):
+        inner = f"((p[1] * {GRAM_P}) % {GRAM_M} + p[2])"
+        if j < k:
+            inner += f" % {GRAM_M}"
+        acc = f"list_transform(list_zip({acc}, {sl(j)}), p -> {inner})"
+    return acc
+
+
 @query(
     "text_repetition",
     oracle=f"""
@@ -325,39 +377,79 @@ def gram3_expr(th_col: str = "th"):
                MAX(CASE WHEN n = 3 THEN total END) AS n_3grams,
                MAX(CASE WHEN n = 3 THEN dup_occ END) AS dup3
         FROM per_doc GROUP BY doc_id
+    ),
+    inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' {SPAN_BOILER}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    ith AS (SELECT doc_id, {_TH_SQL} AS th FROM inj),
+    spans AS (
+        SELECT doc_id, unnest(list_distinct({_gramk_sql("th", 8)})) AS gh
+        FROM ith
+    ),
+    spancounts AS (SELECT gh, COUNT(*) AS n_docs FROM spans GROUP BY gh),
+    spanstats AS (
+        SELECT s.doc_id,
+               COUNT(*) AS sp_n,
+               SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS sp_dup
+        FROM spans s JOIN spancounts c USING (gh)
+        GROUP BY s.doc_id
     )
-    SELECT doc_id,
+    SELECT w.doc_id,
            CAST(n_2grams AS BIGINT) AS n_2grams,
            CAST(top2 AS DOUBLE) / n_2grams AS top_2gram_frac,
            CAST(n_3grams AS BIGINT) AS n_3grams,
            CAST(dup3 AS DOUBLE) / n_3grams AS dup_3gram_frac,
            CASE WHEN CAST(top2 AS DOUBLE) / n_2grams < 0.20
                  AND CAST(dup3 AS DOUBLE) / n_3grams < 0.60
-                THEN 1 ELSE 0 END AS passes_repetition
-    FROM wide
+                THEN 1 ELSE 0 END AS passes_repetition,
+           CAST(COALESCE(sp.sp_n, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(sp.sp_dup, 0) AS BIGINT) AS n_cross_dup_spans,
+           CASE WHEN sp.sp_n > 0
+                THEN CAST(sp.sp_dup AS DOUBLE) / sp.sp_n END AS cross_dup_frac,
+           CASE WHEN sp.sp_n IS NULL OR 2 * sp.sp_dup < sp.sp_n
+                THEN 1 ELSE 0 END AS passes_span_dedup
+    FROM wide w LEFT JOIN spanstats sp ON sp.doc_id = w.doc_id
     WHERE n_2grams IS NOT NULL AND n_3grams IS NOT NULL
     """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/boilerplate quality signals (the Gopher repetition
     filters, Rae et al. 2021 — adopted verbatim by MassiveText, Dolma,
-    RefinedWeb): fraction of all 2-gram occurrences taken by the single
-    most frequent 2-gram, and fraction of 3-gram occurrences whose gram
-    repeats within the document.  Degenerate machine-generated or
-    template text scores high on both; the gate thresholds (top-2-gram
-    < 20%, duplicated-3-gram < 60%) are the published ones.
+    RefinedWeb) PLUS exact-substring cross-document duplication (the
+    Lee et al. 2022 'Deduplicating Training Data' signal — the third
+    dedup paradigm next to exact-doc and near-dup), one slot:
 
-    Shape: hash each TOKEN once (md5 → 32-bit int), derive the
-    NON-distinct n-gram multisets (occurrences are the signal) as
-    polynomial ROLLING hashes of adjacent token hashes — no gram
-    strings are ever built (see GRAM_P/GRAM_M above; 5.5× faster than
-    the gram-string+md5 shape) — explode the 8-byte ints tagged with n,
-    one (doc, n, gh) count aggregation, one (doc, n) rollup,
-    conditional-agg pivot back to one row per doc.  Both shuffles key
-    on doc_id-led composites — no skew (a gram's count is bounded by
-    document length), map-side partials collapse repeats, scales with
-    corpus size not vocabulary.  Docs shorter than the n-gram order
-    produce no rows and are excluded identically in both engines."""
+    - within-doc: fraction of all 2-gram occurrences taken by the
+      single most frequent 2-gram, and fraction of 3-gram occurrences
+      whose gram repeats within the document.  Gate thresholds
+      (top-2-gram < 20%, duplicated-3-gram < 60%) are the published
+      ones.
+    - cross-doc: every 8-token window (SPAN_K) rolling-hashed; a span
+      present in ≥2 documents is a cross-corpus duplicate (the
+      suffix-array criterion approximated at fixed window length —
+      the scalable Spark shape), reported per doc as
+      n_spans / n_cross_dup_spans / cross_dup_frac and a <50% gate.
+      The corpus is deterministically ADVERSARIAL: every 5th document
+      gets a shared boilerplate sentence appended (the real-world
+      cross-doc duplication mode), so the gate has true positives to
+      find and the driver hash pins them.
+
+    Shape: hash each TOKEN once (md5 → 32-bit int), derive n-gram /
+    span identities as polynomial ROLLING hashes of adjacent token
+    hashes (GRAM_P/GRAM_M; ``gramk_expr`` chains k−1 codegen'd
+    zip_withs — no gram strings, exploded rows are 8-byte ints).
+    Within-doc: one (doc, n, gh) count agg, one (doc, n) rollup,
+    conditional-agg pivot.  Cross-doc: per-doc DISTINCT span hashes
+    explode once, one gh-count agg, join back on gh (8-byte keys),
+    per-doc rollup, broadcast-joined onto the wide row.  All shuffles
+    key on doc_id/gh — no skew (span frequency is bounded by corpus
+    duplication, the quantity being measured), map-side partials
+    collapse repeats.  Docs shorter than the n-gram order produce no
+    rows and are excluded identically in both engines; docs shorter
+    than SPAN_K get 0 spans, NULL frac, and pass the span gate."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     dt = d.select("doc_id", token_hashes_expr().alias("th"))
     g = dt.select(
@@ -377,15 +469,58 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("n") == 3, F.col("total"))).alias("n_3grams"),
         F.max(F.when(F.col("n") == 3, F.col("dup_occ"))).alias("dup3"),
     )
+    # cross-doc span duplication over the boilerplate-injected variant
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + SPAN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # token hashes land in a PROJECTED column before the k-window fold:
+    # gramk's slices reference their input k times, and against the raw
+    # token-hash expression that re-runs tokenize+md5 per slice
+    # (measured 4.2 s vs 0.55 s for this branch at sf0.1); against a
+    # projected column it evaluates once per row
+    thi = injected.select("doc_id", token_hashes_expr().alias("th"))
+    spans = thi.select(
+        "doc_id",
+        F.explode(F.array_distinct(gramk_expr("th", SPAN_K))).alias("gh"),
+    )
+    spancounts = spans.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    spanstats = (
+        spans.join(spancounts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("sp_n"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("sp_dup"),
+        )
+    )
     top_frac = F.col("top2").cast("double") / F.col("n_2grams")
     dup_frac = F.col("dup3").cast("double") / F.col("n_3grams")
-    return wide.filter(
-        F.col("n_2grams").isNotNull() & F.col("n_3grams").isNotNull()
-    ).select(
-        "doc_id",
-        F.col("n_2grams").cast("bigint").alias("n_2grams"),
-        top_frac.alias("top_2gram_frac"),
-        F.col("n_3grams").cast("bigint").alias("n_3grams"),
-        dup_frac.alias("dup_3gram_frac"),
-        F.when((top_frac < 0.20) & (dup_frac < 0.60), 1).otherwise(0).alias("passes_repetition"),
+    return (
+        wide.filter(F.col("n_2grams").isNotNull() & F.col("n_3grams").isNotNull())
+        .join(spanstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_2grams").cast("bigint").alias("n_2grams"),
+            top_frac.alias("top_2gram_frac"),
+            F.col("n_3grams").cast("bigint").alias("n_3grams"),
+            dup_frac.alias("dup_3gram_frac"),
+            F.when((top_frac < 0.20) & (dup_frac < 0.60), 1)
+            .otherwise(0)
+            .alias("passes_repetition"),
+            F.coalesce(F.col("sp_n"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("sp_dup"), F.lit(0)).cast("bigint").alias("n_cross_dup_spans"),
+            F.when(
+                F.col("sp_n") > 0, F.col("sp_dup").cast("double") / F.col("sp_n")
+            ).alias("cross_dup_frac"),
+            F.when(
+                F.col("sp_n").isNull() | (2 * F.col("sp_dup") < F.col("sp_n")), 1
+            )
+            .otherwise(0)
+            .alias("passes_span_dedup"),
+        )
     )

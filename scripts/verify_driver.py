@@ -6,7 +6,8 @@ from olist_ecommerce_data_warehouse_spark.session import get_spark
 sys.path.insert(0, "/root/repo/tests")
 from conftest import canonical_rows
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = get_spark("verify")

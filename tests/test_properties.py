@@ -444,6 +444,28 @@ def test_rolling_gram_hash_cross_engine_parity(spark, ddb, texts):
         assert sorted(g2d) == got[(doc_id, 2)], (texts[doc_id], g2d, got[(doc_id, 2)])
         assert sorted(g3d) == got[(doc_id, 3)], (texts[doc_id], g3d, got[(doc_id, 3)])
 
+    # the generalized k-window fold: gramk(2)/gramk(3) must equal the
+    # dedicated 2/3-gram expressions exactly, and gramk(5) (the
+    # contamination gram) must agree cross-engine — incl. docs shorter
+    # than k
+    from olist_ecommerce_data_warehouse_spark.plans.text import _gramk_sql, gramk_expr
+
+    gk = dt_df.select(
+        "doc_id",
+        gramk_expr("th", 2).alias("k2"),
+        gramk_expr("th", 3).alias("k3"),
+        gramk_expr("th", 5).alias("k5"),
+    )
+    got5 = {}
+    for r in gk.collect():
+        assert sorted(r["k2"]) == got[(r["doc_id"], 2)], texts[r["doc_id"]]
+        assert sorted(r["k3"]) == got[(r["doc_id"], 3)], texts[r["doc_id"]]
+        got5[r["doc_id"]] = sorted(r["k5"])
+    for doc_id, g5d in con.execute(
+        f"SELECT doc_id, {_gramk_sql(f'({_TH_SQL})', 5)} FROM documents"
+    ).fetchall():
+        assert sorted(g5d) == got5[doc_id], texts[doc_id]
+
 
 @given(
     vecs=st.lists(
@@ -538,6 +560,26 @@ def test_range_join_equals_theta_join_fuzz(spark, pts, ivs, bin_w):
         ).collect()
     )
     assert got == want
+
+    # LEFT mode: unmatched points kept with NULL interval columns,
+    # exactly like the theta left join (each point maps to one bin,
+    # so left-outer on the bin equi-join is exact)
+    got_left = sorted(
+        (r["pid"], r["ivid"])
+        for r in range_join(
+            p, iv, "ts", "iv_s", "iv_e", bin_width_sec=bin_w,
+            max_bins_per_interval=100_000, how="left",
+        ).collect()
+    )
+    want_left = sorted(
+        (r["pid"], r["ivid"])
+        for r in p.join(
+            iv,
+            (F.col("ts") >= F.col("iv_s")) & (F.col("ts") <= F.col("iv_e")),
+            "left",
+        ).collect()
+    )
+    assert got_left == want_left
 
 
 @given(
