@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from olist_ecommerce_data_warehouse_spark.functions.text import tokens
+from olist_ecommerce_data_warehouse_spark.functions.text import tokens, toks_sql
 
 HEX_DIGITS = "0123456789abcdef"
 
@@ -74,6 +74,140 @@ def hex2int_sql(hex_expr: str, width: int = 8) -> str:
     return f"({terms})"
 
 
+TOKS_SQL = toks_sql()  # oracle-side tokenizer twin
+
+# Rolling gram-hash parameters: gram identity = polynomial combination
+# of per-TOKEN 32-bit md5-derived hashes (h(t₁)·P + h(t₂), mod-folded
+# to stay in int64).  Versus building gram STRINGS and md5-ing each
+# (round-2 shape): each token is hashed once instead of appearing in
+# ~5 gram strings (2-gram + 3-gram windows), no string concatenation
+# at all, and the exploded rows are 8-byte ints — measured 4.1 s →
+# 0.75 s for the count pipeline at sf0.1.  Both engines compute the
+# identical arithmetic, so the (rare) collision merges the same two
+# grams on BOTH sides — results stay hash-equal and the stats remain
+# a faithful heuristic.  This is also the library's document
+# ROLLING-HASH fingerprint primitive.
+GRAM_P = 1_000_003  # multiplier (prime > 2^19)
+GRAM_M = 4_294_967_296  # 2^32 fold keeps every product within int64
+
+# Exact-substring (cross-document span) dedup parameters: window
+# length in tokens (Lee et al. use 50 on web corpora; 8 here because
+# the driver's documents run 15–80 tokens — the criterion, ≥k-token
+# verbatim overlap across documents, is the same), and the
+# deterministic boilerplate sentence injected into every 5th document
+# so the detector has true positives (10 tokens → 3 shared spans per
+# injected doc).
+SPAN_K = 8
+SPAN_BOILER = (
+    "subscribe to our newsletter for updates and exclusive offers today"
+)
+
+_TH_SQL = f"list_transform({TOKS_SQL}, t -> {hex2int_sql('md5(t)')})"
+
+
+def _gram2_sql(th: str) -> str:
+    """2-gram rolling hashes from a token-hash list (SQL twin of the
+    Spark zip_with below).  Slice bounds use greatest() so short lists
+    yield EMPTY (DuckDB negative slice ends would otherwise wrap)."""
+    return (
+        f"list_transform(list_zip({th}[1:greatest(len({th})-1, 0)], {th}[2:len({th})]), "
+        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]))"
+    )
+
+
+def _gram3_sql(th: str) -> str:
+    return (
+        f"list_transform(list_zip("
+        f"list_transform(list_zip({th}[1:greatest(len({th})-2, 0)], "
+        f"{th}[2:greatest(len({th})-1, 0)]), "
+        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]) % {GRAM_M}), "
+        f"{th}[3:len({th})]), "
+        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]))"
+    )
+
+
+# ---- Spark twins of the gram-hash expressions above.  These are the
+# PRODUCTION expressions (text_repetition builds on them) AND what the
+# cross-engine fuzz test imports — one definition per side, so neither
+# twin can drift against the other unobserved.
+
+def token_hashes_expr(col: Column | str = "text"):
+    """array<bigint>: 32-bit md5-derived hash per token of ``col``."""
+    return F.transform(
+        tokens(col), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
+    )
+
+
+def _combine(a, b):
+    return (a * GRAM_P) % GRAM_M + b
+
+
+def gram2_expr(th_col: str = "th"):
+    """2-gram rolling hashes from a token-hash array column (Spark twin
+    of ``_gram2_sql``)."""
+    n_th = F.size(th_col)
+    return F.zip_with(
+        F.slice(th_col, 1, F.greatest(n_th - 1, F.lit(0))),
+        F.slice(th_col, 2, F.greatest(n_th - 1, F.lit(0))),
+        _combine,
+    )
+
+
+def gram3_expr(th_col: str = "th"):
+    """3-gram rolling hashes (Spark twin of ``_gram3_sql``)."""
+    n_th = F.size(th_col)
+    return F.zip_with(
+        F.zip_with(
+            F.slice(th_col, 1, F.greatest(n_th - 2, F.lit(0))),
+            F.slice(th_col, 2, F.greatest(n_th - 2, F.lit(0))),
+            lambda a, b: _combine(a, b) % GRAM_M,
+        ),
+        F.slice(th_col, 3, F.greatest(n_th - 2, F.lit(0))),
+        _combine,
+    )
+
+
+def gramk_expr(th_col, k: int):
+    """k-window rolling hashes for ANY k ≥ 2 — the generalization of
+    ``gram2_expr``/``gram3_expr`` (identical arithmetic at k=2,3):
+    k−1 chained ``zip_with`` folds over shifted slices, intermediate
+    steps mod-folded to stay in int64, all codegen'd JVM expressions
+    (no interpreted per-window lambdas, no gram strings)."""
+    if k < 2:
+        raise ValueError("gramk_expr: k must be >= 2")
+    n_th = F.size(th_col)
+    m = F.greatest(n_th - (k - 1), F.lit(0))
+    acc = F.slice(th_col, 1, m)
+    for j in range(2, k + 1):
+        nxt = F.slice(th_col, j, m)
+        if j < k:
+            acc = F.zip_with(acc, nxt, lambda a, b: _combine(a, b) % GRAM_M)
+        else:
+            acc = F.zip_with(acc, nxt, _combine)
+    return acc
+
+
+def _gramk_sql(th: str, k: int) -> str:
+    """SQL twin of :func:`gramk_expr` (DuckDB list_zip/list_transform
+    fold over the same shifted slices — ``list_zip`` pads to the
+    LONGEST input, so every slice is cut to the same m elements)."""
+    if k < 2:
+        raise ValueError("_gramk_sql: k must be >= 2")
+
+    def sl(j: int) -> str:
+        # elements j .. len-(k-j): exactly m = len-k+1 per slice
+        return f"{th}[{j}:greatest(len({th}) - {k - j}, 0)]"
+
+    acc = sl(1)
+    for j in range(2, k + 1):
+        inner = f"((p[1] * {GRAM_P}) % {GRAM_M} + p[2])"
+        if j < k:
+            inner += f" % {GRAM_M}"
+        acc = f"list_transform(list_zip({acc}, {sl(j)}), p -> {inner})"
+    return acc
+
+
+
 def shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingles as array<string> (space-joined); distinct
     by default (set membership), multiset with ``distinct=False`` (the
@@ -102,10 +236,43 @@ def shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
 
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle table."""
+    """(doc_id, shingle) exploded distinct-shingle table (STRING
+    shingles — the readable/debuggable form; production dedup plans
+    use :func:`shingle_hash_table`)."""
     return docs.select(
         F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
     )
+
+
+def shingle_hash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) exploded distinct-shingle table with INT
+    shingle identity: the 32-bit-folded rolling n-gram hash of
+    per-token hashes (``gramk_expr % GRAM_M``) instead of the joined
+    string — no shingle strings are ever built, each token is hashed
+    once per document, and every downstream shuffle (frequency agg,
+    prefix join, LSH bands, Jaccard arrays) carries 8-byte ints.
+    Collision note: identity is 32-bit, the same class as the md5
+    substring base the string path derived anyway; a collision merges
+    the same two shingles in BOTH engines (identical arithmetic), so
+    results stay hash-equal and Jaccard remains a faithful estimate.
+    The token-hash array lands in a projected column before the fold
+    (slices re-evaluate a raw expression k times — measured 8×)."""
+    th = docs.select(
+        F.col(id_col).alias("doc_id"), token_hashes_expr(text_col).alias("__th")
+    )
+    grams = F.transform(gramk_expr("__th", n), lambda x: x % GRAM_M)
+    return th.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def shingle_hash_sql(n: int = 3, table: str = "corrupted") -> str:
+    """SQL twin of :func:`shingle_hash_table` (FROM-clause fragment)."""
+    return f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform({_gramk_sql("th", n)}, x -> x % {GRAM_M}))) AS shingle
+    FROM (SELECT doc_id, {_TH_SQL} AS th FROM {table})
+"""
 
 
 def minhash_band_signatures(
@@ -129,9 +296,17 @@ def minhash_band_signatures(
     which evaluate INTERPRETED per element — measured ~10× slower and
     the bulk of round-1's 30 s ``dedup_minhash_lsh``.  The naive shape
     (explode ×k → groupBy(doc,i) → groupBy(doc,band)) is worse still:
-    k× the shuffled rows through two wide stages."""
+    k× the shuffled rows through two wide stages.
+
+    Shingle-type aware: INT shingles (``shingle_hash_table`` — already
+    32-bit uniform) are the base directly; STRING shingles get the
+    md5-substring base.  Both keep base < 2^32, so A[i]·base stays
+    inside int64 in either engine."""
     coeff_a, coeff_c = minhash_coeffs(k)
-    base = hex_to_long(F.substring(F.md5(F.col("shingle")), 1, 8))
+    if dict(sh.dtypes).get("shingle") in ("bigint", "int", "long"):
+        base = F.col("shingle")
+    else:
+        base = hex_to_long(F.substring(F.md5(F.col("shingle")), 1, 8))
     per_doc = (
         sh.select("doc_id", base.alias("__base"))
         .groupBy("doc_id")

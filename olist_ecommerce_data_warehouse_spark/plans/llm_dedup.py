@@ -10,8 +10,11 @@ dedup operator itself.
 
 Signature portability: all hash values derive from md5 hex via an
 explicit positional hex→int expansion (operators.textdedup.hex_to_long
-⇔ ``_hex2int_sql``), so Spark and DuckDB compute bit-identical
-MinHash/SimHash signatures.
+⇔ ``_hex2int_sql``) and the shared rolling gram-hash folds, so Spark
+and DuckDB compute bit-identical shingle ids and MinHash/SimHash
+signatures.  Shingle identity is the INT rolling 3-gram hash
+(``shingle_hash_table`` — round 4): no shingle strings anywhere, every
+dedup shuffle carries 8-byte ints.
 """
 
 from __future__ import annotations
@@ -31,7 +34,8 @@ from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     minhash_band_signatures,
     minhash_coeffs,
     prefix_filter_candidates,
-    shingle_table,
+    shingle_hash_sql,
+    shingle_hash_table,
     simhash_table,
 )
 from olist_ecommerce_data_warehouse_spark.plans.registry import query, track_persist
@@ -82,13 +86,11 @@ _A, _C = minhash_coeffs(MINHASH_K)
 _COEFF_VALUES = ", ".join(f"({i}, {_A[i]}, {_C[i]})" for i in range(MINHASH_K))
 
 TOKS = toks_sql()
-SHINGLES_SQL = f"""
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len({TOKS}) - 2, 0)),
-               i -> array_to_string(({TOKS})[i:i+2], ' ')))) AS shingle
-    FROM corrupted
-"""
+# INT shingle identity (rolling 3-gram hash of token hashes, 32-bit
+# folded) — ONE definition with the Spark side (operators.textdedup
+# shingle_hash_table / shingle_hash_sql): no shingle strings anywhere,
+# every dedup shuffle carries 8-byte ints.
+SHINGLES_SQL = shingle_hash_sql(3, "corrupted")
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -166,7 +168,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-tokenizing/exploding every document per branch.  Tracked
     # persist, not localCheckpoint: lineage stays intact, so block
     # loss at cluster scale recomputes instead of failing the job.
-    sh = track_persist(shingle_table(corrupted))
+    sh = track_persist(shingle_hash_table(corrupted))
     cand = prefix_filter_candidates(sh, t_num=3, t_den=5)
     return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.6)
 
@@ -180,8 +182,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corrupted AS ({CORRUPTED_SQL}),
     sh AS ({SHINGLES_SQL}),
     based AS (
-        SELECT doc_id, {_hex2int_sql("substr(md5(shingle), 1, 8)")} AS b
-        FROM sh
+        SELECT doc_id, shingle AS b FROM sh
     ),
     mh AS (
         SELECT doc_id, ks.i AS i, MIN((ks.a * b + ks.c) % {MINHASH_P}) AS mh
@@ -223,7 +224,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted = _corrupted(spark, sf_dir)
     # reused by minhash signatures AND the verification stage — one
     # fault-tolerant tracked persist of the exploded shingles
-    sh = track_persist(shingle_table(corrupted))
+    sh = track_persist(shingle_hash_table(corrupted))
     bands = minhash_band_signatures(sh)
     cand = lsh_candidate_pairs(bands)
     return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.5)
@@ -311,8 +312,7 @@ CORRUPTED_CC_SQL = f"""
     WITH RECURSIVE corrupted AS ({CORRUPTED_CC_SQL}),
     sh AS ({SHINGLES_SQL}),
     based AS (
-        SELECT doc_id, {_hex2int_sql("substr(md5(shingle), 1, 8)")} AS b
-        FROM sh
+        SELECT doc_id, shingle AS b FROM sh
     ),
     mh AS (
         SELECT doc_id, ks.i AS i, MIN((ks.a * b + ks.c) % {MINHASH_P}) AS mh
@@ -396,7 +396,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one tracked persist feeds BOTH edge generators and the vertex set
     corrupted = track_persist(corrupted)
 
-    sh = shingle_table(corrupted)
+    sh = shingle_hash_table(corrupted)
     cand = lsh_candidate_pairs(minhash_band_signatures(sh))
 
     fps = corrupted.select("doc_id", fingerprint_md5("text").alias("fp"))

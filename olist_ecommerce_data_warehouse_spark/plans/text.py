@@ -219,136 +219,25 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKS_SQL = toks_sql()
 
-# Rolling gram-hash parameters: gram identity = polynomial combination
-# of per-TOKEN 32-bit md5-derived hashes (h(t₁)·P + h(t₂), mod-folded
-# to stay in int64).  Versus building gram STRINGS and md5-ing each
-# (round-2 shape): each token is hashed once instead of appearing in
-# ~5 gram strings (2-gram + 3-gram windows), no string concatenation
-# at all, and the exploded rows are 8-byte ints — measured 4.1 s →
-# 0.75 s for the count pipeline at sf0.1.  Both engines compute the
-# identical arithmetic, so the (rare) collision merges the same two
-# grams on BOTH sides — results stay hash-equal and the stats remain
-# a faithful heuristic.  This is also the library's document
-# ROLLING-HASH fingerprint primitive.
-GRAM_P = 1_000_003  # multiplier (prime > 2^19)
-GRAM_M = 4_294_967_296  # 2^32 fold keeps every product within int64
-
-# Exact-substring (cross-document span) dedup parameters: window
-# length in tokens (Lee et al. use 50 on web corpora; 8 here because
-# the driver's documents run 15–80 tokens — the criterion, ≥k-token
-# verbatim overlap across documents, is the same), and the
-# deterministic boilerplate sentence injected into every 5th document
-# so the detector has true positives (10 tokens → 3 shared spans per
-# injected doc).
-SPAN_K = 8
-SPAN_BOILER = (
-    "subscribe to our newsletter for updates and exclusive offers today"
+# The rolling gram-hash machinery (per-token 32-bit hashes, k-window
+# polynomial folds, Spark + SQL twins) moved to operators.textdedup in
+# round 4 so the shingle-table operators can share it without a
+# plans→operators import cycle; re-exported here because every text
+# oracle (and the cross-engine fuzz suite) builds on these names.
+from olist_ecommerce_data_warehouse_spark.operators.textdedup import (  # noqa: E402
+    GRAM_M,
+    GRAM_P,
+    SPAN_BOILER,
+    SPAN_K,
+    _TH_SQL,
+    _gram2_sql,
+    _gram3_sql,
+    _gramk_sql,
+    gram2_expr,
+    gram3_expr,
+    gramk_expr,
+    token_hashes_expr,
 )
-
-_TH_SQL = f"list_transform({TOKS_SQL}, t -> {hex2int_sql('md5(t)')})"
-
-
-def _gram2_sql(th: str) -> str:
-    """2-gram rolling hashes from a token-hash list (SQL twin of the
-    Spark zip_with below).  Slice bounds use greatest() so short lists
-    yield EMPTY (DuckDB negative slice ends would otherwise wrap)."""
-    return (
-        f"list_transform(list_zip({th}[1:greatest(len({th})-1, 0)], {th}[2:len({th})]), "
-        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]))"
-    )
-
-
-def _gram3_sql(th: str) -> str:
-    return (
-        f"list_transform(list_zip("
-        f"list_transform(list_zip({th}[1:greatest(len({th})-2, 0)], "
-        f"{th}[2:greatest(len({th})-1, 0)]), "
-        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]) % {GRAM_M}), "
-        f"{th}[3:len({th})]), "
-        f"p -> ((p[1] * {GRAM_P}) % {GRAM_M} + p[2]))"
-    )
-
-
-# ---- Spark twins of the gram-hash expressions above.  These are the
-# PRODUCTION expressions (text_repetition builds on them) AND what the
-# cross-engine fuzz test imports — one definition per side, so neither
-# twin can drift against the other unobserved.
-
-def token_hashes_expr():
-    """array<bigint>: 32-bit md5-derived hash per token of `text`."""
-    return F.transform(
-        tokens("text"), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
-    )
-
-
-def _combine(a, b):
-    return (a * GRAM_P) % GRAM_M + b
-
-
-def gram2_expr(th_col: str = "th"):
-    """2-gram rolling hashes from a token-hash array column (Spark twin
-    of ``_gram2_sql``)."""
-    n_th = F.size(th_col)
-    return F.zip_with(
-        F.slice(th_col, 1, F.greatest(n_th - 1, F.lit(0))),
-        F.slice(th_col, 2, F.greatest(n_th - 1, F.lit(0))),
-        _combine,
-    )
-
-
-def gram3_expr(th_col: str = "th"):
-    """3-gram rolling hashes (Spark twin of ``_gram3_sql``)."""
-    n_th = F.size(th_col)
-    return F.zip_with(
-        F.zip_with(
-            F.slice(th_col, 1, F.greatest(n_th - 2, F.lit(0))),
-            F.slice(th_col, 2, F.greatest(n_th - 2, F.lit(0))),
-            lambda a, b: _combine(a, b) % GRAM_M,
-        ),
-        F.slice(th_col, 3, F.greatest(n_th - 2, F.lit(0))),
-        _combine,
-    )
-
-
-def gramk_expr(th_col, k: int):
-    """k-window rolling hashes for ANY k ≥ 2 — the generalization of
-    ``gram2_expr``/``gram3_expr`` (identical arithmetic at k=2,3):
-    k−1 chained ``zip_with`` folds over shifted slices, intermediate
-    steps mod-folded to stay in int64, all codegen'd JVM expressions
-    (no interpreted per-window lambdas, no gram strings)."""
-    if k < 2:
-        raise ValueError("gramk_expr: k must be >= 2")
-    n_th = F.size(th_col)
-    m = F.greatest(n_th - (k - 1), F.lit(0))
-    acc = F.slice(th_col, 1, m)
-    for j in range(2, k + 1):
-        nxt = F.slice(th_col, j, m)
-        if j < k:
-            acc = F.zip_with(acc, nxt, lambda a, b: _combine(a, b) % GRAM_M)
-        else:
-            acc = F.zip_with(acc, nxt, _combine)
-    return acc
-
-
-def _gramk_sql(th: str, k: int) -> str:
-    """SQL twin of :func:`gramk_expr` (DuckDB list_zip/list_transform
-    fold over the same shifted slices — ``list_zip`` pads to the
-    LONGEST input, so every slice is cut to the same m elements)."""
-    if k < 2:
-        raise ValueError("_gramk_sql: k must be >= 2")
-
-    def sl(j: int) -> str:
-        # elements j .. len-(k-j): exactly m = len-k+1 per slice
-        return f"{th}[{j}:greatest(len({th}) - {k - j}, 0)]"
-
-    acc = sl(1)
-    for j in range(2, k + 1):
-        inner = f"((p[1] * {GRAM_P}) % {GRAM_M} + p[2])"
-        if j < k:
-            inner += f" % {GRAM_M}"
-        acc = f"list_transform(list_zip({acc}, {sl(j)}), p -> {inner})"
-    return acc
-
 
 @query(
     "text_repetition",
