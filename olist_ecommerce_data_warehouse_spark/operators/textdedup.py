@@ -266,6 +266,42 @@ def shingle_hash_table(
     return th.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+# Murmur-style 32-bit finalizer applied to INT shingle ids before the
+# MinHash universal-hash family: the rolling gram hash is STRUCTURED
+# (a polynomial in token hashes — low bits dominated by the last
+# token), and an affine family h_i(x) = (A_i·x + C_i) mod P over a
+# structured x loses the near-pairwise-independence LSH banding needs
+# (observed: one injected near-dup pair missed all 4 bands that the
+# md5 base caught).  Two xorshift+multiply rounds (odd multipliers
+# < 2^31, so every product stays inside int64 in BOTH engines)
+# decorrelate the bits; parity Python↔DuckDB↔Spark is fuzz-tested.
+_MIX_M1 = 2143378733  # 0x7FEB352D (lowbias32-class odd multiplier)
+_MIX_M2 = 1935683991  # 0x735A2D97
+_MIX_M = 1 << 32
+
+
+def mix32(col: Column) -> Column:
+    """32-bit integer finalizer (see _MIX_* notes) over a [0, 2^32)
+    BIGINT column — all codegen'd int ops, no md5."""
+    x = col.bitwiseXOR(F.shiftright(col, 16))
+    x = (x * F.lit(_MIX_M1)) % F.lit(_MIX_M)
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = (x * F.lit(_MIX_M2)) % F.lit(_MIX_M)
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def mix32_based_sql(src: str = "sh") -> str:
+    """SQL twin of :func:`mix32` as a FROM-able subquery over
+    ``src(doc_id, shingle)`` → (doc_id, b): staged selects so each
+    intermediate evaluates once."""
+    return f"""(
+        SELECT doc_id, xor(s4, (s4 >> 16)) AS b FROM (
+        SELECT doc_id, (s3 * CAST({_MIX_M2} AS BIGINT)) % {_MIX_M} AS s4 FROM (
+        SELECT doc_id, xor(s2, (s2 >> 13)) AS s3 FROM (
+        SELECT doc_id, (s1 * CAST({_MIX_M1} AS BIGINT)) % {_MIX_M} AS s2 FROM (
+        SELECT doc_id, xor(shingle, (shingle >> 16)) AS s1 FROM {src})))))"""
+
+
 def shingle_hash_sql(n: int = 3, table: str = "corrupted") -> str:
     """SQL twin of :func:`shingle_hash_table` (FROM-clause fragment)."""
     return f"""
@@ -304,7 +340,7 @@ def minhash_band_signatures(
     inside int64 in either engine."""
     coeff_a, coeff_c = minhash_coeffs(k)
     if dict(sh.dtypes).get("shingle") in ("bigint", "int", "long"):
-        base = F.col("shingle")
+        base = mix32(F.col("shingle"))
     else:
         base = hex_to_long(F.substring(F.md5(F.col("shingle")), 1, 8))
     per_doc = (

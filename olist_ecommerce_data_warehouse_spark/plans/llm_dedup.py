@@ -33,6 +33,7 @@ from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     lsh_candidate_pairs,
     minhash_band_signatures,
     minhash_coeffs,
+    mix32_based_sql,
     prefix_filter_candidates,
     shingle_hash_sql,
     shingle_hash_table,
@@ -182,7 +183,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corrupted AS ({CORRUPTED_SQL}),
     sh AS ({SHINGLES_SQL}),
     based AS (
-        SELECT doc_id, shingle AS b FROM sh
+        SELECT doc_id, b FROM {mix32_based_sql('sh')}
     ),
     mh AS (
         SELECT doc_id, ks.i AS i, MIN((ks.a * b + ks.c) % {MINHASH_P}) AS mh
@@ -312,7 +313,7 @@ CORRUPTED_CC_SQL = f"""
     WITH RECURSIVE corrupted AS ({CORRUPTED_CC_SQL}),
     sh AS ({SHINGLES_SQL}),
     based AS (
-        SELECT doc_id, shingle AS b FROM sh
+        SELECT doc_id, b FROM {mix32_based_sql('sh')}
     ),
     mh AS (
         SELECT doc_id, ks.i AS i, MIN((ks.a * b + ks.c) % {MINHASH_P}) AS mh

@@ -81,6 +81,83 @@ def test_prefix_filter_pipeline_equals_ground_truth(spark, docs):
     assert verified == {k: v for k, v in truth.items()}, (verified, truth)
 
 
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_int_shingles_equal_string_shingles_pipeline(spark, docs):
+    """The INT rolling-hash shingle path (production) and the STRING
+    shingle path must drive the dedup pipeline identically: same
+    per-doc shingle COUNTS, same MinHash band signatures collision
+    structure, same LSH candidate pair set — on any corpus small
+    enough that 32-bit collisions are impossible, the two
+    representations are isomorphic."""
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+        lsh_candidate_pairs,
+        minhash_band_signatures,
+        shingle_hash_table,
+        shingle_table,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    sh_s = shingle_table(df)
+    sh_i = shingle_hash_table(df)
+    counts_s = {r["doc_id"]: r["n"] for r in sh_s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts_i = {r["doc_id"]: r["n"] for r in sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts_s == counts_i
+    pairs_s = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(minhash_band_signatures(sh_s)).collect()}
+    pairs_i = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(minhash_band_signatures(sh_i)).collect()}
+    # signatures differ (different base hash family inputs) but the
+    # COLLISION STRUCTURE they induce on identical shingle sets must:
+    # identical docs collide in every band under both schemes
+    ident = {
+        (a, b)
+        for a in counts_s
+        for b in counts_s
+        if a < b and docs[a].split() and docs[a] == docs[b]
+    }
+    assert ident <= pairs_s and ident <= pairs_i
+
+
+@given(xs=st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=30))
+@_SETTINGS
+def test_mix32_cross_engine_parity(spark, ddb, xs):
+    """The minhash base finalizer (mix32) must be bit-identical across
+    Python, Spark and DuckDB for any 32-bit input — LSH banding
+    correctness rests on both engines mixing the structured rolling
+    hashes the same way."""
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+        _MIX_M1,
+        _MIX_M2,
+        mix32,
+        mix32_based_sql,
+    )
+
+    def mix_py(x: int) -> int:
+        x ^= x >> 16
+        x = (x * _MIX_M1) % (1 << 32)
+        x ^= x >> 13
+        x = (x * _MIX_M2) % (1 << 32)
+        return x ^ (x >> 16)
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "doc_id long, shingle long"
+    )
+    got = {r["doc_id"]: r["b"] for r in df.select("doc_id", mix32(F.col("shingle")).alias("b")).collect()}
+    assert got == {i: mix_py(x) for i, x in enumerate(xs)}
+    ddb.execute("CREATE OR REPLACE TABLE _mix_sh (doc_id BIGINT, shingle BIGINT)")
+    for i, x in enumerate(xs):
+        ddb.execute("INSERT INTO _mix_sh VALUES (?, ?)", [i, x])
+    duck = dict(ddb.execute(f"SELECT doc_id, b FROM {mix32_based_sql('_mix_sh')}").fetchall())
+    assert duck == got
+
+
 @_SETTINGS
 @given(
     keys=st.lists(

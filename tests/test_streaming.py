@@ -363,6 +363,54 @@ def test_upsert_batch_recovers_from_crashed_swap(spark, tmp_path_factory):
     assert not os.path.exists(trash)
 
 
+def test_streaming_topk_equals_batch(spark, tmp_path_factory):
+    """Streaming vector search: draining a stream of query vectors
+    through streaming_topk must produce EXACTLY the batch
+    brute_force_topk rows for the same queries (the foreachBatch twin
+    runs the identical operator per micro-batch), across multiple
+    micro-batches."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        quantized,
+    )
+    from olist_ecommerce_data_warehouse_spark.streaming.similarity import streaming_topk
+
+    base = tmp_path_factory.mktemp("stream_ann")
+    emb = table(spark, SF_DIR, "embeddings")
+    corpus = emb.select("vec_id", quantized("embedding").alias("cvec"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), quantized("embedding").alias("qvec")
+    )
+    # two drops → availableNow processes >1 micro-batch
+    src = f"{base}/src"
+    queries.filter(F.col("query_id") % 50 == 0).write.parquet(f"{src}/d1")
+    queries.filter(F.col("query_id") % 50 != 0).write.parquet(f"{src}/d2")
+    flat = f"{base}/flat"
+    queries.write.parquet(flat)
+
+    out_dir = f"{base}/out"
+    stream = spark.readStream.schema(queries.schema).parquet(flat)
+    q = streaming_topk(
+        stream,
+        corpus,
+        sink=lambda df, _bid: df.write.mode("append").parquet(out_dir),
+        checkpoint=f"{base}/ckpt",
+        k=3,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, brute_force_topk(queries, corpus, k=3).collect()))
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be a streaming"):
+        streaming_topk(queries, corpus, lambda d, b: None, f"{base}/c2")
+
+
 def test_upsert_batch_preserves_sibling_suffix_tables(spark, tmp_path_factory):
     """A genuine user table that happens to live at ``<target>__old``
     or ``<target>__staging`` must survive upserts untouched — the
