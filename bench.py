@@ -49,7 +49,8 @@ BASELINE_R01 = {
     "cleanse_trim_case_prefix": 0.5716, "cleanse_try_timestamp": 0.4566,
     "cleanse_validity_filter": 0.2993, "csv_roundtrip_ingest": 1.7187,
     "date_dimension": 0.2946, "datetime_functions": 0.4574,
-    "dedup_embedding_cosine": 0.622,
+    # dedup_embedding_cosine re-anchored in BASELINE_R04: round 4 added
+    # the SemDeDup branch (capability change)
     "dedup_exact": 0.548, "dedup_keep_latest": 0.4163,
     "dedup_minhash_lsh": 30.6293, "dedup_ngram_jaccard": 12.3889,
     # doc_fingerprint's r01 anchor (0.3233) retired: absorbed into
@@ -123,6 +124,10 @@ BASELINE_R03 = {
 # at the fast shape so a regression back to gram strings gets flagged).
 BASELINE_R04 = {
     "asof_click_attribution": 0.748,
+    # re-anchored late in round 4: the slot gained the SemDeDup branch
+    # (k-means training + within-cluster Gram pass on top of the
+    # label-blocked pairs) — measured 2.352 best-of-2 on this rig
+    "dedup_embedding_cosine": 2.352,
     "ann_cosine_topk": 1.133,
     "text_lang_id": 0.724,
     "sequence_packing": 0.451,

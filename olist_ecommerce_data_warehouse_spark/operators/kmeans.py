@@ -38,13 +38,22 @@ from pyspark.sql import functions as F
 from olist_ecommerce_data_warehouse_spark.operators.similarity import QUANT, quantized
 
 
-def _seed_centroids(vectors: DataFrame, id_col: str, vec_col: str, k: int):
+def _qcol(vec_col: str, pre_quantized: bool):
+    """The int64 vector expression: quantize floats, or pass through a
+    column that already carries exact grid int64s (e.g. a corpus that
+    was perturbed ON the grid — re-quantizing would scale it again)."""
+    return F.col(vec_col) if pre_quantized else quantized(vec_col)
+
+
+def _seed_centroids(
+    vectors: DataFrame, id_col: str, vec_col: str, k: int, pre_quantized: bool = False
+):
     """k deterministic seed vectors (smallest md5(id)) as a list of
     int64-quantized lists, ordered by seed hash."""
     rows = (
         vectors.select(
             F.md5(F.col(id_col).cast("string")).alias("__h"),
-            quantized(vec_col).alias("__q"),
+            _qcol(vec_col, pre_quantized).alias("__q"),
         )
         .orderBy("__h")
         .limit(k)
@@ -88,6 +97,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 3,
+    pre_quantized: bool = False,
 ) -> list[list[int]]:
     """Train k centroids with ``n_iter`` Lloyd iterations; returns the
     int64-quantized centroid matrix (k lists of d ints — feed to
@@ -103,11 +113,13 @@ def kmeans_train(
         StructType,
     )
 
-    q = vectors.select(F.col(id_col).alias("__id"), quantized(vec_col).alias("__q"))
+    q = vectors.select(
+        F.col(id_col).alias("__id"), _qcol(vec_col, pre_quantized).alias("__q")
+    )
     if n_iter > 0:
         # one scan+quantize, reused by every Lloyd iteration
         q = q.persist()
-    centroids = _seed_centroids(vectors, id_col, vec_col, k)
+    centroids = _seed_centroids(vectors, id_col, vec_col, k, pre_quantized)
     train_schema = StructType(
         [StructField("cluster", IntegerType()), StructField("__q", ArrayType(LongType()))]
     )
@@ -161,18 +173,65 @@ def kmeans_assign(
     centroids: list[list[int]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cluster) for every vector — nearest trained centroid
     (exact-int argmin, ties toward lower cluster id).  One narrow
-    Arrow pass; the IVF bucketing step at index-build time."""
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    Arrow pass; the IVF bucketing step at index-build time.
 
-    q = vectors.select(F.col(id_col).alias("__id"), quantized(vec_col).alias("__q"))
-    schema = StructType(
-        [StructField("__id", LongType()), StructField("cluster", IntegerType())]
+    ``keep_vec=True`` additionally carries the quantized vector through
+    the kernel as ``vec_col`` — the shape block-local consumers
+    (SemDeDup's per-cluster Gram pass) want, avoiding a shuffle join
+    back onto the corpus just to reunite (id, cluster) with its
+    vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    return q.mapInPandas(_assign_kernel(centroids, "__q"), schema=schema).select(
-        F.col("__id").alias(id_col), "cluster"
+
+    q = vectors.select(
+        F.col(id_col).alias("__id"), _qcol(vec_col, pre_quantized).alias("__q")
+    )
+    if not keep_vec:
+        schema = StructType(
+            [StructField("__id", LongType()), StructField("cluster", IntegerType())]
+        )
+        return q.mapInPandas(_assign_kernel(centroids, "__q"), schema=schema).select(
+            F.col("__id").alias(id_col), "cluster"
+        )
+
+    cm = np.asarray(centroids, dtype=np.int64)
+    cn = np.einsum("ij,ij->i", cm, cm)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__q"]])
+            cluster = np.argmin(-2 * (vm @ cm.T) + cn[None, :], axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "cluster": cluster.astype("int32"),
+                    "__q": list(pdf["__q"]),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("__id", LongType()),
+            StructField("cluster", IntegerType()),
+            StructField("__q", ArrayType(LongType())),
+        ]
+    )
+    return q.mapInPandas(kernel, schema=schema).select(
+        F.col("__id").alias(id_col), "cluster", F.col("__q").alias(vec_col)
     )
 
 

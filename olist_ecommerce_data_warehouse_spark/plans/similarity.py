@@ -223,15 +223,24 @@ def _lloyd_iter_sql(i: int) -> str:
     )"""
 
 
-TRAINED_CENTS_SQL = (
-    f"""cents0 AS (
+def trained_cents_sql(k: int, iters: int) -> str:
+    """Unrolled-Lloyd centroid training as chained CTEs over a
+    ``c(vec_id, cvec)`` relation — emits a final ``cents(centroid_id,
+    centvec)`` CTE bit-identical to ``operators.kmeans.kmeans_train``
+    on the same quantized vectors (shared by the IVF-ANN and SemDeDup
+    oracles)."""
+    return (
+        f"""cents0 AS (
         SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cluster, cvec AS centvec
-        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, cvec FROM c ORDER BY h LIMIT {IVF_K})
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, cvec FROM c ORDER BY h LIMIT {k})
     ),"""
-    + ",".join(_lloyd_iter_sql(i) for i in range(1, IVF_ITERS + 1))
-    + f""",
-    cents AS (SELECT cluster AS centroid_id, centvec FROM cents{IVF_ITERS})"""
-)
+        + ",".join(_lloyd_iter_sql(i) for i in range(1, iters + 1))
+        + f""",
+    cents AS (SELECT cluster AS centroid_id, centvec FROM cents{iters})"""
+    )
+
+
+TRAINED_CENTS_SQL = trained_cents_sql(IVF_K, IVF_ITERS)
 
 
 @query(
@@ -380,6 +389,16 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8_stats(emb, id_col="vec_id", vec_col="embedding")
 
 
+# ---- SemDeDup parameters (shared Spark/oracle): cluster count, Lloyd
+# iterations, and the within-cluster cosine threshold.  Clustering is
+# the SAME trained k-means as the IVF index (operators/kmeans.py), so
+# the oracle replays it with trained_cents_sql — one generator, two
+# consumers.
+SEM_K = 8
+SEM_ITERS = 2
+SEM_COS = 0.95
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -390,24 +409,68 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id + 10000, label,
                list_concat([v[1] + 1000], v[2:]) AS v
         FROM base WHERE vec_id % 7 = 0
+    ),
+    label_pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos_sql("a.v", "b.v")} AS cosine
+        FROM corrupted a JOIN corrupted b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("a.v", "b.v")} >= 0.99
+    ),
+    c AS (SELECT vec_id, v AS cvec FROM corrupted),
+    {trained_cents_sql(SEM_K, SEM_ITERS)},
+    assign AS (
+        SELECT vec_id, cvec, centroid_id FROM (
+            SELECT c.vec_id, c.cvec, cents.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {_dot_sql("c.cvec", "c.cvec")}
+                             - 2 * {_dot_sql("c.cvec", "cents.centvec")}
+                             + {_dot_sql("cents.centvec", "cents.centvec")},
+                             cents.centroid_id) AS rn
+            FROM c CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    sem_pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos_sql("a.cvec", "b.cvec")} AS cosine
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("a.cvec", "b.cvec")} >= {SEM_COS}
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_cos_sql("a.v", "b.v")} AS cosine
-    FROM corrupted a JOIN corrupted b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cos_sql("a.v", "b.v")} >= 0.99
+    SELECT 'label' AS kind, * FROM label_pairs
+    UNION ALL
+    SELECT 'semdedup' AS kind, * FROM sem_pairs
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: deterministic near-copies injected
-    (first component nudged), candidate pairs blocked on the coarse
-    cluster label (the realistic prefilter — at scale the blocking key
-    is an IVF/LSH bucket), exact quantized cosine ≥ 0.99.
+    """Embedding near-dup panel over one corrupted corpus (deterministic
+    near-copies injected: first component nudged on the quantization
+    grid), two blocking strategies in one slot (kind discriminator):
+
+    - kind='label': candidate pairs blocked on the coarse corpus label
+      (the given-prefilter case), exact quantized cosine ≥ 0.99.
+    - kind='semdedup': SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+      the corpus is k-means-clustered (operators.kmeans.kmeans_train,
+      the SAME trained clustering the IVF index uses — distributed
+      Lloyd, bit-deterministic integer means) and pairs are scored only
+      WITHIN each learned cluster, cosine ≥ 0.95.  This is the
+      production shape when no blocking key exists: clustering cost is
+      the linear k-means loop, pair cost drops from O(n²) to
+      Σ n_c² — and misses only boundary-straddling pairs (the
+      documented SemDeDup recall trade).  The oracle re-trains the
+      identical clustering via the shared unrolled-Lloyd SQL
+      (trained_cents_sql), so the driver hash gates train → assign →
+      within-cluster scoring end-to-end.
 
     Pair scoring runs as one int64 Gram matmul per block
     (operators.similarity.blocked_cosine_pairs, Arrow-batched numpy) —
     bit-identical to the JVM expression path but without interpreted
-    per-pair array lambdas."""
+    per-pair array lambdas.  Assignment carries the vector through the
+    kernel (kmeans_assign keep_vec=True), so no shuffle join reunites
+    (id, cluster) with its vector."""
+    from olist_ecommerce_data_warehouse_spark.operators.kmeans import kmeans_assign
+
     emb = table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "label", quantized("embedding").alias("v"))
     perturbed = base.filter(F.col("vec_id") % 7 == 0).select(
@@ -418,8 +481,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corrupted = base.unionAll(perturbed)
-    return blocked_cosine_pairs(corrupted, threshold=0.99).select(
+    label_pairs = blocked_cosine_pairs(corrupted, threshold=0.99).select(
+        F.lit("label").alias("kind"),
         F.col("vec_id_a").alias("vec_a"),
         F.col("vec_id_b").alias("vec_b"),
         "cosine",
     )
+    cents = kmeans_train(
+        corrupted, vec_col="v", k=SEM_K, n_iter=SEM_ITERS, pre_quantized=True
+    )
+    assigned = kmeans_assign(
+        corrupted, cents, vec_col="v", pre_quantized=True, keep_vec=True
+    )
+    sem_pairs = blocked_cosine_pairs(
+        assigned, block_col="cluster", vec_col="v", threshold=SEM_COS
+    ).select(
+        F.lit("semdedup").alias("kind"),
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "cosine",
+    )
+    return label_pairs.unionByName(sem_pairs)

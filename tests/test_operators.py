@@ -898,3 +898,46 @@ def test_unpivot_inverts_pivot(spark):
     a = sorted(map(tuple, long0.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_semdedup_recall_and_keep_vec_assignment(spark):
+    """SemDeDup (kind='semdedup' in dedup_embedding_cosine) must find
+    nearly all injected near-copies: a copy perturbed by one grid step
+    on one component is nearest the same trained centroid as its
+    source except when the pair straddles a cluster boundary — the
+    documented SemDeDup recall trade, which must stay rare.  Also pins
+    kmeans_assign(keep_vec=True): the carried vector is the input
+    vector, and (id → cluster) equals the keep_vec=False path."""
+    from olist_ecommerce_data_warehouse_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_train,
+    )
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import quantized
+    from olist_ecommerce_data_warehouse_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    sem = {(r["vec_a"], r["vec_b"]) for r in out if r["kind"] == "semdedup"}
+    emb = table(spark, SF_DIR, "embeddings")
+    injected = {
+        (r["vec_id"], r["vec_id"] + 10000)
+        for r in emb.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    found = injected & sem
+    assert len(found) >= 0.9 * len(injected), (len(found), len(injected))
+    # every semdedup pair really clears the cosine gate (no cluster
+    # artifact rows)
+    assert all(r["cosine"] >= 0.95 for r in out if r["kind"] == "semdedup")
+
+    base = emb.select("vec_id", quantized("embedding").alias("v"))
+    cents = kmeans_train(base, vec_col="v", k=4, n_iter=1, pre_quantized=True)
+    plain = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(base, cents, vec_col="v", pre_quantized=True).collect()
+    }
+    kept = kmeans_assign(
+        base, cents, vec_col="v", pre_quantized=True, keep_vec=True
+    ).collect()
+    assert {r["vec_id"]: r["cluster"] for r in kept} == plain
+    orig = {r["vec_id"]: list(r["v"]) for r in base.collect()}
+    for r in kept:
+        assert list(r["v"]) == orig[r["vec_id"]]
