@@ -129,7 +129,10 @@ BASELINE_R04 = {
     # label-blocked pairs) — measured 2.352 best-of-2 on this rig
     "dedup_embedding_cosine": 2.352,
     "ann_cosine_topk": 1.133,
-    "text_lang_id": 0.724,
+    # re-anchored again late in round 4: the slot absorbed the
+    # fasttext-architecture quality classifier (uni+bigram hashing,
+    # exploded-row weight sum) — measured 2.81 best-of-2 on this rig
+    "text_lang_id": 2.81,
     "sequence_packing": 0.451,
     "text_repetition": 2.549,
     "contamination_check": 1.514,

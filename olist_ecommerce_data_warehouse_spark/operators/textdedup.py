@@ -290,6 +290,20 @@ def mix32(col: Column) -> Column:
     return x.bitwiseXOR(F.shiftright(x, 16))
 
 
+def mix32_sql_expr(x: str) -> str:
+    """EXPRESSION-form SQL twin of :func:`mix32`, usable inside list
+    lambdas (the subquery form ``mix32_based_sql`` can't be).  Inlining
+    duplicates each stage's input (the final xor references s4 twice,
+    s4 references s3 twice, …) so ``x`` appears 8× — ~30 integer ops
+    per evaluation, still trivial per element.  Keep ``x`` a simple
+    variable/column reference, not a heavy subexpression."""
+    s1 = f"xor({x}, ({x} >> 16))"
+    s2 = f"(({s1}) * CAST({_MIX_M1} AS BIGINT)) % {_MIX_M}"
+    s3 = f"xor({s2}, (({s2}) >> 13))"
+    s4 = f"(({s3}) * CAST({_MIX_M2} AS BIGINT)) % {_MIX_M}"
+    return f"xor({s4}, (({s4}) >> 16))"
+
+
 def mix32_based_sql(src: str = "sh") -> str:
     """SQL twin of :func:`mix32` as a FROM-able subquery over
     ``src(doc_id, shingle)`` → (doc_id, b): staged selects so each

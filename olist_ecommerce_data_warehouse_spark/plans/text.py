@@ -155,24 +155,47 @@ def _lang_score_sql(lang: str) -> str:
 
 
 def _lang_id_oracle() -> str:
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        QC_W_HALF,
+        _weight_sql,
+        quality_features_sql,
+    )
+
     score_cols = ",\n               ".join(
         f"{_lang_score_sql(lg)} AS score_{lg}" for lg in LANG_ID_LANGS
     )
-    greatest = ", ".join(f"score_{lg}" for lg in LANG_ID_LANGS)
+    greatest = ", ".join(f"s.score_{lg}" for lg in LANG_ID_LANGS)
     whens = " ".join(
-        f"WHEN score_{lg} THEN '{lg}'" for lg in LANG_ID_LANGS[:-1]
+        f"WHEN s.score_{lg} THEN '{lg}'" for lg in LANG_ID_LANGS[:-1]
     )
+    # classifier stages materialize once each (feats → wsum) — inlining
+    # would re-tokenize per reference
     return f"""
     WITH scored AS (
         SELECT doc_id, lang AS lang_actual,
                {score_cols}
         FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, {quality_features_sql("text")} AS f FROM documents
+    ),
+    qc AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(f, h -> {_weight_sql("h")})), (a, b) -> a + b) AS wsum,
+               len(f) AS n
+        FROM feats
     )
-    SELECT doc_id, lang_actual, {greatest},
+    SELECT s.doc_id, s.lang_actual, {greatest},
            CASE greatest({greatest})
                 {whens}
-                ELSE '{LANG_ID_LANGS[-1]}' END AS lang_predicted
-    FROM scored
+                ELSE '{LANG_ID_LANGS[-1]}' END AS lang_predicted,
+           CAST(qc.n AS BIGINT) AS qc_n_features,
+           qc.wsum AS qc_logit_sum,
+           CASE WHEN qc.n > 0 THEN CAST(qc.wsum AS DOUBLE) / ({QC_W_HALF} * qc.n)
+                ELSE 0.0 END AS qc_score,
+           CASE WHEN qc.wsum >= 0 THEN 1 ELSE 0 END AS qc_pass
+    FROM scored s JOIN qc USING (doc_id)
     """
 
 
@@ -195,7 +218,22 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic-corpus content words, misleading on any real corpus.
     The production shape (char-n-gram profiles → argmax) is identical;
     only the evidence table changes.  Pure map-side expressions, zero
-    shuffle."""
+    shuffle.
+
+    Round 4 merged MODEL-BASED QUALITY SCORING into the slot (same
+    classify-every-document family, same input): a fasttext-
+    architecture hashed linear classifier (operators/quality.py —
+    uni+bigram feature hashing into 2^20 buckets, mean-pooled integer
+    weights, thresholded logit; the production CCNet/Dolma/FineWeb
+    quality-gate shape) emits qc_n_features / qc_logit_sum / qc_score
+    / qc_pass per document.  Weights are a documented deterministic
+    stand-in (no labeled quality corpus ships here); hashing, pooling
+    and gating — the scale-bearing parts — are real, exact int64 both
+    engines, still a pure zero-shuffle map."""
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        quality_scored,
+    )
+
     d = table(spark, sf_dir, "documents")
     scores = {}
     for lang in LANG_ID_LANGS:
@@ -209,12 +247,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in LANG_ID_LANGS[1:-1]:
         pred = pred.when(scores[lang] == best, lang)
     pred = pred.otherwise(LANG_ID_LANGS[-1])
-    return d.select(
+    lang_part = d.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
         *[scores[lg].alias(f"score_{lg}") for lg in LANG_ID_LANGS],
         pred.alias("lang_predicted"),
     )
+    return lang_part.join(quality_scored(d), "doc_id")
 
 
 TOKS_SQL = toks_sql()

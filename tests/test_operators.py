@@ -941,3 +941,45 @@ def test_semdedup_recall_and_keep_vec_assignment(spark):
     orig = {r["vec_id"]: list(r["v"]) for r in base.collect()}
     for r in kept:
         assert list(r["v"]) == orig[r["vec_id"]]
+
+
+def test_quality_classifier_head(spark):
+    """The fasttext-architecture quality scorer must (a) emit one row
+    per document including featureless ones, (b) satisfy its own
+    arithmetic contract (score = logit/(500·n), pass = logit ≥ 0,
+    n = tokens + bigrams = 2·tokens − 1 for ≥1-token docs), and (c) be
+    deterministic across runs."""
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        QC_W_HALF,
+        quality_scored,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "data"),
+            (3, ""),
+            (4, None),
+            (5, "123 456 ,,,"),  # digits/punct → zero \p{L}+ tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_scored(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1]["qc_n_features"] == 9 + 8
+    assert rows[2]["qc_n_features"] == 1
+    for d in (3, 4, 5):
+        assert rows[d]["qc_n_features"] == 0
+        assert rows[d]["qc_logit_sum"] == 0
+        assert rows[d]["qc_score"] == 0.0
+        assert rows[d]["qc_pass"] == 1  # logit 0 ≥ 0
+    for d in (1, 2):
+        r = rows[d]
+        n, s = r["qc_n_features"], r["qc_logit_sum"]
+        assert abs(r["qc_score"] - s / (QC_W_HALF * n)) < 1e-15
+        assert abs(r["qc_score"]) <= 1.0
+        assert r["qc_pass"] == int(s >= 0)
+    again = {r["doc_id"]: r for r in quality_scored(docs).collect()}
+    assert {d: tuple(r) for d, r in rows.items()} == {
+        d: tuple(r) for d, r in again.items()
+    }
