@@ -1,0 +1,198 @@
+"""Distributed BPE tokenizer training — the text-side analogue of the
+in-loop k-means trainer (operators/kmeans.py): a small model (the
+merge table) learned from big data with one aggregation per round.
+
+Production LLM pipelines train their tokenizer ON the corpus
+(SentencePiece/HuggingFace BPE jobs).  The classic algorithm (Sennrich
+et al. 2016) compresses immediately: BPE statistics depend only on the
+WORD-FREQUENCY table, so the 100 TB corpus collapses to one
+``groupBy(word).count()`` — typically millions of rows — and every
+training round runs on that compressed table:
+
+  round i:  explode adjacent symbol pairs (weighted by word count)
+            → one hash-aggregate SUM per pair
+            → argmax to the driver (ONE row: the merge rule)
+            → broadcast the grown merge list into the next round's
+              tokenize kernel
+
+Exactly the canonical small-model/big-data loop shape every Spark ML
+iteration uses — shuffle per round carries (distinct pairs × 8-byte
+counts), never the corpus.
+
+Determinism: ties in the pair-count argmax break to the
+lexicographically smallest (left, right) pair — same rule in the
+driver-side reference trainer (``bpe_train_reference``), which the
+distributed trainer must equal exactly (asserted in tests).  The
+kernel re-derives each word's symbols from scratch by replaying the
+merge list (stateless rounds — no persisted lineage chain to manage;
+production with thousands of merges would checkpoint the symbolized
+word table every ~50 rounds instead, trading storage for the replay).
+
+Reference parity note: the reference warehouse has no tokenizer
+trainer; this extends the corpus-prep tier (SURVEY §2 extension —
+token budgeting: ``functions/text.py::bpe_pretoken_count``) with the
+trainer that produces the merges such budgeting assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olist_ecommerce_data_warehouse_spark.functions.text import tokens
+
+# End-of-word sentinel (classic BPE): distinguishes "est</w>" from
+# "est" mid-word.  Any symbol containing it never merges across words
+# because pairs are only formed WITHIN a word's symbol list.
+EOW = "</w>"
+
+
+def _symbolize(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """chars + EOW, then replay ``merges`` in training order — the ONE
+    shared tokenization rule (trainer kernel, encoder kernel, and the
+    driver reference all call this; they cannot drift)."""
+    syms = list(word) + [EOW]
+    for left, right in merges:
+        merged = left + right
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) — the compressed training input: one aggregation over
+    the corpus, map-side partials collapse repeats before the shuffle."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("left", T.StringType()),
+        T.StructField("right", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns the
+    ordered merge list.  Stops early when no pair occurs twice (merging
+    singletons would memorize individual words)."""
+    wc = word_counts(docs, text_col)
+    if n_merges > 0:
+        wc = wc.persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            snapshot = list(merges)
+
+            def pair_kernel(batches, _merges=snapshot):
+                import pandas as pd
+
+                for pdf in batches:
+                    rows: dict[tuple[str, str], int] = {}
+                    for word, n in zip(pdf["word"], pdf["n"]):
+                        syms = _symbolize(word, _merges)
+                        for a, b in zip(syms, syms[1:]):
+                            rows[(a, b)] = rows.get((a, b), 0) + int(n)
+                    if rows:
+                        yield pd.DataFrame(
+                            {
+                                "left": [k[0] for k in rows],
+                                "right": [k[1] for k in rows],
+                                "cnt": list(rows.values()),
+                            }
+                        )
+
+            best = (
+                wc.mapInPandas(pair_kernel, _PAIR_SCHEMA)
+                .groupBy("left", "right")
+                .agg(F.sum("cnt").alias("cnt"))
+                .orderBy(F.desc("cnt"), "left", "right")
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < 2:
+                break
+            merges.append((best[0]["left"], best[0]["right"]))
+    finally:
+        if n_merges > 0:
+            wc.unpersist()
+    return merges
+
+
+def bpe_train_reference(
+    word_n: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side reference trainer over a (word, count) list — the
+    distributed trainer must produce the identical merge sequence."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for word, n in word_n:
+            syms = _symbolize(word, merges)
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        # count desc, then lexicographically smallest pair
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        if top < 2:
+            break
+        merges.append(best_pair)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bpe_tokens array<string>, bpe_token_count) per document —
+    tokenize with a trained merge list (broadcast into one Arrow
+    kernel; pure map, zero shuffle).  Concatenating a word's tokens
+    always reproduces word+EOW (lossless — asserted in tests)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+            T.StructField("bpe_token_count", T.LongType()),
+        ]
+    )
+    rows = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+
+    def kernel(batches, _merges=list(merges)):
+        for pdf in batches:
+            ids, toks_out, counts = [], [], []
+            for i, toks in zip(pdf["__id"], pdf["__toks"]):
+                doc_syms: list[str] = []
+                for w in toks:
+                    doc_syms.extend(_symbolize(w, _merges))
+                ids.append(i)
+                toks_out.append(doc_syms)
+                counts.append(len(doc_syms))
+            yield pd.DataFrame(
+                {"__id": ids, "bpe_tokens": toks_out, "bpe_token_count": counts}
+            )
+
+    return rows.mapInPandas(kernel, out_schema).select(
+        F.col("__id").alias(id_col), "bpe_tokens", "bpe_token_count"
+    )

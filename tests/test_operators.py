@@ -983,3 +983,52 @@ def test_quality_classifier_head(spark):
     assert {d: tuple(r) for d, r in rows.items()} == {
         d: tuple(r) for d, r in again.items()
     }
+
+
+def test_bpe_train_matches_reference_and_encode_roundtrips(spark):
+    """Distributed BPE training must produce the exact merge sequence
+    of the driver-side reference trainer on the same word counts;
+    encoding with the trained merges must be lossless per word and
+    strictly compress vs character count."""
+    from olist_ecommerce_data_warehouse_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_train,
+        bpe_train_reference,
+        word_counts,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    docs = docs.persist()
+    try:
+        merges = bpe_train(docs, n_merges=12)
+        wc = [(r["word"], r["n"]) for r in word_counts(docs).collect()]
+        assert merges == bpe_train_reference(wc, 12)
+        assert 0 < len(merges) <= 12
+        # training is deterministic across runs
+        assert bpe_train(docs, n_merges=12) == merges
+
+        enc = bpe_encode(docs, merges).collect()
+        assert len(enc) == docs.count()
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        from olist_ecommerce_data_warehouse_spark.functions.text import tokens as _t
+
+        toks = {
+            r["doc_id"]: r["tk"]
+            for r in docs.select("doc_id", _t("text").alias("tk")).collect()
+        }
+        for r in enc[:50]:
+            words = toks[r["doc_id"]]
+            # lossless: concatenated symbols == words joined with EOW
+            assert "".join(r["bpe_tokens"]) == "".join(w + EOW for w in words)
+            n_chars = sum(len(w) + 1 for w in words)
+            if words and len(merges) > 0:
+                assert r["bpe_token_count"] <= n_chars
+        # the learned merges actually fire somewhere (global compression)
+        total_syms = sum(r["bpe_token_count"] for r in enc)
+        total_chars = sum(
+            len(w) + 1 for ws in toks.values() for w in ws
+        )
+        assert total_syms < total_chars
+    finally:
+        docs.unpersist()

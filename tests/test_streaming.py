@@ -432,3 +432,111 @@ def test_upsert_batch_preserves_sibling_suffix_tables(spark, tmp_path_factory):
     assert {r["name"] for r in spark.read.parquet(user_old).collect()} == {"keep"}
     assert {r["name"] for r in spark.read.parquet(user_staging).collect()} == {"keep2"}
     assert {r["name"] for r in spark.read.parquet(target).collect()} == {"v200"}
+
+
+def test_streaming_lsh_neardup_matches_batch_and_survives_restart(
+    spark, tmp_path_factory
+):
+    """Streaming MinHash-LSH near-dup: (a) the per-row signature map
+    must equal the batch explode+groupBy formulation signature-for-
+    signature; (b) bucket anchoring must match a driver-side replay of
+    the same arrival order; (c) state must survive a query restart —
+    drop2 processed after a stop/start still sees drop1's anchors."""
+    import os
+
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+        minhash_band_signatures,
+        shingle_hash_table,
+    )
+    from olist_ecommerce_data_warehouse_spark.streaming.neardup import (
+        band_signature_rows,
+        streaming_lsh_neardup,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # inject exact copies under new ids so buckets collide for sure
+    dupes = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+
+    # (a) signature parity: map formulation == batch formulation
+    map_sigs = sorted(map(tuple, band_signature_rows(corpus).collect()))
+    batch_sigs = sorted(
+        map(tuple, minhash_band_signatures(shingle_hash_table(corpus)).collect())
+    )
+    assert map_sigs == batch_sigs
+
+    import glob
+    import shutil
+
+    base = tmp_path_factory.mktemp("lsh_stream")
+    src = str(base / "src")
+    os.makedirs(src)
+    d1 = corpus.filter(F.col("doc_id") < 100000)
+    d2 = corpus.filter(F.col("doc_id") >= 100000)
+
+    def land(df, tag):
+        # the file source watches a flat directory — land each drop's
+        # part files directly in src under unique names
+        stage = str(base / f"stage_{tag}")
+        df.coalesce(1).write.parquet(stage)
+        for i, p in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.copy(p, f"{src}/{tag}_{i}.parquet")
+
+    land(d1, "drop1")
+
+    ckpt, out = str(base / "ckpt"), str(base / "out")
+
+    def drain():
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        q = (
+            streaming_lsh_neardup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # batch 1: originals only
+    land(d2, "drop2")
+    drain()  # RESTARTED query: dupes arrive against drop1's state
+
+    got = spark.read.parquet(out)
+    # every (doc, band) emitted exactly once across both runs
+    assert got.groupBy("doc_id", "band").count().filter("count > 1").count() == 0
+
+    # (c)+(b): replay expectation — drop1 docs claim buckets in doc_id
+    # order, drop2 docs must all collide with drop1 anchors
+    sig_rows = band_signature_rows(corpus).collect()
+    first_seen: dict[tuple, int] = {}
+    expect: dict[tuple, tuple] = {}
+    for phase_docs in (d1, d2):
+        ids = {r["doc_id"] for r in phase_docs.select("doc_id").collect()}
+        for r in sorted(sig_rows, key=lambda r: r["doc_id"]):
+            if r["doc_id"] not in ids:
+                continue
+            key = (r["band"], r["sig"])
+            if key not in first_seen:
+                first_seen[key] = r["doc_id"]
+            expect[(r["doc_id"], r["band"])] = (
+                first_seen[key],
+                int(first_seen[key] == r["doc_id"]),
+            )
+    got_map = {
+        (r["doc_id"], r["band"]): (r["anchor_doc_id"], r["is_anchor"])
+        for r in got.collect()
+    }
+    assert got_map == expect
+    # the injected exact copies are all flagged as collisions
+    dupe_ids = {r["doc_id"] for r in dupes.select("doc_id").collect()}
+    flagged = {r["doc_id"] for r in got.filter("is_anchor = 0").collect()}
+    with_sigs = {r["doc_id"] for r in sig_rows}
+    assert (dupe_ids & with_sigs) <= flagged
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be a streaming"):
+        streaming_lsh_neardup(corpus)
