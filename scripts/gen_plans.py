@@ -22,6 +22,7 @@ PICKS = {
     "dedup_cluster_cc": "Edge pipeline materialized once; min-label loop over endpoints only — the executed plan reads the loop's cached labels (InMemoryTableScan).",
     "contamination_check": "Runtime filter first: the train gram stream passes a broadcast LEFT-SEMI join against the eval gram set before the distinct hash-aggregate, so only overlapping grams reach a shuffle; overlap is then a plain equi-join on the 8-byte gram hash; both document scans pruned.",
     "asof_click_attribution": "Both temporal-join primitives: the as-of branch is one user-keyed window (union + running last), the interval branch is the bucketized range join — interval replicas via sequence+explode, EQUI-join on the bin, exact BETWEEN filter; no BroadcastNestedLoopJoin anywhere.",
+    "text_lang_id": "The classifier-merge shape: lang evidence stays a pure map over the documents scan; the quality head explodes 8-byte feature hashes, runs the mix32 weight math as codegen'd row expressions, partial-aggregates map-side (shuffle = one row per doc) and joins back on doc_id.",
 }
 
 
