@@ -1,0 +1,274 @@
+"""End-to-end TRAINING-CORPUS pipeline — the medallion counterpart for
+LLM data: every stage is an operator this engine already ships,
+composed with the same audited fail-fast conventions as
+``MedallionPipeline`` (reference: 03_load_csv_to_bronze.sql's
+TRY/CATCH lifecycle, applied to the corpus-prep tier the driver
+mandates).
+
+    bronze   ingest JSONL, quarantine corrupt lines
+    silver   quality gates (token bounds + fasttext-style classifier)
+             → exact dedup → MinHash-LSH near-dup → CC clustering →
+             one keeper per duplicate family
+    gold     deterministic train/val/test split → 5-gram
+             decontamination of TRAIN against the eval splits →
+             weighted domain mixing → greedy sequence packing
+
+Every stage writes a parquet table under its layer, records a
+STARTED → SUCCESS(rows)/FAILED(error) audit pair, and re-raises on
+failure so downstream stages never run on partial data.  Stage order
+is dependency order (C2); each stage reads the PREVIOUS stage's table
+from disk, so a crashed run resumes from the last good layer.
+
+Scale posture is inherited from the operators: the only corpus-sized
+shuffles are the dedup signature aggregate, the LSH band join, the CC
+edge rounds, and the packing key shuffle — every gate/split/mixing
+stage is a pure map, and the decontamination runtime-filters train
+grams against the (small) eval gram set before any wide join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olist_ecommerce_data_warehouse_spark.operators.graph import connected_components
+from olist_ecommerce_data_warehouse_spark.operators.quality import quality_scored
+from olist_ecommerce_data_warehouse_spark.operators.sampling import sample_by_weight
+from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+    GRAM_M,
+    gramk_expr,
+    hex_to_long,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_band_signatures,
+    shingle_hash_table,
+    token_hashes_expr,
+)
+from olist_ecommerce_data_warehouse_spark.sources.audit import AuditLog
+from olist_ecommerce_data_warehouse_spark.sources.jsonl import read_jsonl, split_corrupt
+from olist_ecommerce_data_warehouse_spark.streaming.packing import greedy_pack_batch
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+CONTAM_N = 5  # decontamination n-gram order (GPT-3-style)
+
+
+def _split_col(id_col: str = "doc_id") -> F.Column:
+    """Deterministic 90/5/5 split (same salt scheme as the
+    ``sequence_packing`` plan: md5(doc_id || ':split') mod 100 — a
+    rebuilt corpus lands every doc in the same split forever)."""
+    bucket = hex_to_long(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":split"))), 1, 8
+        )
+    ) % 100
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+
+
+class CorpusPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        *,
+        min_tokens: int = 3,
+        max_tokens: int = 100_000,
+        jaccard_threshold: float = 0.8,
+        contam_threshold_pct: int = 50,
+        seq_budget: int = 512,
+    ):
+        self.spark = spark
+        self.base = base_dir.rstrip("/")
+        self.audit = AuditLog(spark)
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.jaccard_threshold = jaccard_threshold
+        self.contam_threshold_pct = contam_threshold_pct
+        self.seq_budget = seq_budget
+
+    # ------------------------------------------------------------ plumbing
+
+    def path(self, layer: str, name: str) -> str:
+        return f"{self.base}/{layer}/{name}"
+
+    def read(self, layer: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(layer, name))
+
+    def _audited_write(
+        self, df: DataFrame, layer: str, name: str, source_object: str = ""
+    ) -> int:
+        run_id, started = self.audit.start_run(source_object or name, layer, name)
+        try:
+            df.write.mode("overwrite").parquet(self.path(layer, name))
+            n = self.spark.read.parquet(self.path(layer, name)).count()
+        except BaseException as e:
+            self.audit.finish_run(run_id, started, error=e)
+            raise
+        self.audit.finish_run(run_id, started, rows_inserted=n)
+        return n
+
+    # -------------------------------------------------------------- bronze
+
+    def ingest_bronze(self, jsonl_path: str) -> dict[str, int]:
+        """JSONL → bronze/documents (+ bronze/quarantine for corrupt
+        lines — quarantined WITH their raw text, never dropped)."""
+        run_id, started = self.audit.start_run(jsonl_path, "bronze", "documents", source_path=jsonl_path)
+        try:
+            raw = read_jsonl(self.spark, jsonl_path, DOC_SCHEMA)
+            clean, corrupt = split_corrupt(raw)
+            clean.write.mode("overwrite").parquet(self.path("bronze", "documents"))
+            corrupt.write.mode("overwrite").parquet(self.path("bronze", "quarantine"))
+            n = self.read("bronze", "documents").count()
+            nq = self.read("bronze", "quarantine").count()
+        except BaseException as e:
+            self.audit.finish_run(run_id, started, error=e)
+            raise
+        self.audit.finish_run(run_id, started, rows_inserted=n)
+        return {"documents": n, "quarantined": nq}
+
+    def ingest_bronze_df(self, docs: DataFrame) -> dict[str, int]:
+        """Bronze from an in-engine frame (parquet-sourced corpora —
+        the driver's documents table): same layer contract, no
+        quarantine split needed."""
+        n = self._audited_write(
+            docs.select("doc_id", "text", "lang", "source"), "bronze", "documents"
+        )
+        return {"documents": n, "quarantined": 0}
+
+    # -------------------------------------------------------------- silver
+
+    def load_silver_filtered(self) -> int:
+        """Quality gates: token-count bounds + classifier pass.
+        Rejected docs land in silver/rejected with a reject_reason —
+        a filter you cannot audit is a filter you cannot trust."""
+        docs = self.read("bronze", "documents")
+        toks = docs.select(
+            "*", F.size(token_hashes_expr("text")).alias("n_tokens")
+        )
+        scored = toks.join(quality_scored(docs), "doc_id")
+        reason = (
+            F.when(F.col("n_tokens") < self.min_tokens, "too_short")
+            .when(F.col("n_tokens") > self.max_tokens, "too_long")
+            .when(F.col("qc_pass") == 0, "quality_fail")
+        )
+        flagged = scored.select("*", reason.alias("reject_reason"))
+        self._audited_write(
+            flagged.filter(F.col("reject_reason").isNotNull()), "silver", "rejected"
+        )
+        return self._audited_write(
+            flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason"),
+            "silver",
+            "filtered",
+        )
+
+    def load_silver_deduped(self) -> int:
+        """Exact dedup (content-fingerprint hash-agg, min doc_id kept)
+        → MinHash-LSH candidates → exact-Jaccard verification →
+        connected components over the verified near-dup graph → one
+        keeper (min doc_id) per duplicate family."""
+        docs = self.read("silver", "filtered")
+        # exact: one hash-aggregate on the fingerprint
+        keeper = docs.groupBy(F.md5("text").alias("__fp")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        exact = docs.join(keeper.select("doc_id"), "doc_id")
+        # near-dup over the exact survivors
+        sh = shingle_hash_table(exact)
+        pairs = lsh_candidate_pairs(minhash_band_signatures(sh))
+        verified = jaccard_on_pairs(pairs, sh).filter(
+            F.col("jaccard") >= self.jaccard_threshold
+        )
+        comp = connected_components(
+            exact.select(F.col("doc_id").alias("id")),
+            verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        )
+        keep_ids = comp.groupBy("component").agg(F.min("id").alias("doc_id"))
+        return self._audited_write(
+            exact.join(keep_ids.select("doc_id"), "doc_id"), "silver", "deduped"
+        )
+
+    # ---------------------------------------------------------------- gold
+
+    def load_gold_corpus(self, weights: dict[str, float] | None = None) -> dict[str, int]:
+        """Split → decontaminate train against val/test → mix → pack."""
+        docs = self.read("silver", "deduped").select(
+            "*", _split_col().alias("split")
+        )
+        grams = F.array_distinct(
+            F.transform(gramk_expr("__th", CONTAM_N), lambda x: x % GRAM_M)
+        )
+        th = docs.select(
+            "doc_id", "split", token_hashes_expr("text").alias("__th")
+        ).select("doc_id", "split", grams.alias("__g"))
+        eval_grams = (
+            th.filter(F.col("split") != "train")
+            .select(F.explode("__g").alias("gh"))
+            .distinct()
+        )
+        # eval side is benchmark-sized → broadcast semi-join runtime
+        # filter; per-doc overlap then decides the drop
+        train_overlap = (
+            th.filter(F.col("split") == "train")
+            .select("doc_id", F.size("__g").alias("n_g"), F.explode("__g").alias("gh"))
+            .join(F.broadcast(eval_grams), "gh", "left_semi")
+            .groupBy("doc_id", "n_g")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(100 * F.col("n_overlap") >= self.contam_threshold_pct * F.col("n_g"))
+            .select("doc_id")
+        )
+        decon = docs.join(train_overlap, "doc_id", "left_anti")
+        n_clean = self._audited_write(decon, "gold", "decontaminated")
+
+        mixed = sample_by_weight(
+            self.read("gold", "decontaminated").filter(F.col("split") == "train"),
+            weights or {},
+        )
+        n_mixed = self._audited_write(mixed, "gold", "train_mixture")
+
+        sized = self.read("gold", "train_mixture").select(
+            # epoch replicas must pack as distinct rows: synthesize a
+            # replica-unique packing id (epoch in the high bits)
+            (F.col("doc_id") + F.col("epoch") * 10_000_000).alias("doc_id"),
+            "lang",
+            F.size(token_hashes_expr("text")).alias("n_tokens"),
+        )
+        packed = greedy_pack_batch(sized, budget=self.seq_budget)
+        n_packed = self._audited_write(packed, "gold", "packed")
+        return {"decontaminated": n_clean, "train_mixture": n_mixed, "packed": n_packed}
+
+    # ----------------------------------------------------------------- run
+
+    def run_all(
+        self,
+        *,
+        jsonl_path: str | None = None,
+        docs: DataFrame | None = None,
+        weights: dict[str, float] | None = None,
+    ) -> dict[str, int]:
+        """C1/C2: dependency-ordered, fail-fast (any stage error leaves
+        its FAILED audit row and propagates — nothing downstream runs)."""
+        if (jsonl_path is None) == (docs is None):
+            raise ValueError("run_all: exactly one of jsonl_path/docs required")
+        out: dict[str, int] = {}
+        bronze = (
+            self.ingest_bronze(jsonl_path) if jsonl_path else self.ingest_bronze_df(docs)
+        )
+        out["bronze_documents"] = bronze["documents"]
+        out["bronze_quarantined"] = bronze["quarantined"]
+        out["silver_filtered"] = self.load_silver_filtered()
+        out["silver_deduped"] = self.load_silver_deduped()
+        gold = self.load_gold_corpus(weights)
+        out["gold_decontaminated"] = gold["decontaminated"]
+        out["gold_train_mixture"] = gold["train_mixture"]
+        out["gold_packed"] = gold["packed"]
+        return out
