@@ -147,11 +147,9 @@ class CorpusPipeline:
 
     # -------------------------------------------------------------- silver
 
-    def load_silver_filtered(self) -> int:
-        """Quality gates: token-count bounds + classifier pass.
-        Rejected docs land in silver/rejected with a reject_reason —
-        a filter you cannot audit is a filter you cannot trust."""
-        docs = self.read("bronze", "documents")
+    def _apply_gates(self, docs: DataFrame) -> DataFrame:
+        """Token bounds + classifier, with a reject_reason column (NULL
+        = keep) — shared by the full load and incremental drops."""
         toks = docs.select(
             "*", F.size(token_hashes_expr("text")).alias("n_tokens")
         )
@@ -161,7 +159,13 @@ class CorpusPipeline:
             .when(F.col("n_tokens") > self.max_tokens, "too_long")
             .when(F.col("qc_pass") == 0, "quality_fail")
         )
-        flagged = scored.select("*", reason.alias("reject_reason"))
+        return scored.select("*", reason.alias("reject_reason"))
+
+    def load_silver_filtered(self) -> int:
+        """Quality gates: token-count bounds + classifier pass.
+        Rejected docs land in silver/rejected with a reject_reason —
+        a filter you cannot audit is a filter you cannot trust."""
+        flagged = self._apply_gates(self.read("bronze", "documents"))
         self._audited_write(
             flagged.filter(F.col("reject_reason").isNotNull()), "silver", "rejected"
         )
@@ -175,7 +179,12 @@ class CorpusPipeline:
         """Exact dedup (content-fingerprint hash-agg, min doc_id kept)
         → MinHash-LSH candidates → exact-Jaccard verification →
         connected components over the verified near-dup graph → one
-        keeper (min doc_id) per duplicate family."""
+        keeper (min doc_id) per duplicate family.
+
+        Also persists the two INDEX side tables incremental drops
+        dedup against without reprocessing the corpus
+        (:meth:`apply_increment`): content fingerprints and LSH band
+        signatures of every kept document."""
         docs = self.read("silver", "filtered")
         # exact: one hash-aggregate on the fingerprint
         keeper = docs.groupBy(F.md5("text").alias("__fp")).agg(
@@ -193,9 +202,145 @@ class CorpusPipeline:
             verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         )
         keep_ids = comp.groupBy("component").agg(F.min("id").alias("doc_id"))
-        return self._audited_write(
+        n = self._audited_write(
             exact.join(keep_ids.select("doc_id"), "doc_id"), "silver", "deduped"
         )
+        kept = self.read("silver", "deduped")
+        self._audited_write(
+            kept.select("doc_id", F.md5("text").alias("fp")),
+            "silver",
+            "index_fingerprints",
+        )
+        self._audited_write(
+            minhash_band_signatures(shingle_hash_table(kept)),
+            "silver",
+            "index_band_sigs",
+        )
+        return n
+
+    def apply_increment(self, new_docs: DataFrame) -> dict[str, int]:
+        """Incremental drop: gate → dedup the increment against ITSELF
+        and against the EXISTING corpus via the persisted index tables
+        — never rescanning corpus text except for the (small) verified-
+        candidate set.  The 100 TB contract: per-drop work is
+        O(|drop| + |collisions|); the only corpus-sized inputs touched
+        are the fingerprint and band-signature indexes (8-byte/hash
+        rows, join-pruned), and old-document shingles are RECOMPUTED
+        only for candidate partners instead of storing a corpus-sized
+        shingle table.  Appends survivors to silver/deduped and updates
+        both indexes; returns per-fate counts."""
+        run_id, started = self.audit.start_run("increment", "silver", "deduped")
+        try:
+            # localCheckpoint at stage boundaries: each stage is read
+            # several times downstream (counts + two join consumers),
+            # and the combined gates→LSH→CC→append lineage otherwise
+            # grows past what plan stringification/codegen tolerate —
+            # at scale these barriers are the staging tables a real
+            # incremental job writes anyway
+            flagged = self._apply_gates(new_docs).localCheckpoint(eager=True)
+            gated = flagged.filter(F.col("reject_reason").isNull()).drop(
+                "reject_reason"
+            )
+            n_rejected = flagged.filter(F.col("reject_reason").isNotNull()).count()
+
+            fps = self.read("silver", "index_fingerprints")
+            with_fp = gated.select("*", F.md5("text").alias("fp"))
+            # exact vs history + within-increment (min id wins)
+            no_hist = with_fp.join(fps.select("fp"), "fp", "left_anti")
+            first = no_hist.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            exact_new = no_hist.join(first.select("doc_id"), "doc_id").localCheckpoint(
+                eager=True
+            )
+            n_exact_dropped = gated.count() - exact_new.count()
+
+            new_sh = shingle_hash_table(exact_new).persist()
+            new_sigs = minhash_band_signatures(new_sh).persist()
+            old_sigs = self.read("silver", "index_band_sigs")
+            # new-vs-old candidates: band equi-join against the stored
+            # index; new-vs-new: the standard pair join on the drop
+            cand_old = (
+                new_sigs.alias("n")
+                .join(
+                    old_sigs.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.sig") == F.col("o.sig")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("doc_new"),
+                    F.col("o.doc_id").alias("doc_old"),
+                )
+                .distinct()
+            )
+            # verification shingles for JUST the implicated old docs
+            old_partner_docs = (
+                self.read("silver", "deduped")
+                .join(
+                    cand_old.select(F.col("doc_old").alias("doc_id")).distinct(),
+                    "doc_id",
+                )
+            )
+            ver_sh = new_sh.unionByName(shingle_hash_table(old_partner_docs))
+            old_hits = (
+                jaccard_on_pairs(
+                    cand_old.select(
+                        F.col("doc_new").alias("doc_a"),
+                        F.col("doc_old").alias("doc_b"),
+                    ),
+                    ver_sh,
+                )
+                .filter(F.col("jaccard") >= self.jaccard_threshold)
+                .select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+            )
+            survivors_vs_old = exact_new.join(
+                old_hits, "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+
+            # within-increment near-dup family collapse (batch rule)
+            surv_sh = new_sh.join(
+                survivors_vs_old.select("doc_id"), "doc_id"
+            )
+            nn_pairs = lsh_candidate_pairs(minhash_band_signatures(surv_sh))
+            nn_verified = jaccard_on_pairs(nn_pairs, surv_sh).filter(
+                F.col("jaccard") >= self.jaccard_threshold
+            )
+            comp = connected_components(
+                survivors_vs_old.select(F.col("doc_id").alias("id")),
+                nn_verified.select(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+            )
+            keep_ids = comp.groupBy("component").agg(F.min("id").alias("doc_id"))
+            added = survivors_vs_old.join(
+                keep_ids.select("doc_id"), "doc_id"
+            ).localCheckpoint(eager=True)
+            n_neardup_dropped = exact_new.count() - added.count()
+
+            # append with the EXACT silver schema (gate columns ride
+            # along) — a narrower appended file would shadow columns on
+            # the next read
+            silver_cols = self.read("silver", "deduped").columns
+            added_cols = added.select(*silver_cols)
+            added_cols.write.mode("append").parquet(self.path("silver", "deduped"))
+            added.select("doc_id", "fp").write.mode("append").parquet(
+                self.path("silver", "index_fingerprints")
+            )
+            minhash_band_signatures(
+                shingle_hash_table(added_cols)
+            ).write.mode("append").parquet(self.path("silver", "index_band_sigs"))
+            n_added = added.count()
+            new_sh.unpersist()
+            new_sigs.unpersist()
+        except BaseException as e:
+            self.audit.finish_run(run_id, started, error=e)
+            raise
+        self.audit.finish_run(run_id, started, rows_inserted=n_added)
+        return {
+            "rejected": n_rejected,
+            "dropped_exact": n_exact_dropped,
+            "dropped_neardup": n_neardup_dropped,
+            "added": n_added,
+        }
 
     # ---------------------------------------------------------------- gold
 

@@ -355,3 +355,81 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="exactly one"):
         pipe.run_all()
+
+
+def test_corpus_pipeline_incremental_drop(spark, tmp_path_factory):
+    """apply_increment must dedup a drop against the EXISTING corpus
+    through the persisted fingerprint/band-signature indexes (no
+    corpus rescan): exact copies drop at the fingerprint gate,
+    case-variant near-dups (same tokens → Jaccard 1.0, different raw
+    text → different md5) drop at the verified-LSH gate both
+    against history and within the drop, fresh docs append, and a
+    replayed identical drop adds nothing."""
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.operators.quality import quality_scored
+    from olist_ecommerce_data_warehouse_spark.pipeline.corpus import CorpusPipeline
+    from tests.conftest import SF_DIR
+
+    base = tmp_path_factory.mktemp("corpus_inc")
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text", "lang", "source")
+    pipe = CorpusPipeline(spark, str(base / "wh"), min_tokens=2)
+    pipe.ingest_bronze_df(docs.limit(150))
+    pipe.load_silver_filtered()
+    n0 = pipe.load_silver_deduped()
+
+    kept = pipe.read("silver", "deduped").orderBy("doc_id").limit(10).collect()
+    assert len(kept) >= 3
+    # fresh text: token-reversed kept doc (disjoint 3-gram shingles),
+    # picked so it still passes the deterministic quality gate
+    fresh_text = None
+    for r in kept:
+        cand = " ".join(reversed(r["text"].split()))
+        qdf = spark.createDataFrame([(0, cand)], "doc_id long, text string")
+        if quality_scored(qdf).first()["qc_pass"] == 1 and len(cand.split()) >= 2:
+            fresh_text = cand
+            break
+    assert fresh_text is not None
+
+    inc = spark.createDataFrame(
+        [
+            # exact copy of an existing kept doc, new id
+            (500001, kept[0]["text"], kept[0]["lang"], "drop"),
+            # near-dup of an existing kept doc: uppercase first char →
+            # same tokens (J=1.0), different fingerprint
+            (500002, kept[1]["text"].upper(), kept[1]["lang"], "drop"),
+            # fresh document
+            (500003, fresh_text, kept[0]["lang"], "drop"),
+            # two fresh near-dup twins (same tokens, different case)
+            (500004, fresh_text + " tail", kept[0]["lang"], "drop"),
+            (500005, (fresh_text + " tail").upper(), kept[0]["lang"], "drop"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = pipe.apply_increment(inc)
+    assert out["dropped_exact"] == 1
+    # 500002 drops vs history; 500005 drops vs its twin 500004; 500004
+    # itself near-dups 500003 (J ≈ n/(n+1) ≥ 0.8 for ≥5-token texts) —
+    # whether it survives depends on the verified pair set, so pin the
+    # EXACT outcome instead of a range:
+    added_ids = {
+        r["doc_id"]
+        for r in pipe.read("silver", "deduped").collect()
+        if r["doc_id"] >= 500000
+    }
+    assert 500001 not in added_ids and 500002 not in added_ids
+    assert 500003 in added_ids
+    assert 500005 not in added_ids
+    assert out["added"] == len(added_ids)
+    n1 = pipe.read("silver", "deduped").count()
+    assert n1 == n0 + out["added"]
+    # indexes track the corpus exactly
+    assert pipe.read("silver", "index_fingerprints").count() == n1
+    # replayed drop under new ids: everything is now history
+    inc2 = inc.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang", "source"
+    )
+    out2 = pipe.apply_increment(inc2)
+    assert out2["added"] == 0
+    assert pipe.read("silver", "deduped").count() == n1
+    audit = pipe.audit.to_df().toPandas()
+    assert (audit["status"] == "FAILED").sum() == 0

@@ -708,3 +708,94 @@ def test_pii_regex_cross_engine_parity(spark, ddb, texts):
         assert red == got[i]["red"], (s, red, got[i]["red"])
         for k in PII_PATTERNS:
             assert counts[k] == got[i][k], (s, k, counts[k], got[i][k])
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z")
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_quality_classifier_cross_engine_parity(spark, ddb, texts):
+    """The full quality-classifier pipeline (tokenize → uni+bigram
+    feature hashes → double-mix32 bucketed weights → exact logit sum →
+    score/gate) must be bit-identical Spark↔DuckDB for ARBITRARY
+    unicode text — the plan oracle only checks the driver corpus;
+    this fuzzes the tokenizer/feature/weight composition at the
+    edges (empty text, punctuation-only, non-Latin scripts, İ)."""
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        QC_W_HALF,
+        _weight_sql,
+        quality_features_sql,
+        quality_scored,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["qc_n_features"],
+            r["qc_logit_sum"],
+            r["qc_score"],
+            r["qc_pass"],
+        )
+        for r in quality_scored(docs).collect()
+    }
+    ddb.execute("CREATE OR REPLACE TABLE _qc_docs (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        ddb.execute("INSERT INTO _qc_docs VALUES (?, ?)", [i, t])
+    rows = ddb.execute(
+        f"""
+        WITH feats AS (
+            SELECT doc_id, {quality_features_sql("text")} AS f FROM _qc_docs
+        ),
+        qc AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(f, h -> {_weight_sql("h")})), (a, b) -> a + b) AS wsum,
+                   len(f) AS n
+            FROM feats
+        )
+        SELECT doc_id, CAST(n AS BIGINT), wsum,
+               CASE WHEN n > 0 THEN CAST(wsum AS DOUBLE) / ({QC_W_HALF} * n) ELSE 0.0 END,
+               CASE WHEN wsum >= 0 THEN 1 ELSE 0 END
+        FROM qc
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(0, 6),
+)
+@_SETTINGS
+def test_bpe_distributed_equals_reference(spark, words, n_merges):
+    """Distributed BPE training must equal the driver-side reference
+    trainer merge-for-merge on ARBITRARY corpora (the corpus test only
+    covers the driver vocabulary) — including the tie-break rule and
+    the <2-count early stop."""
+    from olist_ecommerce_data_warehouse_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_reference,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    wc = [(r["word"], r["n"]) for r in word_counts(docs).collect()]
+    assert bpe_train(docs, n_merges=n_merges) == bpe_train_reference(wc, n_merges)
