@@ -105,6 +105,20 @@ def test_ann_plans_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_semdedup_blocked_scoring_shape(spark):
+    """SemDeDup (dedup_embedding_cosine kind='semdedup') must score
+    pairs only inside per-cluster Arrow groups: the executed plan
+    carries FlatMapGroupsInPandas for both blocking strategies and no
+    pair-level join (CartesianProduct / BroadcastNestedLoopJoin), and
+    cluster assignment stays a narrow mapInPandas — no shuffle join
+    reuniting (id, cluster) with vectors."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 2  # label + semdedup blocks
+    assert "MapInPandas" in plan  # keep_vec assignment kernel
+
+
 def test_minhash_signature_fold_is_partial_min(spark):
     """The MinHash signature fold must run as k map-side partial MIN
     aggregates in a codegen'd HashAggregate — not the round-1 30s shape
