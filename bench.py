@@ -113,7 +113,8 @@ BASELINE_R03 = {
     "merge_upsert_incremental": 0.2978,
     "scalar_kpis": 0.7855,
     "scd2_dim_customer": 0.6077,
-    "text_metrics": 0.9331,
+    # text_metrics re-anchored in BASELINE_R04: round 4 put BPE
+    # tokenizer TRAINING in the loop (capability change)
 }
 
 # Frozen round-4 anchors (measured this round, sf0.1 local[32],
@@ -129,6 +130,10 @@ BASELINE_R04 = {
     # label-blocked pairs) — measured 2.352 best-of-2 on this rig
     "dedup_embedding_cosine": 2.352,
     "ann_cosine_topk": 1.133,
+    # text_metrics re-anchored late in round 4: the slot gained
+    # in-loop BPE tokenizer training + trained-token counts (6 merge
+    # rounds inside the query) — measured 4.526 best-of-2 on this rig
+    "text_metrics": 4.526,
     # re-anchored again late in round 4: the slot absorbed the
     # fasttext-architecture quality classifier (uni+bigram hashing,
     # exploded-row weight sum) — measured 2.81 best-of-2 on this rig

@@ -46,10 +46,21 @@ def _pii_count_sql(col: str, kind: str) -> str:
     return f"len(regexp_extract_all({col}, '{PII_PATTERNS[kind]}'))"
 
 
+# BPE merges trained IN the text_metrics query (like the IVF plan's
+# in-loop k-means) — the oracle replays training via unrolled-merge
+# CTEs (operators.bpe.bpe_oracle_ctes).
+BPE_MERGES = 6
+
+from olist_ecommerce_data_warehouse_spark.operators.bpe import (  # noqa: E402
+    bpe_oracle_ctes,
+)
+
+
 @query(
     "text_metrics",
     oracle=f"""
-    WITH t AS (
+    WITH {bpe_oracle_ctes(BPE_MERGES)},
+    t AS (
         SELECT doc_id,
                length(text) AS n_chars_actual,
                len({toks_sql()}) AS n_tokens,
@@ -80,8 +91,9 @@ def _pii_count_sql(col: str, kind: str) -> str:
            {_pii_count_sql("itext", "SSN")} AS n_ssn,
            {_pii_count_sql("itext", "IP")} AS n_ip,
            length({_pii_redact_sql("itext")}) AS redacted_len,
-           md5({_pii_redact_sql("itext")}) AS redacted_fp
-    FROM t
+           md5({_pii_redact_sql("itext")}) AS redacted_fp,
+           COALESCE(bc.n_bpe_trained_tokens, 0) AS n_bpe_trained_tokens
+    FROM t LEFT JOIN bpe_doc_counts bc USING (doc_id)
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,8 +112,29 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots — ``text_token_stats`` + ``text_quality_score`` +
     ``doc_fingerprint`` + the pytest-only PII scrub — merged to keep
     the registry at 50; every operator family stays fully
-    oracle-checked here.)"""
+    oracle-checked here.)
+
+    Round 4 merged TRAINED-TOKENIZER budgeting into the slot: a BPE
+    merge table is learned from this very corpus inside the query
+    (operators.bpe.bpe_train — one pair-count aggregate + driver
+    argmax per round over the word-frequency table, the same
+    small-model/big-data loop as the IVF plan's in-loop k-means) and
+    ``n_bpe_trained_tokens`` counts each document under it.  The
+    oracle re-trains the identical merges via unrolled-merge CTEs
+    (``bpe_oracle_ctes`` — the unrolled-Lloyd device applied to BPE),
+    so the driver hash gates train → encode end-to-end.  This adds
+    the plan's one join (doc_id, broadcast-sized counts) to what was
+    a pure map."""
+    from olist_ecommerce_data_warehouse_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
     d = table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=BPE_MERGES)
+    bpe_counts = bpe_encode(d, merges).select(
+        "doc_id", F.col("bpe_token_count").alias("n_bpe_trained_tokens")
+    )
     n_tok = token_count("text")
     n_dis = distinct_token_count("text")
     n_stop = marker_hits("text", ["the", "a", "of", "and"])
@@ -139,7 +172,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["IP"].alias("n_ip"),
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),
-    )
+    ).join(bpe_counts, "doc_id")
 
 
 def _lang_score_sql(lang: str) -> str:
