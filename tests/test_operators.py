@@ -1032,3 +1032,107 @@ def test_bpe_train_matches_reference_and_encode_roundtrips(spark):
         assert total_syms < total_chars
     finally:
         docs.unpersist()
+
+
+def test_semdedup_cluster_cap_bounds_blocks(spark):
+    """split_overcap_blocks must (a) leave under-cap corpora EXACTLY
+    as assigned (capped pipeline ≡ uncapped pipeline), (b) bound every
+    block to ≤ cap even on the pathological all-identical corpus where
+    k-means cannot separate anything (force-chunk fallback), and (c)
+    still find the within-block near-dup pairs."""
+    from olist_ecommerce_data_warehouse_spark.operators.kmeans import kmeans_train
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import (
+        quantized,
+        semdedup_pairs,
+        split_overcap_blocks,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    pure = emb.select("vec_id", quantized("embedding").alias("v"))
+    # inject near-copies so qualifying pairs exist (the plan's shape)
+    base = pure.unionByName(
+        pure.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("v", 1) + 1000),
+                F.slice("v", 2, F.size("v") - 1),
+            ).alias("v"),
+        )
+    )
+    cents = kmeans_train(base, vec_col="v", k=8, n_iter=2, pre_quantized=True)
+
+    # (a) cap far above any cluster → identical pair sets
+    uncapped = {
+        tuple(r)
+        for r in semdedup_pairs(base, cents, threshold=0.95).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in semdedup_pairs(
+            base, cents, threshold=0.95, cluster_cap=10_000_000
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
+
+    # (b)+(c) pathological mega-cluster: 600 near-identical vectors
+    one = base.first()["v"]
+    mega = spark.createDataFrame(
+        [(i, [int(x) + (i % 3) for x in one]) for i in range(600)],
+        "vec_id long, v array<bigint>",
+    )
+    mcents = kmeans_train(mega, vec_col="v", k=4, n_iter=2, pre_quantized=True)
+    from olist_ecommerce_data_warehouse_spark.operators.kmeans import kmeans_assign
+
+    assigned = kmeans_assign(
+        mega, mcents, vec_col="v", pre_quantized=True, keep_vec=True
+    )
+    bounded = split_overcap_blocks(assigned, cap=100, sub_k=4, rounds=2)
+    sizes = [r["count"] for r in bounded.groupBy("cluster").count().collect()]
+    assert max(sizes) <= 100, sizes
+    assert sum(sizes) == 600  # nothing lost
+    # ids survive exactly once
+    assert bounded.select("vec_id").distinct().count() == 600
+    pairs = semdedup_pairs(mega, mcents, threshold=0.99, cluster_cap=100)
+    got = pairs.collect()
+    assert len(got) > 0
+    assert all(r["cosine"] >= 0.99 for r in got)
+    # determinism of the whole capped pipeline
+    again = {tuple(r) for r in semdedup_pairs(
+        mega, mcents, threshold=0.99, cluster_cap=100
+    ).collect()}
+    assert {tuple(r) for r in got} == again
+
+
+def test_ivf_index_persist_load_search_with_partition_pruning(spark, tmp_path_factory):
+    """IVFIndex lifecycle: search on the LOADED index must equal
+    search on the freshly built one; the loaded search must prune to
+    the probed clusters AT THE SCAN (PartitionFilters on centroid_id —
+    the inverted-list property); rebuilding from the same corpus gives
+    a bit-identical index."""
+    from olist_ecommerce_data_warehouse_spark.operators.ann_index import IVFIndex
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import quantized
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = IVFIndex.build(emb, k=8, n_iter=2)
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    idx.save(path)
+    loaded = IVFIndex.load(spark, path)
+    assert loaded.centroids == idx.centroids
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), quantized("embedding").alias("qvec")
+    )
+    fresh = sorted(map(tuple, idx.search(queries, k=5).collect()))
+    persisted = sorted(map(tuple, loaded.search(queries, k=5).collect()))
+    assert fresh == persisted and len(fresh) > 0
+
+    plan = loaded.search(queries, k=5)._sc._jvm.PythonSQLUtils.explainString(
+        loaded.search(queries, k=5)._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+
+    # deterministic rebuild
+    idx2 = IVFIndex.build(emb, k=8, n_iter=2)
+    assert idx2.centroids == idx.centroids
