@@ -58,3 +58,44 @@ def create_warehouse_views(spark: SparkSession, sf_dir: str) -> list[str]:
         build(spark, sf_dir).createOrReplaceTempView(name)
         created.append(name)
     return created
+
+
+def create_corpus_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register the LLM-corpus analytic tier as LAZY views, so data
+    engineers triage training data in plain SQL::
+
+        SELECT lang, count(*) FROM corpus_quality
+        WHERE qc_pass = 1 GROUP BY lang
+
+    Only zero-build-cost views are registered (pure lazy plans — no
+    trainer/iterator runs at CREATE time; the trained pipelines stay
+    behind their ``queries()`` entries where their build jobs are an
+    explicit, benchmarked choice):
+
+    - ``corpus_quality``: per-doc fasttext-architecture classifier head
+      (qc_n_features/qc_logit_sum/qc_score/qc_pass) joined to metadata;
+    - ``corpus_splits``: the deterministic 90/5/5 train/val/test
+      assignment every rebuild reproduces;
+    - ``corpus_fingerprints``: exact-dedup content fingerprints.
+    """
+    from pyspark.sql import functions as F
+
+    from olist_ecommerce_data_warehouse_spark.operators.quality import quality_scored
+    from olist_ecommerce_data_warehouse_spark.pipeline.corpus import _split_col
+
+    register_views(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    created = []
+    quality_scored(docs).join(
+        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    ).createOrReplaceTempView("corpus_quality")
+    created.append("corpus_quality")
+    docs.select("doc_id", "lang", "source", _split_col().alias("split")).createOrReplaceTempView(
+        "corpus_splits"
+    )
+    created.append("corpus_splits")
+    docs.select(
+        "doc_id", F.md5("text").alias("fp")
+    ).createOrReplaceTempView("corpus_fingerprints")
+    created.append("corpus_fingerprints")
+    return created

@@ -1136,3 +1136,71 @@ def test_ivf_index_persist_load_search_with_partition_pruning(spark, tmp_path_fa
     # deterministic rebuild
     idx2 = IVFIndex.build(emb, k=8, n_iter=2)
     assert idx2.centroids == idx.centroids
+
+
+def test_zorder_layout_skips_both_dimensions(spark, tmp_path_factory):
+    """Morton layout vs single-column sort on a uniform 2-D grid: for
+    a small query box, the set of files whose min/max ranges intersect
+    the box (what any stats-based reader scans) must be much smaller
+    under z-order for the dimension the linear layout ignores — and
+    the interleave itself must be a correct Morton code."""
+    from olist_ecommerce_data_warehouse_spark.operators.zorder import (
+        file_minmax,
+        write_zordered,
+        zorder_key,
+    )
+
+    # Morton correctness on knowns: 16 cells of a 4x4 grid, 2 bits
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["zk"]
+        for r in cells.select(
+            "x", "y", zorder_key([("x", 0, 4), ("y", 0, 4)], bits=2).alias("zk")
+        ).collect()
+    }
+
+    def morton2(x, y):
+        out = 0
+        for b in range(2):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert got == {(x, y): morton2(x, y) for x in range(4) for y in range(4)}
+
+    base = tmp_path_factory.mktemp("zorder")
+    n = 64
+    grid = spark.createDataFrame(
+        [(i % n, i // n, i) for i in range(n * n)], "x long, y long, payload long"
+    )
+    zpath, lpath = str(base / "z"), str(base / "linear")
+    write_zordered(grid, zpath, [("x", 0, n), ("y", 0, n)], n_files=16)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(lpath)
+    )
+
+    def files_hit(path, xlo, xhi, ylo, yhi):
+        stats = file_minmax(spark, path, ["x", "y"]).collect()
+        assert len(stats) == 16
+        return sum(
+            1
+            for r in stats
+            if r["min_x"] <= xhi and r["max_x"] >= xlo
+            and r["min_y"] <= yhi and r["max_y"] >= ylo
+        )
+
+    box = (8, 15, 8, 15)  # 1/64 of the area
+    z_hits = files_hit(zpath, *box)
+    l_hits = files_hit(lpath, *box)
+    # linear-by-x layout: every file spans all of y → a y-selective box
+    # intersects every file containing the x range; z-order bounds both
+    assert z_hits < l_hits, (z_hits, l_hits)
+    assert z_hits <= 4, z_hits
+    # layout is physical only: content round-trips exactly
+    assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == sorted(
+        map(tuple, grid.collect())
+    )

@@ -433,3 +433,33 @@ def test_corpus_pipeline_incremental_drop(spark, tmp_path_factory):
     assert pipe.read("silver", "deduped").count() == n1
     audit = pipe.audit.to_df().toPandas()
     assert (audit["status"] == "FAILED").sum() == 0
+
+
+def test_corpus_sql_views(spark):
+    """create_corpus_views: the corpus tier is queryable in plain SQL,
+    lazily (no jobs at CREATE), with the same answers as the operators."""
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.operators.quality import quality_scored
+    from olist_ecommerce_data_warehouse_spark.sqlapi import create_corpus_views
+    from tests.conftest import SF_DIR
+
+    created = create_corpus_views(spark, SF_DIR)
+    assert set(created) == {"corpus_quality", "corpus_splits", "corpus_fingerprints"}
+    docs = table(spark, SF_DIR, "documents")
+    n_pass_sql = spark.sql(
+        "SELECT count(*) AS n FROM corpus_quality WHERE qc_pass = 1"
+    ).first()["n"]
+    n_pass_op = quality_scored(docs).filter("qc_pass = 1").count()
+    assert n_pass_sql == n_pass_op
+    splits = {
+        r["split"]: r["n"]
+        for r in spark.sql(
+            "SELECT split, count(*) AS n FROM corpus_splits GROUP BY split"
+        ).collect()
+    }
+    assert set(splits) == {"train", "val", "test"}
+    assert splits["train"] > splits["val"] + splits["test"]
+    assert (
+        spark.sql("SELECT count(DISTINCT fp) AS n FROM corpus_fingerprints").first()["n"]
+        <= docs.count()
+    )
