@@ -282,3 +282,82 @@ def bpe_oracle_ctes(n_merges: int, docs_table: str = "documents") -> str:
     )"""
     )
     return ",\n    ".join(parts)
+
+
+def bpe_vocab(merges: list[tuple[str, str]], corpus_chars: list[str]) -> dict[str, int]:
+    """token → contiguous id: base symbols first (sorted corpus
+    characters, then EOW), then one id per merge in training order —
+    the standard BPE vocab layout (ids are stable across rebuilds
+    because both inputs are deterministic)."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(corpus_chars)):
+        vocab.setdefault(ch, len(vocab))
+    vocab.setdefault(EOW, len(vocab))
+    for left, right in merges:
+        vocab.setdefault(left + right, len(vocab))
+    return vocab
+
+
+def corpus_chars(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct characters of the tokenized corpus (the base
+    alphabet) — one narrow explode + distinct aggregate."""
+    rows = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .select(F.explode(F.split("w", "")).alias("ch"))
+        .filter(F.length("ch") > 0)
+        .distinct()
+        .collect()
+    )
+    return [r["ch"] for r in rows]
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, input_ids array<int>, n_ids) — the training-ready integer
+    form: tokenize with the merge list and map symbols through the
+    vocab (broadcast dict in one Arrow kernel).  Symbols outside the
+    vocab (characters unseen at vocab-build time) map to -1 — surfaced,
+    not silently dropped, so a stale vocab is visible downstream."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("input_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("n_ids", T.LongType()),
+        ]
+    )
+    rows = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+
+    def kernel(batches, _merges=list(merges), _vocab=dict(vocab)):
+        cache: dict[str, list[int]] = {}
+
+        def ids(w: str) -> list[int]:
+            out = cache.get(w)
+            if out is None:
+                out = cache[w] = [
+                    _vocab.get(s, -1) for s in _symbolize(w, _merges)
+                ]
+            return out
+
+        for pdf in batches:
+            out_ids, out_n, out_docs = [], [], []
+            for i, toks in zip(pdf["__id"], pdf["__toks"]):
+                doc_ids: list[int] = []
+                for w in toks:
+                    doc_ids.extend(ids(w))
+                out_docs.append(i)
+                out_ids.append(doc_ids)
+                out_n.append(len(doc_ids))
+            yield pd.DataFrame(
+                {"__id": out_docs, "input_ids": out_ids, "n_ids": out_n}
+            )
+
+    return rows.mapInPandas(kernel, out_schema).select(
+        F.col("__id").alias(id_col), "input_ids", "n_ids"
+    )

@@ -391,6 +391,32 @@ class CorpusPipeline:
         n_packed = self._audited_write(packed, "gold", "packed")
         return {"decontaminated": n_clean, "train_mixture": n_mixed, "packed": n_packed}
 
+    def streaming_ingest(self, doc_stream: DataFrame, checkpoint: str):
+        """Continuous corpus growth: every micro-batch of documents
+        runs :meth:`apply_increment` (gates → exact dedup vs the
+        fingerprint index → LSH near-dup vs the signature index →
+        within-batch collapse → append + index update).  Because the
+        fingerprint index is consulted BEFORE any append, a replayed
+        micro-batch after a crash is content-idempotent — its docs are
+        exact-dropped on the second pass — so the foreachBatch sink
+        needs no transactional write.  Returns the started
+        StreamingQuery (availableNow — drain then stop; production
+        swaps a processingTime trigger)."""
+        if not doc_stream.isStreaming:
+            raise ValueError("streaming_ingest: doc side must be a streaming DataFrame")
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.head(1):
+                self.apply_increment(batch_df)
+
+        return (
+            doc_stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .queryName("corpus_streaming_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+
     # ----------------------------------------------------------------- run
 
     def run_all(

@@ -116,6 +116,48 @@ def main() -> None:
         "assign_score_sec": round(time.time() - t0, 1),
     }
 
+    # 2b. capped SemDeDup on the mega-cluster adversary: 40 families
+    # × 1000 near-copies — k-means cannot separate a family, so the
+    # cap machinery (local re-cluster + force-chunk) must bound every
+    # Gram block
+    from olist_ecommerce_data_warehouse_spark.operators.similarity import (
+        semdedup_pairs,
+        split_overcap_blocks,
+    )
+
+    fam = (
+        base.limit(40)
+        .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(999))))
+        .select(
+            (F.col("vec_id") * 1000 + F.col("__r")).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("v", 1) + F.col("__r")),
+                F.slice("v", 2, F.size("v") - 1),
+            ).alias("v"),
+        )
+    )
+    t0 = time.time()
+    fcents = kmeans_train(fam, vec_col="v", k=40, n_iter=2, pre_quantized=True)
+    assigned = kmeans_assign(
+        fam, fcents, vec_col="v", pre_quantized=True, keep_vec=True
+    )
+    raw_max = (
+        assigned.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+    )
+    bounded = split_overcap_blocks(assigned, cap=500, sub_k=8, rounds=2)
+    cap_max = bounded.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+    capped_pairs = semdedup_pairs(
+        fam, fcents, threshold=0.999, cluster_cap=500
+    ).count()
+    out["semdedup_capped"] = {
+        "vectors": 40000,
+        "families": 40,
+        "uncapped_max_block": raw_max,
+        "capped_max_block": cap_max,
+        "pairs": capped_pairs,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+
     # 3. BPE training at 100× corpus
     t0 = time.time()
     wc = word_counts(docs).persist()

@@ -1204,3 +1204,46 @@ def test_zorder_layout_skips_both_dimensions(spark, tmp_path_factory):
     assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == sorted(
         map(tuple, grid.collect())
     )
+
+
+def test_bpe_vocab_and_id_encoding(spark):
+    """Vocab layout (base chars, EOW, merges in order), id-encoding
+    round trip (ids → tokens → text), no -1s when the vocab was built
+    from the same corpus, and a -1 surfaced for unseen characters."""
+    from olist_ecommerce_data_warehouse_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+        corpus_chars,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").limit(100)
+    docs = docs.persist()
+    try:
+        merges = bpe_train(docs, n_merges=8)
+        chars = corpus_chars(docs)
+        vocab = bpe_vocab(merges, chars)
+        assert vocab[EOW] == len(set(chars))  # EOW right after base chars
+        assert len(vocab) == len(set(chars)) + 1 + len(merges)
+        inv = {v: k for k, v in vocab.items()}
+
+        ids_df = {r["doc_id"]: r for r in bpe_encode_ids(docs, merges, vocab).collect()}
+        toks_df = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+        assert set(ids_df) == set(toks_df)
+        for d in list(ids_df)[:30]:
+            assert ids_df[d]["n_ids"] == toks_df[d]["bpe_token_count"]
+            assert all(i >= 0 for i in ids_df[d]["input_ids"])
+            # ids decode to exactly the string tokens
+            assert [inv[i] for i in ids_df[d]["input_ids"]] == list(
+                toks_df[d]["bpe_tokens"]
+            )
+        # unseen character → -1, surfaced not dropped
+        weird = spark.createDataFrame([(1, "zzzüq")], "doc_id long, text string")
+        out = bpe_encode_ids(weird, merges, vocab).first()
+        assert -1 in out["input_ids"] or all(
+            c in vocab for c in "zzüq"
+        )
+    finally:
+        docs.unpersist()

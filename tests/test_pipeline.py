@@ -463,3 +463,51 @@ def test_corpus_sql_views(spark):
         spark.sql("SELECT count(DISTINCT fp) AS n FROM corpus_fingerprints").first()["n"]
         <= docs.count()
     )
+
+
+def test_corpus_streaming_ingest_content_idempotent(spark, tmp_path_factory):
+    """streaming_ingest: drops arriving as micro-batches dedup against
+    the growing indexes; a REPLAY of already-ingested content (new ids,
+    same text) adds nothing — content idempotence via the fingerprint
+    index, no transactional sink required."""
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.pipeline.corpus import CorpusPipeline
+    from tests.conftest import SF_DIR
+
+    base = tmp_path_factory.mktemp("corpus_stream")
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text", "lang", "source")
+    pipe = CorpusPipeline(spark, str(base / "wh"), min_tokens=2)
+    pipe.ingest_bronze_df(docs.limit(100))
+    pipe.load_silver_filtered()
+    n0 = pipe.load_silver_deduped()
+
+    inc = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 140)
+    ).select((F.col("doc_id") + 700000).alias("doc_id"), "text", "lang", "source")
+    src = str(base / "src")
+    inc.coalesce(1).write.parquet(src)
+
+    def drain(tag):
+        stream = spark.readStream.schema(inc.schema).parquet(src)
+        q = pipe.streaming_ingest(stream, checkpoint=str(base / f"ckpt_{tag}"))
+        q.awaitTermination(300)
+
+    drain("a")
+    n1 = pipe.read("silver", "deduped").count()
+    assert n1 > n0  # fresh content landed
+    assert pipe.read("silver", "index_fingerprints").count() == n1
+
+    # replay the SAME content under new ids via a FRESH checkpoint
+    # (simulates a re-delivered feed, not just source replay)
+    inc2 = inc.select((F.col("doc_id") + 50000).alias("doc_id"), "text", "lang", "source")
+    src2 = str(base / "src2")
+    inc2.coalesce(1).write.parquet(src2)
+    stream2 = spark.readStream.schema(inc2.schema).parquet(src2)
+    q2 = pipe.streaming_ingest(stream2, checkpoint=str(base / "ckpt_b"))
+    q2.awaitTermination(300)
+    assert pipe.read("silver", "deduped").count() == n1  # nothing re-added
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be a streaming"):
+        pipe.streaming_ingest(inc, checkpoint=str(base / "ckpt_c"))
