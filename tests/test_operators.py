@@ -1247,3 +1247,42 @@ def test_bpe_vocab_and_id_encoding(spark):
         )
     finally:
         docs.unpersist()
+
+
+def test_compaction_rewrites_small_files_crash_safe(spark, tmp_path_factory):
+    """compact_table: many tiny appended files → few files with
+    identical content; a simulated crash state (live gone, trash
+    present) recovers on the next call; sorted compaction restores
+    range locality."""
+    from olist_ecommerce_data_warehouse_spark.operators.compaction import (
+        compact_table,
+        table_file_stats,
+    )
+
+    base = tmp_path_factory.mktemp("compact")
+    path = str(base / "t")
+    # 12 single-row-group appends → 12+ small files
+    for i in range(12):
+        spark.range(i * 100, (i + 1) * 100).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = table_file_stats(spark, path)
+    assert before["n_files"] >= 12
+    content_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    res = compact_table(spark, path, target_file_bytes=1 << 30, sort_col="id")
+    after = table_file_stats(spark, path)
+    assert after["n_files"] == 1 and res["n_out"] == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == content_before
+    # sorted layout: the single file is globally id-ordered
+    ids = [r["id"] for r in spark.read.parquet(path).collect()]
+    assert ids == sorted(ids)
+
+    # crash simulation: live renamed away to the trash slot
+    import shutil
+
+    trash = str(base / ".compact_tmp" / "t__old")
+    shutil.move(path, trash)
+    res2 = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == content_before
+    assert res2["after"]["n_files"] == 1

@@ -799,3 +799,45 @@ def test_bpe_distributed_equals_reference(spark, words, n_merges):
     )
     wc = [(r["word"], r["n"]) for r in word_counts(docs).collect()]
     assert bpe_train(docs, n_merges=n_merges) == bpe_train_reference(wc, n_merges)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-50, 150), st.integers(-50, 150)),
+        min_size=1,
+        max_size=25,
+    ),
+    bits=st.integers(2, 8),
+)
+@_SETTINGS
+def test_zorder_key_matches_reference_morton(spark, pts, bits):
+    """zorder_key must equal a reference Morton implementation for any
+    points, including out-of-range values (clamped to edge buckets) —
+    a wrong interleave silently destroys locality with no visible
+    error."""
+    from olist_ecommerce_data_warehouse_spark.operators.zorder import zorder_key
+
+    lo, hi = 0, 100
+    top = (1 << bits) - 1
+
+    def scale(v):
+        s = (v - lo) * (1 << bits) // (hi - lo)
+        return max(0, min(top, s))
+
+    def morton(x, y):
+        out = 0
+        for b in range(bits):
+            out |= ((scale(x) >> b) & 1) << (2 * b)
+            out |= ((scale(y) >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i long, x long, y long"
+    )
+    got = {
+        r["i"]: r["zk"]
+        for r in df.select(
+            "i", zorder_key([("x", lo, hi), ("y", lo, hi)], bits=bits).alias("zk")
+        ).collect()
+    }
+    assert got == {i: morton(x, y) for i, (x, y) in enumerate(pts)}
