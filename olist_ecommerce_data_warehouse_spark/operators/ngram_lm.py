@@ -1,0 +1,207 @@
+"""Bigram language model trained in-loop → CCNet-style perplexity
+filtering.
+
+The fourth member of the in-loop-training family (k-means → IVF, pair
+counts → BPE merges, labeled updates → perceptron, and now corpus
+counts → an n-gram LM): CCNet (Wenzek et al. 2020) and Gopher (Rae et
+al. 2021) both gate web documents on language-model perplexity, and at
+100 TB you want that model TRAINED on (a clean slice of) the corpus by
+the same engine that scores it.  A bigram model with add-one smoothing
+is the smallest LM that exercises the full shape:
+
+  train:  one explode + two aggregations →
+            bigram(prev, w, c_bw), context(prev, c_u), vocab size V
+  score:  p(w|u) = (c(u,w) + 1) / (c(u) + V)
+          logprob(doc) = Σ ln p(w_i | w_{i-1})   (BOS-padded)
+
+Dataflow at 100 TB: the model tables are MODEL-sized (distinct corpus
+bigrams), not corpus-sized — they broadcast, so scoring is a pure
+map-side join + aggregation with map-side partials and training is one
+shuffle per aggregate.  If the bigram table ever outgrows broadcast
+(web-scale vocabularies), drop the `F.broadcast` hints below and let
+AQE pick a shuffle join — the rest is unchanged.
+
+Determinism: floating-point SUM order varies with partitioning, so the
+engine never sums raw doubles.  Each scored bigram's log-probability is
+quantized ONCE to a fixed-point integer (``lp_fp = round(ln(p)·2^20)``,
+a per-row pure function of the integer triple (c_bw, c_u, V)), and the
+per-document score is an INTEGER sum — bit-stable under any
+repartitioning (asserted in tests).  The one honest caveat: ``ln`` is
+libm, deterministic within a platform but only 1-ulp-specified across
+engines, so this operator is pytest-gated (driver-side reference
+trainer + scorer, counts exact, log-probs within quantization
+tolerance) rather than DuckDB-hash-gated — same policy as the
+perceptron's oscillating-batch caveat: document, don't hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+BOS = "<s>"
+FP_BITS = 20  # fixed-point scale for log-probs: lp_fp = round(ln(p) * 2^20)
+_FP = 1 << FP_BITS
+
+
+def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id_col, prev, w) — one row per BOS-padded adjacent token pair.
+    Shares the engine tokenizer (`functions.text.tokens`) and the
+    zip_with-over-shifted-slices shape of `operators.textdedup`."""
+    toks = F.concat(F.array(F.lit(BOS)), tokens(text_col))
+    n = F.size("t")
+    return (
+        docs.select(F.col(id_col), toks.alias("t"))
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.prev", "p.w")
+    )
+
+
+def ngram_lm_train(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the bigram model: returns ``(bigram, context, V)`` where
+    ``bigram`` is (prev, w, c_bw), ``context`` is (prev, c_u) with
+    c_u = Σ_w c_bw, and ``V`` is the predicted-vocabulary size
+    (distinct w, BOS excluded — BOS is never predicted).
+
+    One explode + one groupBy for the bigram table; the context table
+    and V are model-sized rollups of it (no second corpus pass)."""
+    pairs = _bigram_pairs(docs, text_col, id_col)
+    bigram = pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw"))
+    bigram = bigram.persist()
+    context = bigram.groupBy("prev").agg(F.sum("c_bw").alias("c_u"))
+    v = bigram.select("w").distinct().count()
+    return bigram, context, v
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    bigram: DataFrame,
+    context: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_bigrams, oov_bigrams, logprob_fp, avg_logprob, ppl)
+    under add-one smoothing.  ``logprob_fp`` is the integer fixed-point
+    sum (deterministic under any partitioning); ``avg_logprob`` / ``ppl``
+    are presentation doubles derived from it.  Empty docs (no tokens)
+    score n_bigrams=0, ppl=NULL."""
+    pairs = _bigram_pairs(docs, text_col, id_col)
+    scored = (
+        pairs.join(F.broadcast(bigram), ["prev", "w"], "left")
+        .join(F.broadcast(context), "prev", "left")
+        .select(
+            id_col,
+            F.col("c_bw").isNull().cast("bigint").alias("oov"),
+            F.round(
+                F.log(
+                    (F.coalesce("c_bw", F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.coalesce("c_u", F.lit(0)) + F.lit(vocab_size)).cast(
+                        "double"
+                    )
+                )
+                * F.lit(float(_FP))
+            )
+            .cast("bigint")
+            .alias("lp_fp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("oov").alias("oov_bigrams"),
+        F.sum("lp_fp").alias("logprob_fp"),
+    )
+    # a filter must rule on EVERY doc — empty docs have no bigram rows,
+    # so join the aggregate back onto the doc list (zero-evidence rows:
+    # n_bigrams=0, ppl NULL)
+    base = docs.select(id_col).join(agg, id_col, "left")
+    avg = F.col("logprob_fp") / F.lit(float(_FP)) / F.col("n_bigrams")
+    return base.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("oov_bigrams", F.lit(0)).alias("oov_bigrams"),
+        F.coalesce("logprob_fp", F.lit(0)).alias("logprob_fp"),
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("ppl"),
+    )
+
+
+def perplexity_gate(scored: DataFrame, max_ppl: float) -> DataFrame:
+    """CCNet-style keep/drop: pass docs whose perplexity under the
+    corpus LM is ≤ ``max_ppl`` (empty docs pass — no evidence against
+    them, matching the Gopher convention of only gating on measured
+    signals)."""
+    return scored.withColumn(
+        "ppl_pass", F.coalesce(F.col("ppl") <= F.lit(max_ppl), F.lit(True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-side reference (tests pin the distributed path against this)
+
+
+def _ref_pairs(texts: dict[int, list[str]]) -> dict[int, list[tuple[str, str]]]:
+    return {
+        d: list(zip([BOS] + t, t)) for d, t in texts.items()
+    }
+
+
+def _half_up(x: float) -> int:
+    """Spark's ROUND is HALF_UP (away from zero); Python's round() is
+    banker's — use this in the reference so the two can only diverge by
+    libm ulps, never by rounding mode."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def ngram_lm_train_reference(
+    texts: dict[int, list[str]],
+) -> tuple[dict[tuple[str, str], int], dict[str, int], int]:
+    """Reference trainer over pre-tokenized docs — the distributed
+    trainer must produce identical integer tables."""
+    bigram: dict[tuple[str, str], int] = {}
+    for ps in _ref_pairs(texts).values():
+        for p in ps:
+            bigram[p] = bigram.get(p, 0) + 1
+    context: dict[str, int] = {}
+    for (u, _), c in bigram.items():
+        context[u] = context.get(u, 0) + c
+    v = len({w for (_, w) in bigram})
+    return bigram, context, v
+
+
+def ngram_lm_score_reference(
+    texts: dict[int, list[str]],
+    bigram: dict[tuple[str, str], int],
+    context: dict[str, int],
+    vocab_size: int,
+) -> dict[int, tuple[int, int, int]]:
+    """doc_id → (n_bigrams, oov_bigrams, logprob_fp) using Python's
+    libm; tests allow ±1 fixed-point unit per bigram vs the JVM."""
+    out = {}
+    for d, ps in _ref_pairs(texts).items():
+        if not ps:
+            continue
+        oov, lp = 0, 0
+        for p in ps:
+            c_bw = bigram.get(p, 0)
+            if c_bw == 0:
+                oov += 1
+            c_u = context.get(p[0], 0)
+            lp += _half_up(math.log((c_bw + 1) / (c_u + vocab_size)) * _FP)
+        out[d] = (len(ps), oov, lp)
+    return out

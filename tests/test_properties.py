@@ -841,3 +841,109 @@ def test_zorder_key_matches_reference_morton(spark, pts, bits):
         ).collect()
     }
     assert got == {i: morton(x, y) for i, (x, y) in enumerate(pts)}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),   # doc
+            st.integers(0, 7),   # bucket
+            st.integers(1, 4),   # cnt
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    labels=st.lists(st.sampled_from([-1, 1]), min_size=6, max_size=6),
+    rounds=st.integers(0, 4),
+    mv=st.booleans(),
+)
+@_SETTINGS
+def test_perceptron_cross_engine_parity(spark, ddb, rows, labels, rounds, mv):
+    """Distributed perceptron training (both modes) must produce
+    weights identical to the driver-side reference AND to the DuckDB
+    unrolled-round replay for arbitrary sparse integer data — the
+    property that makes a trained linear model hash-checkable."""
+    from olist_ecommerce_data_warehouse_spark.operators.perceptron import (
+        perceptron_oracle_ctes,
+        perceptron_train,
+        perceptron_train_reference,
+    )
+
+    dedup = {}
+    for d, b, c in rows:
+        dedup[(d, b)] = dedup.get((d, b), 0) + c
+    feat_rows = [(d, b, c) for (d, b), c in dedup.items()]
+    label_map = {d: labels[d] for d in range(6)}
+
+    feats = spark.createDataFrame(feat_rows, "doc_id long, bucket long, cnt long")
+    lab = spark.createDataFrame(
+        list(label_map.items()), "doc_id long, y long"
+    )
+    got = {
+        r["bucket"]: r["w"]
+        for r in perceptron_train(feats, lab, rounds=rounds, max_violator=mv).collect()
+    }
+    want = perceptron_train_reference(feat_rows, label_map, rounds, max_violator=mv)
+    assert got == want, (got, want)
+
+    ddb.execute("CREATE OR REPLACE TABLE _pf (doc_id BIGINT, bucket BIGINT, cnt BIGINT)")
+    for d, b, c in feat_rows:
+        ddb.execute("INSERT INTO _pf VALUES (?, ?, ?)", [d, b, c])
+    ddb.execute("CREATE OR REPLACE TABLE _pl (doc_id BIGINT, y BIGINT)")
+    for d, y in label_map.items():
+        ddb.execute("INSERT INTO _pl VALUES (?, ?)", [d, y])
+    duck = dict(
+        ddb.execute(
+            "WITH "
+            + perceptron_oracle_ctes(rounds, "_pf", "_pl", max_violator=mv)
+            + f" SELECT bucket, w FROM pw{rounds}"
+        ).fetchall()
+    )
+    assert duck == want, (duck, want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@_SETTINGS
+def test_ngram_lm_reference_parity(spark, docs):
+    """Distributed bigram-LM training must produce integer tables
+    identical to the driver-side reference on arbitrary corpora, and
+    scoring must match the reference within ±1 fixed-point unit per
+    bigram (libm ulp allowance — rounding mode itself is pinned
+    HALF_UP both sides)."""
+    from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import (
+        ngram_lm_score,
+        ngram_lm_score_reference,
+        ngram_lm_train,
+        ngram_lm_train_reference,
+    )
+
+    texts = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()], "doc_id long, text string"
+    )
+    bigram, context, v = ngram_lm_train(df, "text")
+    ref_b, ref_c, ref_v = ngram_lm_train_reference(texts)
+    assert {
+        (r["prev"], r["w"]): r["c_bw"] for r in bigram.collect()
+    } == ref_b
+    assert {r["prev"]: r["c_u"] for r in context.collect()} == ref_c
+    assert v == ref_v
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["oov_bigrams"], r["logprob_fp"])
+        for r in ngram_lm_score(df, bigram, context, v).collect()
+    }
+    want = ngram_lm_score_reference(texts, ref_b, ref_c, ref_v)
+    for d, (n, oov, lp) in want.items():
+        gn, goov, glp = got[d]
+        assert (gn, goov) == (n, oov)
+        assert abs(glp - lp) <= n, (d, glp, lp)
+    for d in set(got) - set(want):
+        assert got[d] == (0, 0, 0)  # empty docs: zero-evidence rows
+    bigram.unpersist()
