@@ -150,3 +150,85 @@ def quality_score_sql(feat_col: str = "f") -> dict[str, str]:
         ),
         "qc_pass": f"CASE WHEN {wsum} >= 0 THEN 1 ELSE 0 END",
     }
+
+
+# ---------------------------------------------------------------------------
+# TRAINED head: the same hashed-feature space, with weights learned on
+# the corpus by the integer perceptron (operators/perceptron.py)
+# instead of the deterministic stand-in table above.  This is the full
+# fasttext training story — hash → bucket → linear model — with every
+# quantity an integer, so the trained weights are exactly reproducible
+# on any partitioning (and, via perceptron_oracle_ctes, in ANSI SQL).
+
+
+def quality_feature_counts(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id_col, bucket, cnt) — the perceptron-ready sparse training
+    matrix: hashed uni+bigram features folded into the SAME 2^20
+    bucket space as :func:`_weight_expr`, counted per document.  One
+    explode + one aggregation; shuffle rows are (id, int, int)
+    triples.  Featureless docs vanish here (they carry no evidence to
+    train or score on — score them 0 via a left join if needed)."""
+    h = F.explode(quality_features(text_col)).alias("h")
+    return (
+        df.select(F.col(id_col), h)
+        .select(id_col, (mix32(F.col("h")) % F.lit(QC_BUCKETS)).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quality_train(
+    df,
+    labels,
+    rounds: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Train (bucket, w) quality weights on labeled docs — labels is
+    (id_col, y) with y ∈ {−1 junk, +1 clean}.  Max-violator mode so
+    Novikoff convergence applies on separable corpora; the model is
+    bucket-space-bounded (≤ 2^20 rows), broadcastable at any corpus
+    size."""
+    from .perceptron import perceptron_train
+
+    return perceptron_train(
+        quality_feature_counts(df, id_col, text_col),
+        labels,
+        rounds=rounds,
+        id_col=id_col,
+        max_violator=True,
+    )
+
+
+def quality_scored_trained(
+    df, weights, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Score docs under TRAINED weights: same output contract as
+    :func:`quality_scored` (qc_n_features / qc_logit_sum / qc_score /
+    qc_pass) so the two heads are drop-in interchangeable; mean pool
+    divides by total feature count, missing buckets weigh 0, and
+    featureless docs score (0, 0, 0.0, pass) — no evidence against
+    them, matching the stand-in head's convention."""
+    counts = quality_feature_counts(df, id_col, text_col)
+    agg = (
+        counts.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("qc_n_features"),
+            F.sum(F.col("cnt") * F.coalesce("w", F.lit(0)))
+            .cast("bigint")
+            .alias("qc_logit_sum"),
+        )
+    )
+    base = df.select(id_col).join(agg, id_col, "left")
+    n = F.coalesce("qc_n_features", F.lit(0))
+    wsum = F.coalesce("qc_logit_sum", F.lit(0))
+    return base.select(
+        id_col,
+        n.alias("qc_n_features"),
+        wsum.alias("qc_logit_sum"),
+        F.when(n > 0, wsum / n.cast("double")).otherwise(F.lit(0.0)).alias(
+            "qc_score"
+        ),
+        (wsum >= 0).cast("int").alias("qc_pass"),
+    )

@@ -391,6 +391,35 @@ class CorpusPipeline:
         n_packed = self._audited_write(packed, "gold", "packed")
         return {"decontaminated": n_clean, "train_mixture": n_mixed, "packed": n_packed}
 
+    def export_shards(self, n_shards: int = 8, epoch: int = 0) -> dict:
+        """gold/packed → gold/shards: the dataloader last mile.  Whole
+        packed sequences shard together (group id = lang:seq_no) with
+        within-sequence order pinned by seq_offset; the epoch-seeded
+        shuffle makes every epoch's read order different but rebuilds
+        byte-stable.  Audited like every other stage."""
+        from olist_ecommerce_data_warehouse_spark.operators.export import (
+            export_training_shards,
+        )
+
+        packed = self.read("gold", "packed").withColumn(
+            "seq_id", F.concat_ws(":", "lang", F.col("seq_no").cast("string"))
+        )
+        run_id, started = self.audit.start_run("gold/packed", "gold", "shards")
+        try:
+            manifest = export_training_shards(
+                packed,
+                self.path("gold", "shards"),
+                n_shards,
+                id_col="seq_id",
+                epoch=epoch,
+                order_cols=["seq_offset", "doc_id"],
+            )
+        except BaseException as e:
+            self.audit.finish_run(run_id, started, error=e)
+            raise
+        self.audit.finish_run(run_id, started, rows_inserted=manifest["n_rows"])
+        return manifest
+
     def streaming_ingest(self, doc_stream: DataFrame, checkpoint: str):
         """Continuous corpus growth: every micro-batch of documents
         runs :meth:`apply_increment` (gates → exact dedup vs the

@@ -1370,3 +1370,103 @@ def test_ngram_lm_perplexity_filter(spark):
     }
     assert again == {d: r["logprob_fp"] for d, r in rows.items()}
     bigram.unpersist()
+
+
+def test_quality_classifier_trained_on_corpus(spark):
+    """The full fasttext training story: hashed uni+bigram features →
+    perceptron-trained integer weights → drop-in scored head.  On a
+    separable clean-vs-junk corpus the trained gate must reach zero
+    training errors and classify held-out docs correctly; the trained
+    head's output contract matches the stand-in head's."""
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        quality_scored_trained,
+        quality_train,
+    )
+
+    clean = [
+        "the data pipeline reads parquet tables and writes clean results",
+        "spark executes the query plan across many partitions in parallel",
+        "each document in the corpus is scored for quality and language",
+        "training data must be deduplicated before the model ever sees it",
+    ]
+    junk = [
+        "zzqx qqzy vvkk wwpp zzqx qqzy",
+        "xxo xxo xxo yyt yyt yyt zzp zzp",
+        "qwv jjk qwv jjk qwv jjk qwv",
+        "kpz kpz vvt vvt mmr mmr kpz",
+    ]
+    rows = [(i, t) for i, t in enumerate(clean + junk)]
+    labels = [(i, 1 if i < len(clean) else -1) for i in range(len(rows))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, y long")
+
+    w = quality_train(docs, lab, rounds=100)
+    scored = quality_scored_trained(docs, w).join(lab, "doc_id")
+    assert scored.filter(F.col("y") * F.col("qc_logit_sum") <= 0).count() == 0
+
+    held = spark.createDataFrame(
+        [
+            (50, "the model reads each document and writes quality scores"),
+            (51, "vvkk wwpp zzp zzp qwv jjk"),
+            (52, ""),  # featureless → neutral pass
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_scored_trained(held, w).collect()}
+    assert got[50]["qc_pass"] == 1 and got[50]["qc_score"] > 0
+    assert got[51]["qc_pass"] == 0 and got[51]["qc_score"] < 0
+    assert got[52] == (52, 0, 0, 0.0, 1)
+
+
+def test_export_training_shards(spark, tmp_path_factory):
+    """Dataloader-shard export: fixed shard count, reproducible
+    epoch-shuffled order, balanced membership — and a rebuild produces
+    the IDENTICAL layout (the property rand() shuffles break)."""
+    from olist_ecommerce_data_warehouse_spark.operators.export import (
+        export_training_shards,
+        read_shard,
+    )
+
+    base = str(tmp_path_factory.mktemp("shards"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), "id").alias("text")
+    )
+    man = export_training_shards(df, f"{base}/e0", n_shards=8, epoch=0)
+    assert man["n_rows"] == 1000 and len(man["shard_counts"]) == 8
+    # balanced: xxhash64 membership, no shard starved or doubled
+    assert max(man["shard_counts"].values()) < 2 * min(man["shard_counts"].values())
+
+    seen = []
+    for s in range(8):
+        rows = read_shard(spark, f"{base}/e0", s).collect()
+        seen += [r["doc_id"] for r in rows]
+        assert len(rows) == man["shard_counts"][s]
+    assert sorted(seen) == list(range(1000))  # a partition, not a sample
+
+    # rebuild reproducibility: same epoch → identical per-shard order
+    export_training_shards(df, f"{base}/e0b", n_shards=8, epoch=0)
+    for s in range(8):
+        a = [r["doc_id"] for r in read_shard(spark, f"{base}/e0", s).collect()]
+        b = [r["doc_id"] for r in read_shard(spark, f"{base}/e0b", s).collect()]
+        assert a == b
+
+    # epoch 1: same corpus, different permutation AND membership
+    export_training_shards(df, f"{base}/e1", n_shards=8, epoch=1)
+    e1 = [r["doc_id"] for r in read_shard(spark, f"{base}/e1", 0).collect()]
+    e0 = [r["doc_id"] for r in read_shard(spark, f"{base}/e0", 0).collect()]
+    assert e0 != e1
+    assert sorted(
+        r["doc_id"]
+        for s in range(8)
+        for r in read_shard(spark, f"{base}/e1", s).collect()
+    ) == list(range(1000))
+
+    # file-size bounding still deterministic: split shards re-read equal
+    export_training_shards(
+        df, f"{base}/e0s", n_shards=8, epoch=0, max_records_per_file=40
+    )
+    import glob
+
+    assert all(
+        len(glob.glob(f"{base}/e0s/shard={s}/*.parquet")) >= 2 for s in range(8)
+    )

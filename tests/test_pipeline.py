@@ -346,6 +346,24 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path_factory):
     assert packed.count() == mix.count()
     assert packed.groupBy("doc_id").count().filter("count > 1").count() == 0
 
+    # dataloader last mile: whole packed sequences shard together,
+    # nothing lost, the stage is audited
+    man = pipe.export_shards(n_shards=4, epoch=0)
+    assert man["n_rows"] == packed.count()
+    shards = spark.read.parquet(pipe.path("gold", "shards"))
+    assert shards.count() == packed.count()
+    split_seqs = (
+        shards.select("lang", "seq_no", "shard")
+        .distinct()
+        .groupBy("lang", "seq_no")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert split_seqs == 0
+    audit = pipe.audit.to_df().toPandas()
+    assert ((audit["target_table"] == "shards") & (audit["status"] == "SUCCESS")).any()
+
     # deterministic rerun: same layer row counts
     pipe2 = CorpusPipeline(spark, str(base / "wh2"), min_tokens=2)
     out2 = pipe2.run_all(jsonl_path=src, weights={"dupfarm": 2.0})
