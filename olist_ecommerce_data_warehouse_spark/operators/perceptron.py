@@ -40,6 +40,15 @@ Two update modes, both integer-exact:
 
 A fixed round budget (no convergence probe) keeps runs comparable and
 the SQL replay (``perceptron_oracle_ctes``) finite.
+
+``averaged=True`` returns the AVERAGED perceptron (Freund & Schapire
+1999): Σ_t w_t over the round budget instead of the last iterate —
+the standard fix for exactly the lr=1 oscillation measured above
+(SCALING.md's 500k-doc run collapsed to the majority class in batch
+mode).  The 1/T normalization is dropped because it changes neither
+sign nor ranking, so the averaged model stays all-integer and exactly
+SQL-replayable; the accumulator update is one model-sized join per
+round, nothing corpus-sized.
 """
 
 from __future__ import annotations
@@ -48,15 +57,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _merge_weights(a: DataFrame | None, b: DataFrame) -> DataFrame:
+    """a ⊕ b on (bucket, w): null-safe full-outer sum, zero rows
+    dropped — both operands are model-sized."""
+    if a is None:
+        return b.filter(F.col("w") != 0)
+    return (
+        a.join(b.withColumnRenamed("w", "d"), "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("w"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))
+            ).alias("w"),
+        )
+        .filter(F.col("w") != 0)
+    )
+
+
 def perceptron_train(
     features: DataFrame,
     labels: DataFrame,
     rounds: int = 2,
     id_col: str = "doc_id",
     max_violator: bool = False,
+    averaged: bool = False,
 ) -> DataFrame:
     """(bucket, w) after ``rounds`` updates from w=0 (see module notes
-    for the two modes).
+    for the two modes); with ``averaged`` the returned w is Σ_t w_t
+    over the round budget (unnormalized averaged perceptron — same
+    sign/ranking, all integers).
 
     ``features``: (id_col, bucket, cnt) sparse integer counts;
     ``labels``: (id_col, y) with y ∈ {−1, +1}.  Deterministic on any
@@ -68,7 +97,9 @@ def perceptron_train(
     if rounds > 0:
         feats = feats.persist()
     w = None  # bucket -> weight; None = all zeros
+    acc = None  # averaged mode: running Σ_t w_t
     try:
+        rounds_done = 0
         for _ in range(rounds):
             if w is None:
                 scored = feats.select(
@@ -103,28 +134,25 @@ def perceptron_train(
                 feats.join(mis, id_col)
                 .groupBy("bucket")
                 .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
-            )
-            if w is None:
-                w = delta.select("bucket", F.col("d").alias("w"))
-            else:
-                w = (
-                    w.join(delta, "bucket", "full")
-                    .select(
-                        "bucket",
-                        (
-                            F.coalesce(F.col("w"), F.lit(0))
-                            + F.coalesce(F.col("d"), F.lit(0))
-                        ).alias("w"),
-                    )
-                )
-            w = w.filter(F.col("w") != 0).localCheckpoint(eager=True)
+            ).select("bucket", F.col("d").alias("w"))
+            w = _merge_weights(w, delta).localCheckpoint(eager=True)
+            rounds_done += 1
+            if averaged:
+                acc = _merge_weights(acc, w).localCheckpoint(eager=True)
     finally:
         if rounds > 0:
             feats.unpersist()
-    if w is None:
+    if averaged and w is not None and rounds_done < rounds:
+        # separated early: w is constant for the remaining rounds, and
+        # the average (like the SQL replay's no-op tail rounds) counts
+        # those copies too
+        tail = w.select("bucket", (F.col("w") * F.lit(rounds - rounds_done)).alias("w"))
+        acc = _merge_weights(acc, tail)
+    out = acc if averaged else w
+    if out is None:
         spark = features.sparkSession
         return spark.createDataFrame([], "bucket bigint, w bigint")
-    return w
+    return out
 
 
 def perceptron_score(
@@ -149,6 +177,7 @@ def perceptron_train_reference(
     label_map: dict[int, int],
     rounds: int,
     max_violator: bool = False,
+    averaged: bool = False,
 ) -> dict[int, int]:
     """Driver-side reference trainer over (doc_id, bucket, cnt) rows —
     the distributed trainer must produce identical weights."""
@@ -157,6 +186,7 @@ def perceptron_train_reference(
         if d in label_map:
             by_doc.setdefault(d, []).append((b, c))
     w: dict[int, int] = {}
+    acc: dict[int, int] = {}
     for _ in range(rounds):
         scores = {
             d: sum(c * w.get(b, 0) for b, c in fs) for d, fs in by_doc.items()
@@ -166,15 +196,18 @@ def perceptron_train_reference(
             for d in by_doc
             if label_map[d] * scores[d] <= 0
         ]
-        if not viol:
-            break
-        if max_violator:
-            viol = [min(viol)]
-        for _, d in viol:
-            y = label_map[d]
-            for b, c in by_doc[d]:
-                w[b] = w.get(b, 0) + y * c
-        w = {b: v for b, v in w.items() if v != 0}
+        if viol:
+            if max_violator:
+                viol = [min(viol)]
+            for _, d in viol:
+                y = label_map[d]
+                for b, c in by_doc[d]:
+                    w[b] = w.get(b, 0) + y * c
+            w = {b: v for b, v in w.items() if v != 0}
+        for b, v in w.items():
+            acc[b] = acc.get(b, 0) + v
+    if averaged:
+        return {b: v for b, v in acc.items() if v != 0}
     return w
 
 
@@ -188,7 +221,10 @@ def perceptron_oracle_ctes(
     (the trained-IVF/BPE oracle device): expects ``feats_cte(doc_id,
     bucket, cnt)`` and ``labels_cte(doc_id, y)`` to exist; emits
     ``pw{rounds}(bucket, w)`` plus ``pscores(doc_id, score)`` under
-    the final weights.  No leading WITH."""
+    the final weights, and ``pavg(bucket, w)`` = Σ_t pw_t — the
+    averaged-perceptron replay (separated rounds are no-ops in the
+    unrolled chain, so their constant-w copies are counted exactly as
+    the engine's early-break tail does).  No leading WITH."""
     parts = [
         f"""pf AS (
         SELECT f.doc_id, f.bucket, CAST(f.cnt AS BIGINT) AS cnt, l.y
@@ -238,4 +274,18 @@ def perceptron_oracle_ctes(
         GROUP BY f.doc_id
     )"""
     )
+    if rounds > 0:
+        union = " UNION ALL ".join(
+            f"SELECT bucket, w FROM pw{i}" for i in range(1, rounds + 1)
+        )
+        parts.append(
+            f"""pavg AS (
+        SELECT bucket, CAST(SUM(w) AS BIGINT) AS w
+        FROM ({union}) GROUP BY bucket HAVING SUM(w) != 0
+    )"""
+        )
+    else:
+        parts.append(
+            """pavg AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w WHERE FALSE)"""
+        )
     return ",\n    ".join(parts)

@@ -1470,3 +1470,31 @@ def test_export_training_shards(spark, tmp_path_factory):
     assert all(
         len(glob.glob(f"{base}/e0s/shard={s}/*.parquet")) >= 2 for s in range(8)
     )
+
+
+def test_perceptron_averaged_smooths_oscillation(spark):
+    """The documented full-batch lr=1 pathology, and its standard fix:
+    on a contradictory corpus the last iterate flips between round
+    budgets (w oscillates {b:1} ↔ {}), while the averaged model is a
+    stable majority-leaning classifier regardless of where the budget
+    stops."""
+    from olist_ecommerce_data_warehouse_spark.operators.perceptron import (
+        perceptron_train,
+    )
+
+    feats = spark.createDataFrame(
+        [(0, 1, 2), (1, 1, 1)], "doc_id long, bucket long, cnt long"
+    )
+    lab = spark.createDataFrame([(0, 1), (1, -1)], "doc_id long, y long")
+
+    def weights(rounds, averaged):
+        return {
+            r["bucket"]: r["w"]
+            for r in perceptron_train(
+                feats, lab, rounds=rounds, averaged=averaged
+            ).collect()
+        }
+
+    assert weights(3, False) != weights(4, False)  # the oscillation
+    w3, w4 = weights(3, True), weights(4, True)
+    assert w3 and w4 and w3[1] > 0 and w4[1] > 0  # stable positive lean

@@ -856,13 +856,15 @@ def test_zorder_key_matches_reference_morton(spark, pts, bits):
     labels=st.lists(st.sampled_from([-1, 1]), min_size=6, max_size=6),
     rounds=st.integers(0, 4),
     mv=st.booleans(),
+    av=st.booleans(),
 )
 @_SETTINGS
-def test_perceptron_cross_engine_parity(spark, ddb, rows, labels, rounds, mv):
-    """Distributed perceptron training (both modes) must produce
-    weights identical to the driver-side reference AND to the DuckDB
-    unrolled-round replay for arbitrary sparse integer data — the
-    property that makes a trained linear model hash-checkable."""
+def test_perceptron_cross_engine_parity(spark, ddb, rows, labels, rounds, mv, av):
+    """Distributed perceptron training (batch/max-violator ×
+    last-iterate/averaged) must produce weights identical to the
+    driver-side reference AND to the DuckDB unrolled-round replay for
+    arbitrary sparse integer data — the property that makes a trained
+    linear model hash-checkable."""
     from olist_ecommerce_data_warehouse_spark.operators.perceptron import (
         perceptron_oracle_ctes,
         perceptron_train,
@@ -881,9 +883,13 @@ def test_perceptron_cross_engine_parity(spark, ddb, rows, labels, rounds, mv):
     )
     got = {
         r["bucket"]: r["w"]
-        for r in perceptron_train(feats, lab, rounds=rounds, max_violator=mv).collect()
+        for r in perceptron_train(
+            feats, lab, rounds=rounds, max_violator=mv, averaged=av
+        ).collect()
     }
-    want = perceptron_train_reference(feat_rows, label_map, rounds, max_violator=mv)
+    want = perceptron_train_reference(
+        feat_rows, label_map, rounds, max_violator=mv, averaged=av
+    )
     assert got == want, (got, want)
 
     ddb.execute("CREATE OR REPLACE TABLE _pf (doc_id BIGINT, bucket BIGINT, cnt BIGINT)")
@@ -892,11 +898,12 @@ def test_perceptron_cross_engine_parity(spark, ddb, rows, labels, rounds, mv):
     ddb.execute("CREATE OR REPLACE TABLE _pl (doc_id BIGINT, y BIGINT)")
     for d, y in label_map.items():
         ddb.execute("INSERT INTO _pl VALUES (?, ?)", [d, y])
+    final_cte = "pavg" if av else f"pw{rounds}"
     duck = dict(
         ddb.execute(
             "WITH "
             + perceptron_oracle_ctes(rounds, "_pf", "_pl", max_violator=mv)
-            + f" SELECT bucket, w FROM pw{rounds}"
+            + f" SELECT bucket, w FROM {final_cte}"
         ).fetchall()
     )
     assert duck == want, (duck, want)
