@@ -141,6 +141,36 @@ def ngram_lm_score(
     )
 
 
+def ppl_buckets(
+    scored: DataFrame,
+    by_col: str = "lang",
+    ppl_col: str = "ppl",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per-``by_col`` perplexity
+    tertiles (lower ppl = closer to the LM's training distribution =
+    ``head``).  Scale shape: ONE aggregation computes approximate
+    tertile boundaries per group (`percentile_approx`, a mergeable
+    sketch — no global sort, unlike ntile(3) over a window), the tiny
+    boundary table broadcasts, and assignment is a pure map.  Docs
+    with NULL ppl (no bigrams) get bucket ``unscored`` — no evidence
+    either way, callers decide their fate."""
+    bounds = scored.filter(F.col(ppl_col).isNotNull()).groupBy(by_col).agg(
+        F.percentile_approx(ppl_col, [1.0 / 3.0, 2.0 / 3.0], accuracy).alias(
+            "__b"
+        )
+    )
+    joined = scored.join(F.broadcast(bounds), by_col, "left")
+    p = F.col(ppl_col)
+    return joined.withColumn(
+        "ppl_bucket",
+        F.when(p.isNull(), F.lit("unscored"))
+        .when(p <= F.col("__b")[0], F.lit("head"))
+        .when(p <= F.col("__b")[1], F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("__b")
+
+
 def perplexity_gate(scored: DataFrame, max_ppl: float) -> DataFrame:
     """CCNet-style keep/drop: pass docs whose perplexity under the
     corpus LM is ≤ ``max_ppl`` (empty docs pass — no evidence against

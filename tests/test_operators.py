@@ -1498,3 +1498,28 @@ def test_perceptron_averaged_smooths_oscillation(spark):
     assert weights(3, False) != weights(4, False)  # the oscillation
     w3, w4 = weights(3, True), weights(4, True)
     assert w3 and w4 and w3[1] > 0 and w4[1] > 0  # stable positive lean
+
+
+def test_ppl_buckets_head_middle_tail(spark):
+    """CCNet bucketing: per-language tertiles over the ppl column —
+    boundaries from one sketch aggregation, assignment a pure map.
+    Bucket ORDER must follow ppl order within each language, sizes
+    must be near-thirds, and NULL-ppl docs land in 'unscored'."""
+    from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import ppl_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 91)]  # ppl 1..90
+    rows += [(100 + i, "fr", float(1000 + i)) for i in range(1, 31)]
+    rows += [(900, "en", None)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    got = {r["doc_id"]: r["ppl_bucket"] for r in ppl_buckets(scored).collect()}
+
+    en = [got[i] for i in range(1, 91)]
+    assert en == sorted(en, key=["head", "middle", "tail"].index)
+    from collections import Counter
+
+    c = Counter(en)
+    assert all(25 <= c[b] <= 35 for b in ("head", "middle", "tail")), c
+    # per-language boundaries: french ppls (~1000) are its OWN thirds,
+    # not globally 'tail'
+    assert Counter(got[100 + i] for i in range(1, 31))["head"] >= 8
+    assert got[900] == "unscored"
