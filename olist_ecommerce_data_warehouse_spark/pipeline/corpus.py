@@ -218,6 +218,30 @@ class CorpusPipeline:
         )
         return n
 
+    def score_lm_buckets(self) -> dict:
+        """CCNet perplexity stage (optional, additive): train the
+        bigram LM on the deduped corpus — which already passed the
+        classifier gate, making it the in-corpus stand-in for CCNet's
+        clean reference model — score EVERY deduped doc under it, and
+        bucket per language into head/middle/tail tertiles
+        (`operators/ngram_lm.py`).  Writes silver/lm_scored with the
+        full score row + ppl_bucket; downstream mixing can weight
+        buckets (CCNet keeps head+middle) without re-scoring."""
+        from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import (
+            ngram_lm_score,
+            ngram_lm_train,
+            ppl_buckets,
+        )
+
+        docs = self.read("silver", "deduped")
+        bigram, context, v = ngram_lm_train(docs)
+        scored = ngram_lm_score(docs, bigram, context, v).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        n = self._audited_write(ppl_buckets(scored), "silver", "lm_scored")
+        bigram.unpersist()
+        return {"lm_scored": n, "lm_vocab": v}
+
     def apply_increment(self, new_docs: DataFrame) -> dict[str, int]:
         """Incremental drop: gate → dedup the increment against ITSELF
         and against the EXISTING corpus via the persisted index tables

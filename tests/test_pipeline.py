@@ -364,6 +364,23 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path_factory):
     audit = pipe.audit.to_df().toPandas()
     assert ((audit["target_table"] == "shards") & (audit["status"] == "SUCCESS")).any()
 
+    # CCNet perplexity stage: every deduped doc scored and bucketed
+    lm = pipe.score_lm_buckets()
+    assert lm["lm_scored"] == out["silver_deduped"]
+    lm_rows = pipe.read("silver", "lm_scored")
+    assert lm_rows.filter(
+        ~F.col("ppl_bucket").isin("head", "middle", "tail", "unscored")
+    ).count() == 0
+    # per-language tertiles: any language with enough docs has a head
+    big_langs = [
+        r["lang"]
+        for r in lm_rows.filter("ppl IS NOT NULL").groupBy("lang").count().filter("count >= 3").collect()
+    ]
+    for lg in big_langs:
+        assert lm_rows.filter((F.col("lang") == lg) & (F.col("ppl_bucket") == "head")).count() > 0
+    audit = pipe.audit.to_df().toPandas()
+    assert ((audit["target_table"] == "lm_scored") & (audit["status"] == "SUCCESS")).any()
+
     # deterministic rerun: same layer row counts
     pipe2 = CorpusPipeline(spark, str(base / "wh2"), min_tokens=2)
     out2 = pipe2.run_all(jsonl_path=src, weights={"dupfarm": 2.0})
