@@ -242,6 +242,43 @@ class CorpusPipeline:
         bigram.unpersist()
         return {"lm_scored": n, "lm_vocab": v}
 
+    def corpus_report(self) -> DataFrame:
+        """Data card (the Dolma/Pile release-doc table): one small
+        DataFrame — (layer, source, lang, n_docs, n_tokens) — tracing
+        the corpus funnel through every written layer, so attrition
+        per source/language is quotable without ad-hoc queries.  Reads
+        only already-written layers; each layer is one map-side-partial
+        aggregation (shuffle rows = |sources × langs| per layer), so
+        the report costs about one scan of each layer even at 100 TB.
+        Bronze tokenizes on the fly (n_tokens lands in silver);
+        train_mixture counts epoch replicas — its n_docs EXCEEDING
+        deduped is upsampling doing its job, not a bug."""
+        layers = [
+            (
+                "bronze/documents",
+                self.read("bronze", "documents").select(
+                    "source",
+                    "lang",
+                    F.size(token_hashes_expr("text")).alias("n_tokens"),
+                ),
+            ),
+            ("silver/filtered", self.read("silver", "filtered")),
+            ("silver/deduped", self.read("silver", "deduped")),
+            ("gold/decontaminated", self.read("gold", "decontaminated")),
+            ("gold/train_mixture", self.read("gold", "train_mixture")),
+        ]
+        parts = [
+            df.groupBy("source", "lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            ).select(F.lit(layer).alias("layer"), "*")
+            for layer, df in layers
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def apply_increment(self, new_docs: DataFrame) -> dict[str, int]:
         """Incremental drop: gate → dedup the increment against ITSELF
         and against the EXISTING corpus via the persisted index tables

@@ -381,6 +381,24 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path_factory):
     audit = pipe.audit.to_df().toPandas()
     assert ((audit["target_table"] == "lm_scored") & (audit["status"] == "SUCCESS")).any()
 
+    # data card: funnel totals reconcile with the stage outputs, and
+    # per-(source,lang) doc counts shrink monotonically bronze→deduped
+    card = pipe.corpus_report().toPandas()
+    by_layer = card.groupby("layer")["n_docs"].sum().to_dict()
+    assert by_layer["bronze/documents"] == out["bronze_documents"]
+    assert by_layer["silver/deduped"] == out["silver_deduped"]
+    assert by_layer["gold/train_mixture"] == out["gold_train_mixture"]
+    wide = card.pivot_table(
+        index=["source", "lang"], columns="layer", values="n_docs", fill_value=0
+    )
+    assert (wide["silver/filtered"] <= wide["bronze/documents"]).all()
+    assert (wide["silver/deduped"] <= wide["silver/filtered"]).all()
+    # upsampling visible: dupfarm weighted 2.0 → mixture ≥ decontaminated
+    dup_mix = card[(card["source"] == "dupfarm") & (card["layer"] == "gold/train_mixture")]
+    dup_dec = card[(card["source"] == "dupfarm") & (card["layer"] == "gold/decontaminated")]
+    if len(dup_mix) and len(dup_dec):
+        assert dup_mix["n_docs"].iloc[0] >= dup_dec["n_docs"].iloc[0]
+
     # deterministic rerun: same layer row counts
     pipe2 = CorpusPipeline(spark, str(base / "wh2"), min_tokens=2)
     out2 = pipe2.run_all(jsonl_path=src, weights={"dupfarm": 2.0})
