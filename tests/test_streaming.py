@@ -540,3 +540,59 @@ def test_streaming_lsh_neardup_matches_batch_and_survives_restart(
 
     with _pytest.raises(ValueError, match="must be a streaming"):
         streaming_lsh_neardup(corpus)
+
+
+def test_streaming_ppl_score_equals_batch(spark, tmp_path_factory):
+    """Streaming perplexity gating: draining a doc stream through
+    streaming_ppl_score under a pre-trained static LM must produce
+    EXACTLY the batch scorer's rows (same fixed-point integer scores,
+    same gate verdicts) across multiple micro-batches."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import (
+        ngram_lm_score,
+        ngram_lm_train,
+        perplexity_gate,
+    )
+    from olist_ecommerce_data_warehouse_spark.streaming.lm import streaming_ppl_score
+
+    base = tmp_path_factory.mktemp("stream_lm")
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bigram, context, v = ngram_lm_train(docs.filter(F.col("doc_id") % 3 == 0))
+
+    probe = docs.filter(F.col("doc_id") % 3 != 0).limit(200)
+    src = f"{base}/src"
+    probe.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{src}/d1")
+    probe.filter(F.col("doc_id") % 2 != 0).write.parquet(f"{src}/d2")
+    flat = f"{base}/flat"
+    probe.write.parquet(flat)
+
+    out_dir = f"{base}/out"
+    stream = spark.readStream.schema(probe.schema).parquet(flat)
+    q = streaming_ppl_score(
+        stream,
+        bigram,
+        context,
+        v,
+        sink=lambda df, _bid: df.write.mode("append").parquet(out_dir),
+        checkpoint=f"{base}/ckpt",
+        max_ppl=25.0,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(
+        map(
+            tuple,
+            perplexity_gate(
+                ngram_lm_score(probe, bigram, context, v), 25.0
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 200
+    bigram.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be a streaming"):
+        streaming_ppl_score(probe, bigram, context, v, lambda d, b: None, f"{base}/c2")
