@@ -1443,8 +1443,10 @@ def test_export_training_shards(spark, tmp_path_factory):
         assert len(rows) == man["shard_counts"][s]
     assert sorted(seen) == list(range(1000))  # a partition, not a sample
 
-    # rebuild reproducibility: same epoch → identical per-shard order
-    export_training_shards(df, f"{base}/e0b", n_shards=8, epoch=0)
+    # rebuild reproducibility: same epoch → identical per-shard order,
+    # even when the INPUT arrives partitioned completely differently
+    # (the rand()-shuffle failure mode this operator exists to avoid)
+    export_training_shards(df.repartition(13), f"{base}/e0b", n_shards=8, epoch=0)
     for s in range(8):
         a = [r["doc_id"] for r in read_shard(spark, f"{base}/e0", s).collect()]
         b = [r["doc_id"] for r in read_shard(spark, f"{base}/e0b", s).collect()]
