@@ -51,7 +51,9 @@ BASELINE_R01 = {
     "date_dimension": 0.2946, "datetime_functions": 0.4574,
     # dedup_embedding_cosine re-anchored in BASELINE_R04: round 4 added
     # the SemDeDup branch (capability change)
-    "dedup_exact": 0.548, "dedup_keep_latest": 0.4163,
+    # dedup_exact re-anchored in BASELINE_R04: round 4 added the
+    # kind='url' URL-canonicalization dedup branch (capability change)
+    "dedup_keep_latest": 0.4163,
     "dedup_minhash_lsh": 30.6293, "dedup_ngram_jaccard": 12.3889,
     # doc_fingerprint's r01 anchor (0.3233) retired: absorbed into
     # text_metrics' summed anchor in round 3 — keeping it would
@@ -141,6 +143,10 @@ BASELINE_R04 = {
     "sequence_packing": 0.451,
     "text_repetition": 2.549,
     "contamination_check": 1.514,
+    # re-anchored late in round 4: the slot gained the kind='url'
+    # URL-canonicalization dedup branch (C4/CCNet stage 1) — measured
+    # 1.00 best-of-2 on this rig
+    "dedup_exact": 1.0,
 }
 
 

@@ -92,16 +92,34 @@ def connected_components(
     """
     track = track or _default_track
     spark = vertices.sparkSession
-    # Persist the DIRECTED edge list once and materialize it WITH AQE —
-    # candidate-pair joins are exactly where runtime skew splitting
-    # matters, and the symmetrized view below would otherwise evaluate
-    # the whole upstream pair pipeline twice (once per union branch).
+    # Materialize the DIRECTED edge list once WITH AQE — candidate-pair
+    # joins are exactly where runtime skew splitting matters, and the
+    # symmetrized view below would otherwise evaluate the whole
+    # upstream pair pipeline twice (once per union branch).
     # The edge list is NOT deduplicated: duplicate/parallel edges are
     # harmless under the min-aggregation (they only repeat a message),
     # and a distinct would cost a full extra shuffle.
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    #
+    # LINEAGE IS CUT here, not merely persisted: every loop round
+    # references the edge table 2-3 times, and persist() caches data
+    # but re-embeds the full UPSTREAM LOGICAL PLAN in each round's
+    # analysis/optimization — Catalyst cost is O(tree size × rounds)
+    # on the single-threaded driver, invisible at executor level and
+    # unaffected by data volume.  Measured: when the LSH candidate
+    # pipeline feeding dedup_cluster_cc widened (INT-shingle rolling
+    # hashes), the loop went 1.3 s → 5.6 s at sf0.1 with IDENTICAL
+    # execution work; cutting edge lineage restored it (6.2 s → 2.0 s
+    # for the full CC call).  A reliable checkpoint (fault-tolerant,
+    # survives executor loss) is used when the session has a
+    # checkpoint dir; localCheckpoint otherwise — the same policy as
+    # the round-5 label cut below, and the right default for a loop
+    # whose upstream is a CANDIDATE-GENERATION query (recomputing it
+    # on block loss costs the same as the checkpoint write did).
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if spark.sparkContext.getCheckpointDir() is not None:
+        e = e.checkpoint(eager=True)
+    else:
+        e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     # symmetrized view over the cache (narrow column swap per round —
     # cheaper than persisting a second copy).  With both directions

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import fingerprint_md5, tokens, toks_sql
+from olist_ecommerce_data_warehouse_spark.functions.url import (
+    canonical_url_sql,
+    canonicalize_url,
+)
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     MINHASH_K,
     hex2int_sql,
@@ -96,38 +100,113 @@ SHINGLES_SQL = shingle_hash_sql(3, "corrupted")
 
 # ---------------------------------------------------------------- exact dedup
 
+# Deterministic MESSY URL per document for the kind='url' branch: the
+# documents table has no URL column, so one is derived from
+# (source, doc_id) with every canonicalization hazard injected —
+# uppercase scheme/host, www. prefix, default ports, trailing slash,
+# scrambled + tracking-polluted query, fragment.  Docs sharing
+# (source, doc_id parity, doc_id mod 50) canonicalize to the SAME URL
+# and must collapse.  The SQL twin below is the same derivation
+# verbatim, so the oracle exercises canonical_url_sql against
+# canonicalize_url on identical inputs (the NEARDUP_SQL injection
+# discipline applied to URLs).
+_MESSY_URL_SQL = """
+    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) || '.com'
+            ELSE source || '.com' END
+    || CASE WHEN doc_id % 5 = 0 THEN
+            CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+       ELSE '' END
+    || '/item/' || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+            ELSE '?a=1&b=2&gclid=x' END
+    || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+def _messy_url() -> F.Column:
+    """Spark twin of _MESSY_URL_SQL (over doc_id, source columns)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("WWW."), F.upper(F.col("source")), F.lit(".com")),
+        ).otherwise(F.concat(F.col("source"), F.lit(".com"))),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/item/"),
+        (d % 50).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&utm_source=feed&a=1")).otherwise(
+            F.lit("?a=1&b=2&gclid=x")
+        ),
+        F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
 
 @query(
     "dedup_exact",
-    oracle="""
+    oracle=f"""
     WITH corrupted AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 200000, '  ' || text || ' '
         FROM documents WHERE doc_id % 3 = 0
     )
-    SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+    SELECT 'content' AS kind,
+           md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_copies
     FROM corrupted
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'url' AS kind,
+           {canonical_url_sql(f"({_MESSY_URL_SQL})")} AS fp,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 2
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the normalized content fingerprint,
-    keep the lowest doc_id.  Whitespace-padded copies collapse onto
-    their originals.  One shuffle on the fingerprint; map-side partial
-    agg collapses duplicates early — the 100 TB-safe shape."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    """Exact dedup, two kinds sharing one output shape (the
+    events_windows discriminator device):
+
+    kind='content' — hash-groupBy on the normalized content
+    fingerprint, keep the lowest doc_id; whitespace-padded copies
+    collapse onto their originals.
+    kind='url' — URL-level dedup (C4/CCNet/RefinedWeb stage 1):
+    group by ``canonicalize_url`` over deterministically-derived messy
+    URLs (see _MESSY_URL_SQL) — scheme/host case, default ports,
+    www., trailing slashes, tracking params and fragments all collapse.
+
+    Both branches are one shuffle on the dedup key with map-side
+    partial agg — the 100 TB-safe shape; URL canonicalization itself
+    is pure codegen string ops at scan speed."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     padded = docs.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
     )
-    return (
-        docs.unionAll(padded)
+    content = (
+        docs.select("doc_id", "text")
+        .unionAll(padded)
         .groupBy(fingerprint_md5("text").alias("fp"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.lit("content").alias("kind"), "fp", "keeper_doc_id", "n_copies")
     )
+    url = (
+        docs.select("doc_id", _messy_url().alias("u"))
+        .groupBy(canonicalize_url("u").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.lit("url").alias("kind"), "fp", "keeper_doc_id", "n_copies")
+    )
+    return content.unionAll(url)
 
 
 # ----------------------------------------------------------- n-gram Jaccard
