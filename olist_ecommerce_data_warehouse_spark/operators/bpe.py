@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from olist_ecommerce_data_warehouse_spark.functions.text import tokens
+from olist_ecommerce_data_warehouse_spark.operators.lineage import cut_lineage
 
 # End-of-word sentinel (classic BPE): distinguishes "est</w>" from
 # "est" mid-word.  Any symbol containing it never merges across words
@@ -94,7 +95,11 @@ def bpe_train(
     singletons would memorize individual words)."""
     wc = word_counts(docs, text_col)
     if n_merges > 0:
-        wc = wc.persist()
+        # lineage CUT, not persisted: every merge round's pair-count
+        # collect() re-analyzes wc's upstream (tokenize + explode +
+        # agg) — n_merges × that tree on the driver otherwise
+        # (operators/lineage.py)
+        wc = cut_lineage(wc)
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):

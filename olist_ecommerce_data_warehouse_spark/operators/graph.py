@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from olist_ecommerce_data_warehouse_spark.operators.lineage import cut_lineage
+
 
 def _default_track(df: DataFrame) -> DataFrame:
     df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -109,17 +111,12 @@ def connected_components(
     # pipeline feeding dedup_cluster_cc widened (INT-shingle rolling
     # hashes), the loop went 1.3 s → 5.6 s at sf0.1 with IDENTICAL
     # execution work; cutting edge lineage restored it (6.2 s → 2.0 s
-    # for the full CC call).  A reliable checkpoint (fault-tolerant,
-    # survives executor loss) is used when the session has a
-    # checkpoint dir; localCheckpoint otherwise — the same policy as
-    # the round-5 label cut below, and the right default for a loop
-    # whose upstream is a CANDIDATE-GENERATION query (recomputing it
-    # on block loss costs the same as the checkpoint write did).
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    if spark.sparkContext.getCheckpointDir() is not None:
-        e = e.checkpoint(eager=True)
-    else:
-        e = e.localCheckpoint(eager=True)
+    # for the full CC call).  See operators/lineage.py for the
+    # checkpoint-vs-localCheckpoint policy (same as the round-5 label
+    # cut below).
+    e = cut_lineage(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     n_edges = e.count()
     # symmetrized view over the cache (narrow column swap per round —
     # cheaper than persisting a second copy).  With both directions

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from olist_ecommerce_data_warehouse_spark.operators.lineage import cut_lineage
 from olist_ecommerce_data_warehouse_spark.operators.similarity import QUANT, quantized
 
 
@@ -117,8 +118,13 @@ def kmeans_train(
         F.col(id_col).alias("__id"), _qcol(vec_col, pre_quantized).alias("__q")
     )
     if n_iter > 0:
-        # one scan+quantize, reused by every Lloyd iteration
-        q = q.persist()
+        # one scan+quantize, reused by every Lloyd iteration — lineage
+        # CUT, not persisted: each iteration's collect() would re-embed
+        # the upstream plan in Catalyst analysis (operators/lineage.py;
+        # measured 2.21 s → 1.84 s warm for 2 iterations at sf0.1, and
+        # the share grows when the vectors come from a pipeline rather
+        # than a bare scan, e.g. SemDeDup's quantized corpus)
+        q = cut_lineage(q)
     centroids = _seed_centroids(vectors, id_col, vec_col, k, pre_quantized)
     train_schema = StructType(
         [StructField("cluster", IntegerType()), StructField("__q", ArrayType(LongType()))]

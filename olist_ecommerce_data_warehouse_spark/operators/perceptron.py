@@ -56,6 +56,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from olist_ecommerce_data_warehouse_spark.operators.lineage import cut_lineage
+
 
 def _merge_weights(a: DataFrame | None, b: DataFrame) -> DataFrame:
     """a ⊕ b on (bucket, w): null-safe full-outer sum, zero rows
@@ -95,7 +97,11 @@ def perceptron_train(
         id_col, "bucket", F.col("cnt").cast("bigint").alias("cnt"), "y"
     )
     if rounds > 0:
-        feats = feats.persist()
+        # lineage CUT, not persisted: the per-round scoring join and
+        # violation aggregate re-analyze feats' upstream (the hashed
+        # feature pipeline is WIDE — uni+bigram explodes) once per
+        # round otherwise (operators/lineage.py)
+        feats = cut_lineage(feats)
     w = None  # bucket -> weight; None = all zeros
     acc = None  # averaged mode: running Σ_t w_t
     try:
