@@ -505,3 +505,154 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(kernel, FRAME_SCHEMA)
     )
+
+
+# ------------------------------------------------------------- header probe
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("progressive", T.IntegerType()),
+    ]
+)
+
+# JPEG start-of-frame markers that carry dimensions.  C4/C8/CC look
+# like SOF numerically but are DHT/JPG/DAC — excluded by the spec.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _jpeg_header(b: bytes):
+    """(width, height, n_components, precision, progressive) from a
+    REAL JPEG segment walk: SOI, then length-prefixed segments to the
+    first SOF marker (dimensions always precede the SOS scan data).
+    This is actual JFIF structure parsing — only the entropy-coded
+    pixel DECODE is PIL territory."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("JPEG segment desync")
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if marker in _JPEG_SOF:
+            precision = b[i + 4]
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            ncomp = b[i + 9]
+            return w, h, ncomp, precision, 1 if marker == 0xC2 else 0
+        if marker == 0xDA:  # SOS: compressed scan follows, no SOF seen
+            break
+        i += 2 + seg_len
+    raise ValueError("JPEG has no SOF before scan data")
+
+
+def _mp4_dims(b: bytes):
+    """(width, height, major_brand) from REAL ISO-BMFF box parsing:
+    top-level ftyp for the brand, then moov → trak → tkhd where track
+    dimensions live as 16.16 fixed-point.  Only the box structure is
+    read — sample decode is ffmpeg territory."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                body = i + 16
+            else:
+                body = i + 8
+            if size < 8 or i + size > end:
+                break
+            yield btype, body, i + size
+            i += size
+
+    brand = ""
+    w = h = 0
+    for btype, body, bend in boxes(b, 0, len(b)):
+        if btype == b"ftyp":
+            brand = b[body : body + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for t2, b2, e2 in boxes(b, body, bend):
+                if t2 != b"trak":
+                    continue
+                for t3, b3, e3 in boxes(b, b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    # tkhd: version(1)+flags(3); v0 fixed fields end
+                    # 80 bytes into the body, v1 92 — width/height are
+                    # the LAST 8 bytes of the box either way (16.16)
+                    tw = int.from_bytes(b[e3 - 8 : e3 - 4], "big") >> 16
+                    th = int.from_bytes(b[e3 - 4 : e3], "big") >> 16
+                    # first VIDEO track wins (audio tracks carry 0×0)
+                    if tw and th:
+                        return tw, th, brand
+                    w, h = tw, th
+    if not brand:
+        raise ValueError("not an ISO-BMFF container (no ftyp)")
+    return w, h, brand
+
+
+def probe_media_headers(media: DataFrame) -> DataFrame:
+    """Header-only metadata probe — the CHEAP first pass a multimodal
+    corpus pipeline runs over every payload before deciding what to
+    decode: format sniff by magic bytes, then real container-header
+    parsing for dimensions/channels/rates WITHOUT touching pixel or
+    sample data.  Covers the stdlib-decodable formats (PNG/BMP/GIF/
+    WAV header fields) PLUS the PIL/ffmpeg-gated ones (JPEG via a real
+    SOF segment walk incl. the progressive flag; MP4 via real ISO-BMFF
+    box traversal to tkhd) — dimensions are structural, only pixel
+    DECODE needs the absent libraries.  Unknown formats emit
+    format='unknown' rows instead of failing the batch: a probe's job
+    is to classify, the decode tier is where unsupported formats are
+    an error.  Cost: O(header bytes) per row, no shuffle."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["payload"])
+                mid = r["media_id"]
+                try:
+                    if b[:8] == _PNG_SIG:
+                        w, h = struct.unpack(">II", b[16:24])
+                        depth, ctype = b[24], b[25]
+                        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype, 0)
+                        rows.append((mid, "png", w, h, ch, 0, depth, 0))
+                    elif b[:2] == b"BM":
+                        w, h = struct.unpack("<ii", b[18:26])
+                        (bpp,) = struct.unpack("<H", b[28:30])
+                        rows.append((mid, "bmp", w, abs(h), max(bpp // 8, 1), 0, 8, 0))
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h = struct.unpack("<HH", b[6:10])
+                        rows.append((mid, "gif", w, h, 3, 0, 8, 0))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        ch, rate = struct.unpack("<HI", b[22:28])
+                        (bits,) = struct.unpack("<H", b[34:36])
+                        rows.append((mid, "wav", 0, 0, ch, rate, bits, 0))
+                    elif b[:2] == b"\xff\xd8":
+                        w, h, ncomp, prec, prog = _jpeg_header(b)
+                        rows.append((mid, "jpeg", w, h, ncomp, 0, prec, prog))
+                    elif len(b) >= 12 and b[4:8] == b"ftyp":
+                        w, h, brand = _mp4_dims(b)
+                        rows.append((mid, f"mp4/{brand}", w, h, 0, 0, 0, 0))
+                    else:
+                        rows.append((mid, "unknown", 0, 0, 0, 0, 0, 0))
+                except (ValueError, struct.error, IndexError):
+                    rows.append((mid, "corrupt", 0, 0, 0, 0, 0, 0))
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(kernel, PROBE_SCHEMA)

@@ -326,3 +326,90 @@ def test_resize_images_nearest_neighbor_exact(spark):
         xs = (np.arange(out_w) * 8) // out_w
         want = img[ys][:, xs]
         assert np.array_equal(got, want), (out_w, out_h)
+
+
+# ----------------------------------------------------------- header probe
+
+
+def _encode_jpeg_headers(w, h, ncomp=3, progressive=False):
+    """Independent minimal JPEG: SOI + APP0(JFIF) + DQT stub + SOF +
+    SOS stub + EOI.  Entropy data is empty — the probe must read
+    dimensions from REAL segment structure without decoding pixels."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof_marker = 0xC2 if progressive else 0xC0
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = seg(sof_marker, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + sos + b"\xff\xd9"
+
+
+def _encode_mp4_headers(w, h, brand=b"isom"):
+    """Independent minimal ISO-BMFF: ftyp + moov[trak[tkhd]] with the
+    dimensions as 16.16 fixed-point in a v0 tkhd — the structure the
+    box-walk probe must traverse."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    tkhd_body = (
+        b"\x00" + b"\x00\x00\x07"  # version 0, flags
+        + bytes(4 * 4)  # ctime, mtime, track_id, reserved
+        + bytes(4)  # duration
+        + bytes(8)  # reserved
+        + bytes(2 + 2 + 2 + 2)  # layer, alt_group, volume, reserved
+        + bytes(36)  # matrix
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    trak = box(b"trak", box(b"tkhd", tkhd_body))
+    return box(b"ftyp", brand + b"\x00\x00\x02\x00" + b"isomiso2") + box(
+        b"moov", trak
+    )
+
+
+def test_probe_media_headers(spark):
+    """Every sniffable format yields REAL header metadata without any
+    pixel/sample decode: JPEG dims+progressive flag via SOF walk, MP4
+    dims+brand via box traversal, PNG/BMP/GIF/WAV header fields;
+    unknown and truncated payloads classify instead of failing."""
+    import struct
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        probe_media_headers,
+    )
+
+    png = _encode_png([[(10, 20, 30), (40, 50, 60)]], [0])  # 2×1 RGB
+    jpeg = _encode_jpeg_headers(640, 480, 3, progressive=False)
+    jpeg_p = _encode_jpeg_headers(31, 17, 1, progressive=True)
+    mp4 = _encode_mp4_headers(1920, 1080)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    rows = [
+        (1, "image", bytearray(png), "s"),
+        (2, "image", bytearray(jpeg), "s"),
+        (3, "image", bytearray(jpeg_p), "s"),
+        (4, "video", bytearray(mp4), "s"),
+        (5, "audio", bytearray(wav), "s"),
+        (6, "image", bytearray(b"garbage-not-a-format"), "s"),
+        (7, "image", bytearray(b"\xff\xd8\xff\xd9"), "s"),  # JPEG, no SOF
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, source string"
+    )
+    got = {r["media_id"]: r for r in probe_media_headers(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"], got[1]["n_channels"]) == ("png", 2, 1, 3)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"], got[2]["n_channels"], got[2]["progressive"]) == ("jpeg", 640, 480, 3, 0)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"], got[3]["n_channels"], got[3]["progressive"]) == ("jpeg", 31, 17, 1, 1)
+    assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("mp4/isom", 1920, 1080)
+    assert (got[5]["format"], got[5]["n_channels"], got[5]["sample_rate"], got[5]["bit_depth"]) == ("wav", 2, 44100, 16)
+    assert got[6]["format"] == "unknown"
+    assert got[7]["format"] == "corrupt"
