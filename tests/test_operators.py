@@ -1525,3 +1525,32 @@ def test_ppl_buckets_head_middle_tail(spark):
     # not globally 'tail'
     assert Counter(got[100 + i] for i in range(1, 31))["head"] >= 8
     assert got[900] == "unscored"
+
+
+def test_cut_lineage_truncates_plan_and_preserves_rows(spark):
+    """operators/lineage.py contract: the returned DataFrame carries
+    the same rows but its ANALYZED plan no longer embeds the upstream
+    pipeline — the property every iterative trainer's per-round driver
+    cost now rests on (a persist would keep the full tree)."""
+    from olist_ecommerce_data_warehouse_spark.operators.lineage import cut_lineage
+    from pyspark.sql import functions as F
+
+    base = spark.range(100).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+    )
+    up = base.groupBy(F.substring("h", 1, 1).alias("pfx")).count()
+    cut = cut_lineage(up)
+
+    assert sorted(map(tuple, cut.collect())) == sorted(map(tuple, up.collect()))
+    plan = cut._jdf.queryExecution().analyzed().toString()
+    # a lineage-cut plan is a bare scan of materialized partitions:
+    # no aggregate, no project over the md5 expression
+    assert "Aggregate" not in plan and "md5" not in plan, plan
+    persisted = up.persist()
+    try:
+        pplan = persisted._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" in pplan  # persist keeps the tree; cut removes it
+    finally:
+        persisted.unpersist()
+    cut.unpersist()
