@@ -71,7 +71,9 @@ BASELINE_R01 = {
     # multimodal_decode_frames: round-2 slot merge (decode stub +
     # frame sample), summed anchor like the other merges
     "multimodal_decode_frames": 2.7908,
-    "multimodal_metadata": 0.4053, "orphan_check": 0.5465,
+    # multimodal_metadata re-anchored in BASELINE_R04: round 4 added
+    # the real-container header-probe branch (capability change)
+    "orphan_check": 0.5465,
     "per_order_rollup": 1.6498, "pivot_event_types_daily": 0.5582,
     "pricing_summary": 1.1094, "rollup_region_segment": 1.2103,
     # scalar_kpis / scd2_dim_customer / text_metrics: capability
@@ -157,6 +159,10 @@ BASELINE_R04 = {
     # URL-canonicalization dedup branch (C4/CCNet stage 1) — measured
     # 1.00 best-of-2 on this rig
     "dedup_exact": 1.0,
+    # re-anchored late in round 4: the slot gained the probe:* branch
+    # (real PNG/JPEG/WAV/MP4 container synthesis + header probe,
+    # oracle = closed-form sums) — measured 0.94 best-of-3 on this rig
+    "multimodal_metadata": 0.95,
 }
 
 

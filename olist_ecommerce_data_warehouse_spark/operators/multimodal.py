@@ -656,3 +656,143 @@ def probe_media_headers(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
 
     return media.select("media_id", "payload").mapInPandas(kernel, PROBE_SCHEMA)
+
+
+# ------------------------------------------------- real-container synthesis
+
+# Deterministic per-id header fields for synthesize_real_containers —
+# ONE definition shared with the multimodal_metadata oracle, which
+# re-derives these ARITHMETICALLY (never parsing bytes): if
+# probe_media_headers misreads any header field of the REAL container
+# bytes, the plan's sums diverge from the oracle's closed-form sums
+# and the driver hash fails.  (media_id mod 4) selects the format.
+def _synth_fields(mid: int) -> tuple[str, int, int, int, int, int, int]:
+    """(format, width, height, channels, rate, depth, progressive)."""
+    sel = mid % 4
+    if sel == 0:
+        return ("png", 1 + mid % 7, 1 + mid % 5, 3, 0, 8, 0)
+    if sel == 1:
+        return ("jpeg", 16 + mid % 100, 16 + mid % 50, 1 + 2 * (mid % 2), 0, 8, 1 if mid % 3 == 0 else 0)
+    if sel == 2:
+        return ("wav", 0, 0, 1 + mid % 2, 8000 * (1 + mid % 3), 16, 0)
+    return ("mp4/isom", 320 + (mid % 8) * 40, 240 + (mid % 6) * 40, 0, 0, 0, 0)
+
+
+# The oracle's SQL twin of _synth_fields, keyed by the same mod math.
+SYNTH_FIELDS_SQL = """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'wav' ELSE 'mp4/isom' END AS format,
+           CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
+                WHEN 1 THEN 16 + doc_id % 100
+                WHEN 2 THEN 0 ELSE 320 + (doc_id % 8) * 40 END AS width,
+           CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 5
+                WHEN 1 THEN 16 + doc_id % 50
+                WHEN 2 THEN 0 ELSE 240 + (doc_id % 6) * 40 END AS height,
+           CASE doc_id % 4 WHEN 0 THEN 3
+                WHEN 1 THEN 1 + 2 * (doc_id % 2)
+                WHEN 2 THEN 1 + doc_id % 2 ELSE 0 END AS n_channels,
+           CASE doc_id % 4 WHEN 2 THEN 8000 * (1 + doc_id % 3) ELSE 0 END AS sample_rate,
+           CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8
+                WHEN 2 THEN 16 ELSE 0 END AS bit_depth,
+           CASE WHEN doc_id % 4 = 1 AND doc_id % 3 = 0 THEN 1 ELSE 0 END AS progressive
+    FROM documents
+"""
+
+
+def _synth_png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter: none
+        raw.extend(((x + y) % 251) for x in range(w * 3))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _synth_jpeg_bytes(w: int, h: int, ncomp: int, progressive: int) -> bytes:
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = seg(0xC2 if progressive else 0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + seg(0xDB, b"\x00" + bytes(64)) + sof + sos + b"\xff\xd9"
+
+
+def _synth_wav_bytes(ch: int, rate: int, bits: int) -> bytes:
+    import struct
+
+    block = ch * bits // 8
+    fmt = struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + fmt + b"data" + struct.pack("<I", 0)
+    )
+
+
+def _synth_mp4_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    tkhd = (
+        b"\x00\x00\x00\x07" + bytes(16) + bytes(4) + bytes(8)
+        + bytes(8) + bytes(36) + struct.pack(">II", w << 16, h << 16)
+    )
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", box(b"trak", box(b"tkhd", tkhd))
+    )
+
+
+def synthesize_real_containers(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — REAL container bytes (PNG/JPEG/WAV/MP4)
+    per document with header fields derived from ``_synth_fields``.
+    Deterministic: same ids ⇒ byte-identical payloads on any executor,
+    any retry.  Arrow-batched; payload size bounded (tiny images, no
+    sample data) so the probe exercises header parsing, not IO."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                fmt, w, h, ch, rate, depth, prog = _synth_fields(mid)
+                if fmt == "png":
+                    b = _synth_png_bytes(w, h)
+                elif fmt == "jpeg":
+                    b = _synth_jpeg_bytes(w, h, ch, prog)
+                elif fmt == "wav":
+                    b = _synth_wav_bytes(ch, rate, depth)
+                else:
+                    b = _synth_mp4_bytes(w, h)
+                ids.append(mid)
+                payloads.append(b)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)

@@ -16,44 +16,115 @@ from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+    SYNTH_FIELDS_SQL,
     decode_media,
+    probe_media_headers,
     sample_frames,
     synthesize_media,
+    synthesize_real_containers,
 )
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
 
 
 @query(
     "multimodal_metadata",
-    oracle="""
+    oracle=f"""
     WITH media AS (
         SELECT doc_id AS media_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                     ELSE 'video' END AS kind,
                encode(text) AS payload
         FROM documents
+    ),
+    bytes_agg AS (
+        SELECT kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+               CAST(MIN(octet_length(payload)) AS BIGINT) AS min_bytes,
+               CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
+        FROM media GROUP BY kind
+    ),
+    synth AS ({SYNTH_FIELDS_SQL}),
+    probe_agg AS (
+        SELECT 'probe:' || format AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(width) AS BIGINT) AS sum_width,
+               CAST(SUM(height) AS BIGINT) AS sum_height,
+               CAST(SUM(n_channels) AS BIGINT) AS sum_channels,
+               CAST(SUM(sample_rate) AS BIGINT) AS sum_rate,
+               CAST(SUM(bit_depth) AS BIGINT) AS sum_depth,
+               CAST(SUM(progressive) AS BIGINT) AS sum_progressive
+        FROM synth GROUP BY format
     )
-    SELECT kind,
-           COUNT(*) AS n_media,
-           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
-           MIN(octet_length(payload)) AS min_bytes,
-           MAX(octet_length(payload)) AS max_bytes
-    FROM media
-    GROUP BY kind
+    SELECT kind, metric, value FROM (
+        SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
+        UNION ALL SELECT kind, 'total_bytes', total_bytes FROM bytes_agg
+        UNION ALL SELECT kind, 'min_bytes', min_bytes FROM bytes_agg
+        UNION ALL SELECT kind, 'max_bytes', max_bytes FROM bytes_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM probe_agg
+        UNION ALL SELECT kind, 'sum_width', sum_width FROM probe_agg
+        UNION ALL SELECT kind, 'sum_height', sum_height FROM probe_agg
+        UNION ALL SELECT kind, 'sum_channels', sum_channels FROM probe_agg
+        UNION ALL SELECT kind, 'sum_rate', sum_rate FROM probe_agg
+        UNION ALL SELECT kind, 'sum_depth', sum_depth FROM probe_agg
+        UNION ALL SELECT kind, 'sum_progressive', sum_progressive FROM probe_agg
+    )
     """,
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata rollup: payloads stay opaque bytes; the
-    engine aggregates octet lengths per media kind — the
-    storage-accounting query every multimodal corpus needs."""
-    media = synthesize_media(table(spark, sf_dir, "documents"))
+    """Binary-column metadata inventory, long format (kind, metric,
+    value) — two branches sharing one output shape:
+
+    kind='image|audio|video' — storage accounting over opaque
+    payloads (count + octet-length stats), the rollup every
+    multimodal corpus needs; payloads are never opened.
+
+    kind='probe:<format>' — the HEADER-PROBE gate (round 4): every
+    document gets a REAL container (PNG/JPEG/WAV/MP4, header fields
+    derived arithmetically from its id — ``_synth_fields``), the
+    bytes go through ``probe_media_headers`` (real JPEG SOF walk, real
+    ISO-BMFF box traversal, PNG/WAV header reads), and per-format
+    SUMS of the parsed fields are compared against the oracle's
+    CLOSED-FORM sums from the same id arithmetic.  The oracle never
+    parses a byte — if the parser misreads any width/height/channel/
+    rate/depth/progressive field in any container, the sums diverge
+    and the driver hash fails.  Scale shape: synthesis and probing
+    are one Arrow map each (no shuffle), the rollup is one small
+    aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
     n_bytes = F.octet_length("payload")
-    return media.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_media"),
+    bytes_agg = media.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
         F.sum(n_bytes).cast("bigint").alias("total_bytes"),
-        F.min(n_bytes).alias("min_bytes"),
-        F.max(n_bytes).alias("max_bytes"),
+        F.min(n_bytes).cast("bigint").alias("min_bytes"),
+        F.max(n_bytes).cast("bigint").alias("max_bytes"),
     )
+    bytes_long = bytes_agg.selectExpr(
+        "kind",
+        "stack(4, 'n_media', n_media, 'total_bytes', total_bytes, "
+        "'min_bytes', min_bytes, 'max_bytes', max_bytes) AS (metric, value)",
+    )
+    probed = probe_media_headers(synthesize_real_containers(docs))
+    probe_agg = probed.groupBy(
+        F.concat(F.lit("probe:"), F.col("format")).alias("kind")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum("n_channels").cast("bigint").alias("sum_channels"),
+        F.sum("sample_rate").cast("bigint").alias("sum_rate"),
+        F.sum("bit_depth").cast("bigint").alias("sum_depth"),
+        F.sum("progressive").cast("bigint").alias("sum_progressive"),
+    )
+    probe_long = probe_agg.selectExpr(
+        "kind",
+        "stack(7, 'n_media', n_media, 'sum_width', sum_width, "
+        "'sum_height', sum_height, 'sum_channels', sum_channels, "
+        "'sum_rate', sum_rate, 'sum_depth', sum_depth, "
+        "'sum_progressive', sum_progressive) AS (metric, value)",
+    )
+    return bytes_long.unionByName(probe_long)
 
 
 @query(
