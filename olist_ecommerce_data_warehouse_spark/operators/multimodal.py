@@ -700,7 +700,13 @@ SYNTH_FIELDS_SQL = """
 """
 
 
-def _synth_png_bytes(w: int, h: int) -> bytes:
+def _synth_png_bytes(w: int, h: int, filter_type: int = 0) -> bytes:
+    """RGB8 PNG whose RAW pixel bytes are the known function
+    ``(i + y) % 251`` (i = byte index in row, y = row), encoded with
+    ``filter_type`` applied to EVERY scanline — the decoder must run
+    the real defilter to recover the known content, which is what
+    makes the closed-form pixel-sum oracle a true gate on the
+    all-5-filter defilter implementation."""
     import struct
     import zlib
 
@@ -713,9 +719,27 @@ def _synth_png_bytes(w: int, h: int) -> bytes:
         )
 
     raw = bytearray()
+    prev = bytes(w * 3)
     for y in range(h):
-        raw.append(0)  # filter: none
-        raw.extend(((x + y) % 251) for x in range(w * 3))
+        line = bytes(((x + y) % 251) for x in range(w * 3))
+        enc = bytearray(line)
+        if filter_type:
+            for i in range(len(line)):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 2:
+                    pred = b
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(filter_type)
+        raw.extend(enc)
+        prev = line
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
@@ -778,7 +802,11 @@ def synthesize_real_containers(docs: DataFrame, id_col: str = "doc_id") -> DataF
                 mid = int(mid)
                 fmt, w, h, ch, rate, depth, prog = _synth_fields(mid)
                 if fmt == "png":
-                    b = _synth_png_bytes(w, h)
+                    # (mid // 4) % 5 cycles ALL FIVE scanline filters
+                    # across the png ids (mid % 4 == 0), so the
+                    # closed-form pixel-sum oracle exercises every
+                    # defilter branch under the driver hash
+                    b = _synth_png_bytes(w, h, (mid // 4) % 5)
                 elif fmt == "jpeg":
                     b = _synth_jpeg_bytes(w, h, ch, prog)
                 elif fmt == "wav":
@@ -796,3 +824,32 @@ def synthesize_real_containers(docs: DataFrame, id_col: str = "doc_id") -> DataF
         ]
     )
     return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+PNG_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def png_pixel_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_pixels, pixel_sum) via the REAL stdlib PNG decode
+    (`_png_pixels`: zlib inflate + all-5-filter defilter) — exact
+    integer sums, so the result is hash-comparable against a
+    closed-form oracle when the pixel content is a known function of
+    position (see `_synth_png_bytes`).  One Arrow map, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, np_, ps = [], [], []
+            for _, r in pdf.iterrows():
+                w, h, ch, px = _png_pixels(bytes(r["payload"]))
+                ids.append(r["media_id"])
+                np_.append(len(px))
+                ps.append(int(sum(px)))
+            yield pd.DataFrame({"media_id": ids, "n_pixels": np_, "pixel_sum": ps})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, PNG_SUM_SCHEMA)

@@ -18,6 +18,7 @@ from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
     SYNTH_FIELDS_SQL,
     decode_media,
+    png_pixel_sums,
     probe_media_headers,
     sample_frames,
     synthesize_media,
@@ -55,6 +56,21 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(bit_depth) AS BIGINT) AS sum_depth,
                CAST(SUM(progressive) AS BIGINT) AS sum_progressive
         FROM synth GROUP BY format
+    ),
+    png_sums AS (
+        SELECT doc_id, 3 * w * h AS npx,
+               list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, 3 * w - 1), i ->
+                       (i + y) % 251)))) AS ps
+        FROM (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+              FROM documents WHERE doc_id % 4 = 0)
+    ),
+    decode_agg AS (
+        SELECT 'decode:png' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ps) AS BIGINT) AS sum_pixels,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM png_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -68,6 +84,9 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'sum_rate', sum_rate FROM probe_agg
         UNION ALL SELECT kind, 'sum_depth', sum_depth FROM probe_agg
         UNION ALL SELECT kind, 'sum_progressive', sum_progressive FROM probe_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM decode_agg
+        UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM decode_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM decode_agg
     )
     """,
 )
@@ -88,9 +107,18 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLOSED-FORM sums from the same id arithmetic.  The oracle never
     parses a byte — if the parser misreads any width/height/channel/
     rate/depth/progressive field in any container, the sums diverge
-    and the driver hash fails.  Scale shape: synthesis and probing
-    are one Arrow map each (no shuffle), the rollup is one small
-    aggregate."""
+    and the driver hash fails.
+
+    kind='decode:png' — the REAL-DECODE gate: the png ids are
+    re-synthesized with ALL FIVE PNG scanline filters cycling across
+    ids but KNOWN raw pixel content ((i + y) % 251), decoded through
+    the actual zlib-inflate + defilter path, and the exact integer
+    pixel sums compared against the oracle's closed-form double sum —
+    a defilter bug in any of the five branches changes the decoded
+    pixels and fails the driver hash.
+
+    Scale shape: synthesis, probing and decoding are Arrow maps (no
+    shuffle); the rollups are small aggregates."""
     docs = table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
     n_bytes = F.octet_length("payload")
@@ -124,7 +152,27 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'sum_rate', sum_rate, 'sum_depth', sum_depth, "
         "'sum_progressive', sum_progressive) AS (metric, value)",
     )
-    return bytes_long.unionByName(probe_long)
+    # kind='decode:png' — the REAL-DECODE gate: the png ids' containers
+    # are re-synthesized with ALL FIVE scanline filters cycling across
+    # ids ((id//4) % 5) but KNOWN raw pixel content, decoded through
+    # the actual zlib-inflate + defilter path, and the exact integer
+    # pixel sums compared against the oracle's closed-form double sum
+    # — a defilter bug in any branch changes the pixels and fails the
+    # driver hash.
+    png_sums = png_pixel_sums(
+        synthesize_real_containers(docs.filter(F.col("doc_id") % 4 == 0))
+    )
+    decode_agg = png_sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("pixel_sum").cast("bigint").alias("sum_pixels"),
+        F.sum("n_pixels").cast("bigint").alias("sum_npixels"),
+    ).select(F.lit("decode:png").alias("kind"), "n_media", "sum_pixels", "sum_npixels")
+    decode_long = decode_agg.selectExpr(
+        "kind",
+        "stack(3, 'n_media', n_media, 'sum_pixels', sum_pixels, "
+        "'sum_npixels', sum_npixels) AS (metric, value)",
+    )
+    return bytes_long.unionByName(probe_long).unionByName(decode_long)
 
 
 @query(
