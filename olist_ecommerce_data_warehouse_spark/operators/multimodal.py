@@ -762,14 +762,22 @@ def _synth_jpeg_bytes(w: int, h: int, ncomp: int, progressive: int) -> bytes:
     return b"\xff\xd8" + app0 + seg(0xDB, b"\x00" + bytes(64)) + sof + sos + b"\xff\xd9"
 
 
-def _synth_wav_bytes(ch: int, rate: int, bits: int) -> bytes:
+def _synth_wav_bytes(ch: int, rate: int, bits: int, n_samples: int = 0) -> bytes:
+    """PCM WAV with ``n_samples`` frames whose int16 sample values are
+    the known function ``((j * 37) % 2048) - 1024`` over the flattened
+    interleaved stream (j = frame * ch + channel) — the decoder must
+    run the real PCM decode to recover them, which is what makes the
+    closed-form sample-sum oracle a true gate on the WAV decode path."""
     import struct
 
     block = ch * bits // 8
     fmt = struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, bits)
+    data = b"".join(
+        struct.pack("<h", ((j * 37) % 2048) - 1024) for j in range(n_samples * ch)
+    )
     return (
-        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
-        + b"fmt " + fmt + b"data" + struct.pack("<I", 0)
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + fmt + b"data" + struct.pack("<I", len(data)) + data
     )
 
 
@@ -810,7 +818,10 @@ def synthesize_real_containers(docs: DataFrame, id_col: str = "doc_id") -> DataF
                 elif fmt == "jpeg":
                     b = _synth_jpeg_bytes(w, h, ch, prog)
                 elif fmt == "wav":
-                    b = _synth_wav_bytes(ch, rate, depth)
+                    # 16 + mid % 32 PCM frames of known content — the
+                    # closed-form sample-sum oracle gates the real
+                    # decode (see _synth_wav_bytes)
+                    b = _synth_wav_bytes(ch, rate, depth, 16 + mid % 32)
                 else:
                     b = _synth_mp4_bytes(w, h)
                 ids.append(mid)
@@ -853,3 +864,37 @@ def png_pixel_sums(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "n_pixels": np_, "pixel_sum": ps})
 
     return media.select("media_id", "payload").mapInPandas(kernel, PNG_SUM_SCHEMA)
+
+
+WAV_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+    ]
+)
+
+
+def wav_sample_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_samples, sample_sum) via the REAL stdlib WAV/PCM
+    decode (``wave`` module + int16 array) — exact integer sums over
+    all interleaved samples, hash-comparable against a closed-form
+    oracle when the content is a known function of position (see
+    ``_synth_wav_bytes``).  One Arrow map, no shuffle."""
+    import array
+    import io
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for _, r in pdf.iterrows():
+                with wave.open(io.BytesIO(bytes(r["payload"]))) as wf:
+                    frames = wf.readframes(wf.getnframes())
+                samples = array.array("h", frames)
+                ids.append(r["media_id"])
+                ns.append(len(samples))
+                ss.append(int(sum(samples)))
+            yield pd.DataFrame({"media_id": ids, "n_samples": ns, "sample_sum": ss})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, WAV_SUM_SCHEMA)

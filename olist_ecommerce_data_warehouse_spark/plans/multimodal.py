@@ -20,6 +20,7 @@ from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
     decode_media,
     png_pixel_sums,
     probe_media_headers,
+    wav_sample_sums,
     sample_frames,
     synthesize_media,
     synthesize_real_containers,
@@ -71,6 +72,20 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(ps) AS BIGINT) AS sum_pixels,
                CAST(SUM(npx) AS BIGINT) AS sum_npixels
         FROM png_sums
+    ),
+    wav_sums AS (
+        SELECT doc_id, ns * ch AS nsmp,
+               list_sum(list_transform(generate_series(0, ns * ch - 1), j ->
+                   ((j * 37) % 2048) - 1024)) AS ss
+        FROM (SELECT doc_id, 16 + doc_id % 32 AS ns, 1 + doc_id % 2 AS ch
+              FROM documents WHERE doc_id % 4 = 2)
+    ),
+    wavdec_agg AS (
+        SELECT 'decode:wav' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ss) AS BIGINT) AS sum_samples,
+               CAST(SUM(nsmp) AS BIGINT) AS sum_nsamples
+        FROM wav_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -87,12 +102,15 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM decode_agg
         UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM decode_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM decode_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM wavdec_agg
+        UNION ALL SELECT kind, 'sum_samples', sum_samples FROM wavdec_agg
+        UNION ALL SELECT kind, 'sum_nsamples', sum_nsamples FROM wavdec_agg
     )
     """,
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata inventory, long format (kind, metric,
-    value) — two branches sharing one output shape:
+    value) — four branches sharing one output shape:
 
     kind='image|audio|video' — storage accounting over opaque
     payloads (count + octet-length stats), the rollup every
@@ -116,6 +134,11 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel sums compared against the oracle's closed-form double sum —
     a defilter bug in any of the five branches changes the decoded
     pixels and fails the driver hash.
+
+    kind='decode:wav' — the same device for the PCM path: the wav
+    ids' containers carry known int16 sample content
+    (((j * 37) % 2048) - 1024 over the interleaved stream), and the
+    real ``wave``-module decode must recover the exact sample sums.
 
     Scale shape: synthesis, probing and decoding are Arrow maps (no
     shuffle); the rollups are small aggregates."""
@@ -172,7 +195,27 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_media', n_media, 'sum_pixels', sum_pixels, "
         "'sum_npixels', sum_npixels) AS (metric, value)",
     )
-    return bytes_long.unionByName(probe_long).unionByName(decode_long)
+    # kind='decode:wav' — the same device for the PCM path: WAV ids'
+    # containers carry known int16 sample content; the real wave-module
+    # decode must recover the exact interleaved sample sums.
+    wav_sums = wav_sample_sums(
+        synthesize_real_containers(docs.filter(F.col("doc_id") % 4 == 2))
+    )
+    wavdec_agg = wav_sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("sample_sum").cast("bigint").alias("sum_samples"),
+        F.sum("n_samples").cast("bigint").alias("sum_nsamples"),
+    ).select(F.lit("decode:wav").alias("kind"), "n_media", "sum_samples", "sum_nsamples")
+    wavdec_long = wavdec_agg.selectExpr(
+        "kind",
+        "stack(3, 'n_media', n_media, 'sum_samples', sum_samples, "
+        "'sum_nsamples', sum_nsamples) AS (metric, value)",
+    )
+    return (
+        bytes_long.unionByName(probe_long)
+        .unionByName(decode_long)
+        .unionByName(wavdec_long)
+    )
 
 
 @query(
