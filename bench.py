@@ -164,9 +164,11 @@ BASELINE_R04 = {
     # 1.00 best-of-2 on this rig
     "dedup_exact": 1.0,
     # re-anchored late in round 4: the slot gained the probe:* branch
-    # (real PNG/JPEG/WAV/MP4 container synthesis + header probe,
-    # oracle = closed-form sums) — measured 0.94 best-of-3 on this rig
-    "multimodal_metadata": 0.95,
+    # (real PNG/JPEG/WAV/MP4 container synthesis + header probe) and
+    # then the decode:png/wav/gif closed-form gates (real defilter /
+    # PCM / LZW decode in the loop) — measured 1.09 in-bench after the
+    # final widening
+    "multimodal_metadata": 1.1,
     # rig-drift re-measure (see BASELINE_R03 note): anchored code
     # slower than HEAD on today's rig; HEAD steady best-of-4 = 1.69
     "scalar_kpis": 1.7,

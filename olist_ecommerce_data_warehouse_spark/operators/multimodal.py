@@ -898,3 +898,151 @@ def wav_sample_sums(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "n_samples": ns, "sample_sum": ss})
 
     return media.select("media_id", "payload").mapInPandas(kernel, WAV_SUM_SCHEMA)
+
+
+def _lzw_encode_literals(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder emitting ONLY literal codes — valid LZW
+    (decoders build their table from the stream regardless of whether
+    the encoder uses it), chosen because it keeps the emitted code
+    sequence trivially derivable from the index stream while still
+    forcing the DECODER through its real table-growth / width-bump /
+    clear-handling machinery.  Mirrors the decoder's table state to
+    emit each code at the width the decoder will read it with."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes: list[tuple[int, int]] = []
+
+    def reset() -> tuple[int, int]:
+        return clear + 2, min_code_size + 1  # (table_len, width)
+
+    table_len, width = reset()
+    codes.append((clear, width))
+    prev = False
+    for idx in indices:
+        codes.append((int(idx), width))
+        if prev:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+        prev = True
+        if table_len >= 4000:  # stay clear of the 12-bit ceiling
+            codes.append((clear, width))
+            table_len, width = reset()
+            prev = False
+    codes.append((end, width))
+    buf = bytearray()
+    acc = nb = 0
+    for code, wdt in codes:
+        acc |= code << nb
+        nb += wdt
+        while nb >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _synth_gif_bytes(w: int, h: int) -> bytes:
+    """GIF89a whose index stream is the known function ``k % 4`` over
+    raster order and whose 4-color palette is the known function
+    ``color(i) = ((i*37)%256, (i*37+5)%256, (i*37+11)%256)`` — the
+    decoder must run the real LZW decode AND the palette resolution to
+    recover the closed-form RGB byte sum."""
+    import struct
+
+    nc = 4  # palette size (min_code_size 2)
+    palette = b"".join(
+        bytes([(i * 37) % 256, (i * 37 + 5) % 256, (i * 37 + 11) % 256])
+        for i in range(nc)
+    )
+    indices = [k % nc for k in range(w * h)]
+    data = _lzw_encode_literals(indices, 2)
+    sub_blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)  # GCT, 4 colors
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([2])  # LZW min code size
+        + sub_blocks
+        + b"\x00\x3b"
+    )
+
+
+GIF_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_rgb", T.LongType()),
+        T.StructField("rgb_sum", T.LongType()),
+    ]
+)
+
+
+def gif_pixel_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_rgb, rgb_sum) via the REAL stdlib GIF decode
+    (header walk + ``_lzw_decode_gif`` + palette resolution) — exact
+    integer sums over the palette-resolved RGB bytes, hash-comparable
+    against a closed-form oracle when indices and palette are known
+    functions (see ``_synth_gif_bytes``).  One Arrow map, no shuffle."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for _, r in pdf.iterrows():
+                b = bytes(r["payload"])
+                if b[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise ValueError("not a GIF")
+                _, _, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+                pos = 13
+                nc = 2 << (flags & 0x07)
+                ct = b[pos : pos + 3 * nc]
+                pos += 3 * nc
+                assert b[pos] == 0x2C
+                _, _, w, h, _ = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+                pos += 10
+                mcs = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos] != 0:
+                    n = b[pos]
+                    data += b[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                idx = _lzw_decode_gif(bytes(data), mcs)[: w * h]
+                total = sum(
+                    ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2] for i in idx
+                )
+                ids.append(r["media_id"])
+                ns.append(3 * w * h)
+                ss.append(int(total))
+            yield pd.DataFrame({"media_id": ids, "n_rgb": ns, "rgb_sum": ss})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, GIF_SUM_SCHEMA)
+
+
+def synthesize_gifs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content GIF per document, dims
+    derived from the id (w = 3 + id % 6, h = 2 + id % 4; shared with
+    the decode:gif oracle's closed form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_gif_bytes(3 + mid % 6, 2 + mid % 4))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)

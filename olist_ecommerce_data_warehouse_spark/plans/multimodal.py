@@ -18,8 +18,10 @@ from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
     SYNTH_FIELDS_SQL,
     decode_media,
+    gif_pixel_sums,
     png_pixel_sums,
     probe_media_headers,
+    synthesize_gifs,
     wav_sample_sums,
     sample_frames,
     synthesize_media,
@@ -86,6 +88,21 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(ss) AS BIGINT) AS sum_samples,
                CAST(SUM(nsmp) AS BIGINT) AS sum_nsamples
         FROM wav_sums
+    ),
+    gif_sums AS (
+        SELECT doc_id, 3 * w * h AS nrgb,
+               list_sum(list_transform(generate_series(0, w * h - 1), k ->
+                   ((k % 4) * 37) % 256 + ((k % 4) * 37 + 5) % 256
+                   + ((k % 4) * 37 + 11) % 256)) AS ss
+        FROM (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+              FROM documents WHERE doc_id % 4 = 1)
+    ),
+    gifdec_agg AS (
+        SELECT 'decode:gif' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ss) AS BIGINT) AS sum_rgb,
+               CAST(SUM(nrgb) AS BIGINT) AS sum_nrgb
+        FROM gif_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -105,12 +122,15 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM wavdec_agg
         UNION ALL SELECT kind, 'sum_samples', sum_samples FROM wavdec_agg
         UNION ALL SELECT kind, 'sum_nsamples', sum_nsamples FROM wavdec_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM gifdec_agg
+        UNION ALL SELECT kind, 'sum_rgb', sum_rgb FROM gifdec_agg
+        UNION ALL SELECT kind, 'sum_nrgb', sum_nrgb FROM gifdec_agg
     )
     """,
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata inventory, long format (kind, metric,
-    value) — four branches sharing one output shape:
+    value) — five branches sharing one output shape:
 
     kind='image|audio|video' — storage accounting over opaque
     payloads (count + octet-length stats), the rollup every
@@ -139,6 +159,11 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids' containers carry known int16 sample content
     (((j * 37) % 2048) - 1024 over the interleaved stream), and the
     real ``wave``-module decode must recover the exact sample sums.
+
+    kind='decode:gif' — the device applied to the LZW decoder: known
+    index stream (k % 4) encoded as real LZW, known 4-color palette;
+    the real decode (variable-width codes, table growth, clears) plus
+    palette resolution must recover the closed-form RGB byte sums.
 
     Scale shape: synthesis, probing and decoding are Arrow maps (no
     shuffle); the rollups are small aggregates."""
@@ -211,10 +236,28 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_media', n_media, 'sum_samples', sum_samples, "
         "'sum_nsamples', sum_nsamples) AS (metric, value)",
     )
+    # kind='decode:gif' — the device applied to the LZW decoder (the
+    # most intricate codec in the repo): known index stream + known
+    # palette, real LZW decode with table growth / width bumps / clear
+    # handling, exact palette-resolved RGB sums vs closed form.
+    gif_sums = gif_pixel_sums(
+        synthesize_gifs(docs.filter(F.col("doc_id") % 4 == 1))
+    )
+    gifdec_agg = gif_sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("rgb_sum").cast("bigint").alias("sum_rgb"),
+        F.sum("n_rgb").cast("bigint").alias("sum_nrgb"),
+    ).select(F.lit("decode:gif").alias("kind"), "n_media", "sum_rgb", "sum_nrgb")
+    gifdec_long = gifdec_agg.selectExpr(
+        "kind",
+        "stack(3, 'n_media', n_media, 'sum_rgb', sum_rgb, "
+        "'sum_nrgb', sum_nrgb) AS (metric, value)",
+    )
     return (
         bytes_long.unionByName(probe_long)
         .unionByName(decode_long)
         .unionByName(wavdec_long)
+        .unionByName(gifdec_long)
     )
 
 
