@@ -1046,3 +1046,91 @@ def synthesize_gifs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+def _synth_bmp_bytes(w: int, h: int) -> bytes:
+    """24bpp bottom-up BMP whose stored pixel bytes are the known
+    function ``(i*5 + y*11) % 256`` (i = byte index in row, y = stored
+    row), with rows PADDED to 4-byte boundaries — the decoder must
+    apply the real stride arithmetic to skip the padding, which is
+    what makes the closed-form sum a gate on exactly the bug class
+    BMP readers get wrong (padding averaged into pixels)."""
+    import struct
+
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    data = bytearray()
+    for y in range(h):
+        data += bytes(((i * 5 + y * 11) % 256) for i in range(row_bytes))
+        data += bytes(stride - row_bytes)  # padding: NOT pixel data
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+
+
+BMP_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_px_bytes", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def bmp_pixel_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_px_bytes, px_sum) via the REAL stride-aware BMP
+    read (pixel bytes only, padding excluded) — exact integer sums,
+    closed-form-checkable for known-content containers (see
+    ``_synth_bmp_bytes``).  One Arrow map, no shuffle."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for _, r in pdf.iterrows():
+                b = bytes(r["payload"])
+                if b[:2] != b"BM":
+                    raise ValueError("not a BMP")
+                (off,) = struct.unpack("<I", b[10:14])
+                w, h = struct.unpack("<ii", b[18:26])
+                (bpp,) = struct.unpack("<H", b[28:30])
+                ch = bpp // 8
+                row_bytes = w * ch
+                stride = (row_bytes + 3) & ~3
+                total = 0
+                for y in range(abs(h)):
+                    row = b[off + y * stride : off + y * stride + row_bytes]
+                    total += sum(row)
+                ids.append(r["media_id"])
+                ns.append(row_bytes * abs(h))
+                ss.append(int(total))
+            yield pd.DataFrame({"media_id": ids, "n_px_bytes": ns, "px_sum": ss})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, BMP_SUM_SCHEMA)
+
+
+def synthesize_bmps(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content 24bpp BMP per document,
+    dims derived from the id (w = 2 + id % 5 → strides that DO carry
+    padding for most widths; h = 1 + id % 3; shared with the
+    decode:bmp oracle's closed form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_bmp_bytes(2 + mid % 5, 1 + mid % 3))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)

@@ -18,8 +18,10 @@ from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
     SYNTH_FIELDS_SQL,
     decode_media,
+    bmp_pixel_sums,
     gif_pixel_sums,
     png_pixel_sums,
+    synthesize_bmps,
     probe_media_headers,
     synthesize_gifs,
     wav_sample_sums,
@@ -103,6 +105,21 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(ss) AS BIGINT) AS sum_rgb,
                CAST(SUM(nrgb) AS BIGINT) AS sum_nrgb
         FROM gif_sums
+    ),
+    bmp_sums AS (
+        SELECT doc_id, 3 * w * h AS npxb,
+               list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, 3 * w - 1), i ->
+                       (i * 5 + y * 11) % 256)))) AS ss
+        FROM (SELECT doc_id, 2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h
+              FROM documents WHERE doc_id % 4 = 3)
+    ),
+    bmpdec_agg AS (
+        SELECT 'decode:bmp' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ss) AS BIGINT) AS sum_px,
+               CAST(SUM(npxb) AS BIGINT) AS sum_npx
+        FROM bmp_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -125,12 +142,15 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM gifdec_agg
         UNION ALL SELECT kind, 'sum_rgb', sum_rgb FROM gifdec_agg
         UNION ALL SELECT kind, 'sum_nrgb', sum_nrgb FROM gifdec_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM bmpdec_agg
+        UNION ALL SELECT kind, 'sum_px', sum_px FROM bmpdec_agg
+        UNION ALL SELECT kind, 'sum_npx', sum_npx FROM bmpdec_agg
     )
     """,
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata inventory, long format (kind, metric,
-    value) — five branches sharing one output shape:
+    value) — six branches sharing one output shape:
 
     kind='image|audio|video' — storage accounting over opaque
     payloads (count + octet-length stats), the rollup every
@@ -164,6 +184,10 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     index stream (k % 4) encoded as real LZW, known 4-color palette;
     the real decode (variable-width codes, table growth, clears) plus
     palette resolution must recover the closed-form RGB byte sums.
+
+    kind='decode:bmp' — the stride gate: known pixel bytes in rows
+    padded to 4-byte boundaries; the sum only matches a reader that
+    applies real stride arithmetic and never counts padding.
 
     Scale shape: synthesis, probing and decoding are Arrow maps (no
     shuffle); the rollups are small aggregates."""
@@ -253,11 +277,28 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_media', n_media, 'sum_rgb', sum_rgb, "
         "'sum_nrgb', sum_nrgb) AS (metric, value)",
     )
+    # kind='decode:bmp' — the stride gate: known pixel bytes with rows
+    # PADDED to 4-byte boundaries; the sum only matches if the reader
+    # applies the real stride arithmetic and never counts padding.
+    bmp_sums = bmp_pixel_sums(
+        synthesize_bmps(docs.filter(F.col("doc_id") % 4 == 3))
+    )
+    bmpdec_agg = bmp_sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("px_sum").cast("bigint").alias("sum_px"),
+        F.sum("n_px_bytes").cast("bigint").alias("sum_npx"),
+    ).select(F.lit("decode:bmp").alias("kind"), "n_media", "sum_px", "sum_npx")
+    bmpdec_long = bmpdec_agg.selectExpr(
+        "kind",
+        "stack(3, 'n_media', n_media, 'sum_px', sum_px, "
+        "'sum_npx', sum_npx) AS (metric, value)",
+    )
     return (
         bytes_long.unionByName(probe_long)
         .unionByName(decode_long)
         .unionByName(wavdec_long)
         .unionByName(gifdec_long)
+        .unionByName(bmpdec_long)
     )
 
 
