@@ -413,3 +413,70 @@ def test_probe_media_headers(spark):
     assert (got[5]["format"], got[5]["n_channels"], got[5]["sample_rate"], got[5]["bit_depth"]) == ("wav", 2, 44100, 16)
     assert got[6]["format"] == "unknown"
     assert got[7]["format"] == "corrupt"
+
+
+def test_known_content_synthesis_inverts(spark):
+    """The closed-form decode gates rest on synthesis↔decode inversion;
+    pin it directly per format, including the hazards the plan's small
+    sf0.01 ids may not reach: a 3600-pixel GIF forcing LZW code-width
+    bumps, BMP widths whose strides carry real padding, and WAV with
+    two interleaved channels."""
+    import struct
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _png_pixels,
+        _synth_bmp_bytes,
+        _synth_gif_bytes,
+        _synth_png_bytes,
+        _synth_wav_bytes,
+    )
+
+    # PNG: every filter type reproduces the known content exactly
+    for f in range(5):
+        w, h = 7, 5
+        ww, hh, ch, px = _png_pixels(_synth_png_bytes(w, h, f))
+        assert (ww, hh, ch) == (w, h, 3)
+        assert list(px) == [(i + y) % 251 for y in range(h) for i in range(3 * w)]
+
+    # GIF: large image → LZW table growth crosses width boundaries
+    b = _synth_gif_bytes(60, 60)
+    _, _, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+    pos = 13 + 3 * (2 << (flags & 7))
+    assert b[pos] == 0x2C
+    pos += 10
+    mcs = b[pos]
+    pos += 1
+    data = bytearray()
+    while b[pos] != 0:
+        n = b[pos]
+        data += b[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    idx = _lzw_decode_gif(bytes(data), mcs)[: 60 * 60]
+    assert list(idx) == [k % 4 for k in range(3600)]
+
+    # BMP: padded strides — decoded byte count excludes padding
+    for w, h in [(2, 1), (3, 2), (5, 3)]:
+        bb = _synth_bmp_bytes(w, h)
+        (off,) = struct.unpack("<I", bb[10:14])
+        stride = (w * 3 + 3) & ~3
+        assert len(bb) == off + stride * h
+        total = sum(
+            bb[off + y * stride + i]
+            for y in range(h)
+            for i in range(w * 3)
+        )
+        assert total == sum((i * 5 + y * 11) % 256 for y in range(h) for i in range(3 * w))
+
+    # WAV: stereo interleave order is part of the known function
+    import array
+    import io
+    import wave
+
+    wb = _synth_wav_bytes(2, 16000, 16, 21)
+    with wave.open(io.BytesIO(wb)) as wf:
+        assert (wf.getnchannels(), wf.getnframes()) == (2, 21)
+        frames = wf.readframes(21)
+    assert list(array.array("h", frames)) == [
+        ((j * 37) % 2048) - 1024 for j in range(42)
+    ]
