@@ -14,9 +14,16 @@ the conventions the corpus pipelines add):
   www and apex serve the same documents);
 - fragment dropped (never sent to the server);
 - trailing slashes stripped from the path;
-- tracking query parameters removed (``utm_*``, ``gclid``, ``fbclid``,
-  ``ref``) and the survivors SORTED bytewise — parameter order is not
-  semantic, and crawlers see the same page under every permutation.
+- tracking query parameters removed (``utm_*``, ``gclid``, ``fbclid``)
+  and the survivors SORTED bytewise — parameter order is not semantic,
+  and crawlers see the same page under every permutation.  Bare
+  ``ref`` is deliberately NOT in the default set: on many sites it is
+  a functional parameter (git refs, forum post references), so
+  stripping it silently collapses distinct pages into one dedup key —
+  a false-positive class worse than the tracking noise it removes.
+  Callers that know their crawl's convention pass a wider
+  ``tracking_re`` (both twins take the same literal, so the oracle
+  stays in lockstep).
 
 Everything is pure codegen string/array expressions (regexp_extract /
 filter / array_sort) — no Python UDFs, so canonicalization runs
@@ -45,17 +52,19 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"://([^/]*)"
 _PORT_RE = r":([0-9]+)$"
 _PATH_RE = r"://[^/]*(/[^?#]*)"
-_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def canonicalize_url(col: Column | str) -> Column:
+def canonicalize_url(col: Column | str, tracking_re: str = _TRACKING_RE) -> Column:
     """Canonical form of an absolute http(s) URL (see module doc for
     the rule set).  Pure codegen expressions; non-URL inputs fall back
-    to ``lower(input)``."""
+    to ``lower(input)``.  ``tracking_re`` widens/narrows the stripped
+    parameter set — pass the SAME literal to :func:`canonical_url_sql`
+    so the DuckDB twin stays in lockstep."""
     u = _c(col)
     # fragment stripped FIRST: a '?' inside the fragment (#a?b=1) must
     # not be parsed as the query separator
@@ -79,7 +88,7 @@ def canonicalize_url(col: Column | str) -> Column:
 
     params = F.filter(
         F.split(qstring, "&"),
-        lambda x: (x != "") & ~x.rlike(_TRACKING_RE),
+        lambda x: (x != "") & ~x.rlike(tracking_re),
     )
     qnorm = F.array_join(F.array_sort(params), "&")
 
@@ -94,7 +103,7 @@ def canonicalize_url(col: Column | str) -> Column:
     return F.when(scheme == "", F.lower(u)).otherwise(canon)
 
 
-def canonical_url_sql(expr: str) -> str:
+def canonical_url_sql(expr: str, tracking_re: str = _TRACKING_RE) -> str:
     """DuckDB twin of :func:`canonicalize_url` — same regex literals,
     same rule order, so every URL-dedup oracle shares one definition
     with the engine (the toks_sql() discipline applied to URLs)."""
@@ -123,7 +132,7 @@ def canonical_url_sql(expr: str) -> str:
     )
     params = (
         f"list_filter(string_split({qstring}, '&'),"
-        f" x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_RE}'))"
+        f" x -> x <> '' AND NOT regexp_matches(x, '{tracking_re}'))"
     )
     # array_to_string over an EMPTY list is NULL in DuckDB ('' in
     # Spark's array_join) — coalesce keeps the twins aligned

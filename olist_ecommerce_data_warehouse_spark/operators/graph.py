@@ -29,8 +29,16 @@ turns out, even at bench scale — job count dominates tiny-graph cost):
   sum of large vertex ids could overflow mid-round.)
 - labels are persisted each round and the previous round released —
   iterative plans otherwise double their lineage every round and
-  re-execute the whole history at each action.  Plain persist, not
-  checkpoint: lineage stays intact, an executor loss recomputes.
+  re-execute the whole history at each action.  The edge table itself
+  is lineage-CUT up front (``cut_lineage`` — localCheckpoint by
+  default): the loop re-analyzes its plan every round, and an uncut
+  candidate pipeline costs O(plan size × rounds) in driver replanning.
+  The trade is explicit (documented in ``operators/lineage.py``): a
+  localCheckpoint drops the recompute path, so an executor loss fails
+  the job instead of recomputing — acceptable because the cut input
+  is exactly one materialization the job already paid for, and a
+  session with a checkpoint dir gets the fault-tolerant reliable form
+  automatically.
 - determinism: min() is order-independent, so cluster representatives
   (component-minimum ids) are identical across runs/retries/partition
   layouts — required for correctness hashing and stable keeper choice.

@@ -19,9 +19,19 @@ these inputs are CANDIDATE/FEATURE pipelines whose recompute-on-loss
 costs the same work the checkpoint write already did, and the loops
 that consume them re-derive nothing else from the lineage.
 
-The returned DataFrame is persisted by construction (both checkpoint
-forms cache their blocks); callers release it with ``unpersist()``
-exactly as they would a plain persist.
+Release semantics differ between the two forms, and callers must not
+assume ``unpersist()`` frees either one the way it frees a plain
+persist:
+
+- ``localCheckpoint`` stores its blocks in the executor block store —
+  ``unpersist()`` releases them.
+- a RELIABLE checkpoint writes files under the checkpoint dir and
+  re-reads them from disk each round; ``unpersist()`` is a no-op on
+  those files, and Spark only deletes them at the end of the app when
+  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in
+  :func:`session.get_spark` for exactly this reason — without it every
+  iterative-operator call leaks checkpoint files for the app
+  lifetime).
 """
 
 from __future__ import annotations

@@ -29,6 +29,7 @@ sane when payloads are large.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -605,6 +606,29 @@ def _mp4_dims(b: bytes):
     return w, h, brand
 
 
+def _wav_fmt(b: bytes):
+    """(channels, sample_rate, bits_per_sample) from a REAL RIFF chunk
+    walk — NOT fixed offsets: real-world WAVs carry LIST/fact/bext
+    chunks before ``fmt ``, and WAVE_FORMAT_EXTENSIBLE widens the fmt
+    chunk past 16 bytes; fixed-offset reads silently yield garbage for
+    both.  The walk mirrors the JPEG SOF and MP4 box traversals: chunk
+    id(4) + little-endian size(4) + payload (padded to even), scanned
+    until ``fmt `` with a validated size ≥ 16."""
+    i = 12  # past RIFF<size>WAVE
+    end = len(b)
+    while i + 8 <= end:
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt ":
+            if csize < 16 or i + 8 + 16 > end:
+                raise ValueError("WAV fmt chunk truncated")
+            ch, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+            (bits,) = struct.unpack("<H", b[i + 22 : i + 24])
+            return ch, rate, bits
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    raise ValueError("WAV has no fmt chunk")
+
+
 def probe_media_headers(media: DataFrame) -> DataFrame:
     """Header-only metadata probe — the CHEAP first pass a multimodal
     corpus pipeline runs over every payload before deciding what to
@@ -640,8 +664,7 @@ def probe_media_headers(media: DataFrame) -> DataFrame:
                         w, h = struct.unpack("<HH", b[6:10])
                         rows.append((mid, "gif", w, h, 3, 0, 8, 0))
                     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                        ch, rate = struct.unpack("<HI", b[22:28])
-                        (bits,) = struct.unpack("<H", b[34:36])
+                        ch, rate, bits = _wav_fmt(b)
                         rows.append((mid, "wav", 0, 0, ch, rate, bits, 0))
                     elif b[:2] == b"\xff\xd8":
                         w, h, ncomp, prec, prog = _jpeg_header(b)

@@ -58,6 +58,12 @@ def get_spark(app_name: str = "olist_spark_engine", *, cpus: int | None = None) 
         # session churns (full-heap compactions stall all 32 task
         # threads at once).
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+        # Reliable checkpoints (cut_lineage when a checkpoint dir is
+        # set) write files Spark otherwise NEVER deletes during the
+        # app, and unpersist() is a no-op on them — without this flag
+        # every iterative operator (CC, k-means, BPE, perceptron)
+        # leaks checkpoint files for the app lifetime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()

@@ -393,6 +393,23 @@ def test_probe_media_headers(spark):
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
         + b"data" + struct.pack("<I", 0)
     )
+    # non-canonical layouts the fixed-offset reader silently misparsed:
+    # an odd-sized LIST chunk (word-alignment padding) BEFORE fmt, and
+    # a WAVE_FORMAT_EXTENSIBLE fmt (40-byte chunk, tag 0xFFFE) — the
+    # RIFF walk must locate fmt and read the base fields either way
+    wav_list = (
+        b"RIFF" + struct.pack("<I", 53) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav_ext = (
+        b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 40, 0xFFFE, 6, 48000, 576000, 12, 16)
+        + struct.pack("<HHI", 22, 16, 0x3F) + bytes(12)  # extension
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav_nofmt = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"data" + struct.pack("<I", 0)
     rows = [
         (1, "image", bytearray(png), "s"),
         (2, "image", bytearray(jpeg), "s"),
@@ -401,6 +418,9 @@ def test_probe_media_headers(spark):
         (5, "audio", bytearray(wav), "s"),
         (6, "image", bytearray(b"garbage-not-a-format"), "s"),
         (7, "image", bytearray(b"\xff\xd8\xff\xd9"), "s"),  # JPEG, no SOF
+        (8, "audio", bytearray(wav_list), "s"),
+        (9, "audio", bytearray(wav_ext), "s"),
+        (10, "audio", bytearray(wav_nofmt), "s"),
     ]
     df = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, source string"
@@ -413,6 +433,9 @@ def test_probe_media_headers(spark):
     assert (got[5]["format"], got[5]["n_channels"], got[5]["sample_rate"], got[5]["bit_depth"]) == ("wav", 2, 44100, 16)
     assert got[6]["format"] == "unknown"
     assert got[7]["format"] == "corrupt"
+    assert (got[8]["format"], got[8]["n_channels"], got[8]["sample_rate"], got[8]["bit_depth"]) == ("wav", 1, 8000, 8)
+    assert (got[9]["format"], got[9]["n_channels"], got[9]["sample_rate"], got[9]["bit_depth"]) == ("wav", 6, 48000, 16)
+    assert got[10]["format"] == "corrupt"
 
 
 def test_known_content_synthesis_inverts(spark):
