@@ -61,6 +61,38 @@ def zorder_key(cols: list[tuple[Column | str, float, float]], bits: int = 16) ->
     return key
 
 
+def morton_sql(cols: list[tuple[str, float, float]], bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` — same normalization
+    literals, same clamp, same interleave order, unrolled into
+    shift/mask terms (the unrolled-Lloyd/unrolled-BPE oracle device
+    applied to layout): a bit-interleave bug in either engine moves
+    the key and fails any sum/min/max gate built on it.  Choose
+    power-of-two (hi - lo) ranges when gating: every normalization
+    step is then exact in IEEE doubles, so floor() has no cross-engine
+    1-ulp hazard."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("morton_sql: need at least one column")
+    if bits * n > 63:
+        raise ValueError(f"morton_sql: {bits} bits x {n} cols exceeds a long")
+    top = (1 << bits) - 1
+    scaled = []
+    for expr, lo, hi in cols:
+        if not hi > lo:
+            raise ValueError(f"morton_sql: invalid range [{lo}, {hi})")
+        s = (
+            f"CAST(floor(((CAST({expr} AS DOUBLE) - {float(lo)!r})"
+            f" * {float(1 << bits)!r}) / {float(hi) - float(lo)!r}) AS BIGINT)"
+        )
+        scaled.append(f"coalesce(greatest(0, least({top}, {s})), 0)")
+    terms = [
+        f"((({s} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, s in enumerate(scaled)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -20,6 +20,7 @@ from olist_ecommerce_data_warehouse_spark.operators.scd import (
     scd2_from_history,
 )
 from olist_ecommerce_data_warehouse_spark.operators.skew import salted_join
+from olist_ecommerce_data_warehouse_spark.operators.zorder import morton_sql, zorder_key
 from olist_ecommerce_data_warehouse_spark.pipeline.star import build_dim_customer
 from olist_ecommerce_data_warehouse_spark.plans.gold import DIM_CUSTOMER_SQL
 from olist_ecommerce_data_warehouse_spark.plans.registry import query
@@ -277,15 +278,26 @@ def merge_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Morton-gate normalization literals (shared by the Spark plan and the
+# DuckDB oracle below): power-of-two (hi - lo) ranges make every
+# normalization step exact in IEEE doubles, so floor() carries no
+# cross-engine 1-ulp hazard.  user_id 2^14 / value 2^9 cover every SF's
+# observed ranges; out-of-range values clamp identically in both twins.
+_MORTON_COLS = [("user_id", 0.0, 16384.0), ("value", 0.0, 512.0)]
+
+
 @query(
     "approx_aggregates",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(DISTINCT user_id) AS n_users_exact,
            COUNT(DISTINCT event_id) AS n_events_exact,
            CAST(1 AS INT) AS approx_users_ok,
            CAST(1 AS INT) AS approx_events_ok,
            CAST(1 AS INT) AS p50_ok,
-           CAST(1 AS INT) AS p95_ok
+           CAST(1 AS INT) AS p95_ok,
+           CAST(SUM({morton_sql(_MORTON_COLS)}) AS BIGINT) AS morton_sum,
+           CAST(MIN({morton_sql(_MORTON_COLS)}) AS BIGINT) AS morton_min,
+           CAST(MAX({morton_sql(_MORTON_COLS)}) AS BIGINT) AS morton_max
     FROM events
     """,
 )
@@ -301,7 +313,17 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves both the exact values and that every sketch landed in
     bounds.  (In production only the sketch side runs; the exact side
     exists to make the sketches falsifiable.)  tests/test_operators.py
-    additionally bounds the error at sf0.001."""
+    additionally bounds the error at sf0.001.
+
+    Round 5 adds the LAYOUT gate to this profiling slot: the Z-order
+    Morton key (operators/zorder.py::zorder_key — the data-skipping
+    layout behind write_zordered) is computed per event row over
+    (user_id, value) with power-of-two normalization ranges, and its
+    exact SUM/MIN/MAX must match the oracle's closed-form
+    ``morton_sql`` shift/mask expansion — a bit-interleave, clamp, or
+    normalization bug in either engine moves the sums and fails the
+    driver hash.  Costs one expression in the existing single-pass
+    aggregate; no extra scan or shuffle."""
     ev = table(spark, sf_dir, "events")
     # one multi-COUNT(DISTINCT) aggregate would plan an Expand (row
     # duplication per distinct group) — two separate partial-distinct
@@ -314,6 +336,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events = (
         ev.select("event_id").distinct().agg(F.count(F.lit(1)).alias("n_events_exact"))
     )
+    zk = zorder_key([(c, lo, hi) for c, lo, hi in _MORTON_COLS])
     sketches = ev.agg(
         F.approx_count_distinct("user_id").alias("au"),
         F.approx_count_distinct("event_id").alias("ae"),
@@ -323,6 +346,9 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.55)").alias("p55"),
         F.expr("percentile(value, 0.90)").alias("p90"),
         F.expr("percentile(value, 0.99)").alias("p99"),
+        F.sum(zk).cast("bigint").alias("morton_sum"),
+        F.min(zk).cast("bigint").alias("morton_min"),
+        F.max(zk).cast("bigint").alias("morton_max"),
     )
     row = n_users.crossJoin(n_events).crossJoin(sketches)
 
@@ -340,6 +366,9 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ok(F.col("p50a").between(F.col("p45"), F.col("p55"))).alias("p50_ok"),
         ok(F.col("p95a").between(F.col("p90"), F.col("p99"))).alias("p95_ok"),
+        "morton_sum",
+        "morton_min",
+        "morton_max",
     )
 
 

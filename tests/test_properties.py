@@ -856,6 +856,44 @@ def test_zorder_key_matches_reference_morton(spark, pts, bits):
 
 
 @given(
+    pts=st.lists(
+        st.tuples(st.integers(-50, 150), st.integers(-50, 150)),
+        min_size=1,
+        max_size=25,
+    ),
+    bits=st.integers(2, 8),
+)
+@_SETTINGS
+def test_morton_sql_matches_zorder_key(spark, ddb, pts, bits):
+    """The DuckDB twin (morton_sql, the approx_aggregates layout-gate
+    oracle) must equal zorder_key exactly for arbitrary points,
+    clamping included — the twins share literals but not code, so a
+    divergence in either shift/mask expansion surfaces here before the
+    driver gate sees it."""
+    from olist_ecommerce_data_warehouse_spark.operators.zorder import (
+        morton_sql,
+        zorder_key,
+    )
+
+    lo, hi = 0.0, 100.0
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i long, x long, y long"
+    )
+    got = {
+        r["i"]: r["zk"]
+        for r in df.select(
+            "i", zorder_key([("x", lo, hi), ("y", lo, hi)], bits=bits).alias("zk")
+        ).collect()
+    }
+    sql = morton_sql([("x", lo, hi), ("y", lo, hi)], bits=bits)
+    for i, (x, y) in enumerate(pts):
+        (want,) = ddb.execute(
+            f"SELECT {sql} FROM (SELECT ? AS x, ? AS y)", [x, y]
+        ).fetchone()
+        assert got[i] == want, (x, y, bits)
+
+
+@given(
     rows=st.lists(
         st.tuples(
             st.integers(0, 5),   # doc
