@@ -155,11 +155,29 @@ def _parse_png(b: bytes):
     return w, h, ch, 8, mean
 
 
+def _bmp_palette(b: bytes) -> bytes:
+    """BGRA palette entries of an indexed BMP (follows the DIB header;
+    entry count = biClrUsed or 2^bpp)."""
+    import struct
+
+    (hdr_size,) = struct.unpack("<I", b[14:18])
+    (bpp,) = struct.unpack("<H", b[28:30])
+    (clr_used,) = struct.unpack("<I", b[46:50]) if hdr_size >= 40 else (0,)
+    n = clr_used or (1 << bpp)
+    pal = b[14 + hdr_size : 14 + hdr_size + 4 * n]
+    if len(pal) < 4 * n:
+        raise ValueError("BMP palette truncated")
+    return pal
+
+
 def _parse_bmp(b: bytes):
-    """BMP/DIB header: width, height, bpp; mean over the (bottom-up)
+    """BMP/DIB decode: width, height, bpp; mean over the (bottom-up)
     pixel array only — BMP rows are padded to 4-byte boundaries, and
     averaging the padding (or any trailing ICC profile bytes) would
-    bias the mean low."""
+    bias the mean low.  8bpp bytes are PALETTE INDICES, not
+    intensities: they resolve through the color table to BGR before
+    averaging (the same policy _png_pixels applies to PLTE), so the
+    mean is over pixel intensities for every supported bpp."""
     import struct
 
     if b[:2] != b"BM":
@@ -167,23 +185,27 @@ def _parse_bmp(b: bytes):
     (data_off,) = struct.unpack("<I", b[10:14])
     w, h = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
-    # 8bpp BMP bytes are PALETTE INDICES, not intensities — averaging
-    # them is semantically wrong, the same reason _png_pixels rejects
-    # palette (color type 3) PNGs.  Same policy, same honest gate.
-    if bpp not in (24, 32):
+    if bpp not in (8, 24, 32):
         raise NotImplementedError(
-            "BMP bpp beyond the stdlib decoder (8bpp is palette-indexed)"
+            "BMP bpp beyond the stdlib decoder (1/4-bit indexed, RLE)"
         )
-    ch = bpp // 8
-    row_bytes = w * ch
+    pal = _bmp_palette(b) if bpp == 8 else None
+    ch = 3 if bpp == 8 else bpp // 8
+    row_bytes = w * (1 if bpp == 8 else ch)
     stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
     n_rows = abs(h)
     total = 0
     count = 0
     for y in range(n_rows):
         row = b[data_off + y * stride : data_off + y * stride + row_bytes]
-        total += sum(row)
-        count += len(row)
+        if pal is not None:
+            total += sum(
+                pal[4 * i] + pal[4 * i + 1] + pal[4 * i + 2] for i in row
+            )
+            count += 3 * len(row)
+        else:
+            total += sum(row)
+            count += len(row)
     mean = total / count if count else 0.0
     return w, n_rows, ch, 8, mean
 
@@ -234,10 +256,10 @@ def _parse_gif(b: bytes):
     """GIF87a/89a first frame via stdlib: header + color tables walked
     by offset, LZW index stream decoded (``_lzw_decode_gif``), indices
     resolved THROUGH the color table to RGB before averaging — the
-    resolution step palette PNGs can't do without PLTE handling is
-    mandatory here because every GIF carries its table, so the mean is
-    over pixel intensities, never palette positions.  Interlaced GIFs
-    raise (PIL territory, same policy as interlaced PNG)."""
+    same palette-resolution policy ``_png_pixels`` applies to PLTE
+    and ``_parse_bmp`` to indexed BMPs, so the mean is over pixel
+    intensities, never palette positions.  Interlaced GIFs raise (PIL
+    territory, same policy as interlaced PNG)."""
     import struct
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -374,18 +396,20 @@ RESIZED_SCHEMA = T.StructType(
 def _png_pixels(b: bytes):
     """Full PNG decode via stdlib to (w, h, channels, flat pixel
     bytes): walk chunks, inflate IDAT, undo the per-scanline filters
-    (None/Sub/Up/Average/Paeth).  8-bit non-interlaced only — the
-    overwhelmingly common case; 16-bit/interlaced raise
-    NotImplementedError (→ PIL territory), and palette PNGs (color
-    type 3) are rejected too: without resolving indices through the
-    PLTE chunk, downstream means would be over arbitrary palette
-    positions, not pixel intensities."""
+    (None/Sub/Up/Average/Paeth).  Palette PNGs (color type 3) are
+    decoded for real: the index plane defilters at 1 byte/pixel, then
+    every index resolves THROUGH the PLTE chunk to RGB, so downstream
+    means are over pixel intensities, never palette positions (the
+    same policy the GIF decoder applies to its color table).  8-bit
+    non-interlaced only — the overwhelmingly common case; 16-bit and
+    interlaced raise NotImplementedError (→ PIL territory)."""
     import struct
     import zlib
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat = 8, bytearray()
+    plte = None
     w = h = bit_depth = color_type = interlace = None
     while pos < len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
@@ -395,16 +419,20 @@ def _png_pixels(b: bytes):
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
-            "PNG variant beyond the stdlib decoder (16-bit/interlaced/palette) "
+            "PNG variant beyond the stdlib decoder (16-bit/interlaced) "
             "— PIL territory"
         )
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG without a valid PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
@@ -433,6 +461,16 @@ def _png_pixels(b: bytes):
             raise ValueError(f"bad PNG filter {f}")
         out.extend(line)
         prev = line
+    if color_type == 3:
+        # resolve the defiltered index plane through PLTE: one
+        # palette lookup per pixel, output becomes interleaved RGB
+        n_entries = len(plte) // 3
+        if out and max(out) >= n_entries:
+            raise ValueError("palette PNG index beyond PLTE")
+        rgb = bytearray(3 * len(out))
+        for j, idx in enumerate(out):
+            rgb[3 * j : 3 * j + 3] = plte[3 * idx : 3 * idx + 3]
+        return w, h, 3, bytes(rgb)
     return w, h, ch, bytes(out)
 
 
@@ -1071,6 +1109,141 @@ def synthesize_gifs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
 
 
+# 16-entry known palette shared by the palette-PNG and 8bpp-BMP gates
+# (and their oracles' closed forms): component c of entry i is
+# ((i*37 + {0,5,11}[c]) % 256).  The per-entry intensity sum
+# (i*37)%256 + (i*37+5)%256 + (i*37+11)%256 is what the oracle folds.
+_PAL16 = [
+    ((i * 37) % 256, (i * 37 + 5) % 256, (i * 37 + 11) % 256) for i in range(16)
+]
+
+
+def _synth_png_pal_bytes(w: int, h: int, filter_type: int = 0) -> bytes:
+    """Color-type-3 (palette) PNG whose INDEX plane is the known
+    function ``(x + y) % 16`` and whose PLTE is ``_PAL16``, with
+    ``filter_type`` applied to every scanline at the palette bpp of
+    ONE byte/pixel — the decoder must defilter the index plane AND
+    resolve every index through PLTE to recover the closed-form RGB
+    sum, so the gate covers exactly the two things a palette decode
+    can get wrong (filter offset at bpp=1, palette resolution)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        line = bytes((x + y) % 16 for x in range(w))
+        enc = bytearray(line)
+        if filter_type:
+            for i in range(len(line)):
+                a = line[i - 1] if i >= 1 else 0
+                up = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 2:
+                    pred = up
+                elif filter_type == 3:
+                    pred = (a + up) // 2
+                else:
+                    pred = _paeth(a, up, c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(filter_type)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in _PAL16)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_palette_pngs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content palette PNG per document,
+    dims from the id (w = 1 + id % 7, h = 1 + id % 5, same formulas as
+    the RGB png gate; filter type cycles (id // 4) % 5 so every
+    defilter branch runs at bpp=1 too)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _synth_png_pal_bytes(1 + mid % 7, 1 + mid % 5, (mid // 4) % 5)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+def _synth_bmp8_bytes(w: int, h: int) -> bytes:
+    """8bpp bottom-up BMP whose index bytes are the known function
+    ``(x*7 + y*13) % 16`` (x = column, y = stored row) over a 16-entry
+    ``_PAL16`` color table (stored BGRA), rows padded to 4-byte
+    boundaries — the decoder must apply real stride arithmetic AND
+    resolve indices through the table to recover the closed-form
+    intensity sum."""
+    import struct
+
+    stride = (w + 3) & ~3
+    data = bytearray()
+    for y in range(h):
+        data += bytes((x * 7 + y * 13) % 16 for x in range(w))
+        data += bytes(stride - w)  # padding: NOT pixel data
+    palette = b"".join(bytes([c0, c1, c2, 0]) for c0, c1, c2 in _PAL16)
+    off = 14 + 40 + len(palette)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data), 0, 0, 16, 0)
+        + palette
+        + data
+    )
+
+
+def synthesize_bmp8s(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content 8bpp BMP per document, dims
+    from the id (w = 2 + id % 5 → most widths carry stride padding;
+    h = 1 + id % 3; shared with the decode:bmp8 oracle's closed
+    form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_bmp8_bytes(2 + mid % 5, 1 + mid % 3))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
 def _synth_bmp_bytes(w: int, h: int) -> bytes:
     """24bpp bottom-up BMP whose stored pixel bytes are the known
     function ``(i*5 + y*11) % 256`` (i = byte index in row, y = stored
@@ -1120,15 +1293,21 @@ def bmp_pixel_sums(media: DataFrame) -> DataFrame:
                 (off,) = struct.unpack("<I", b[10:14])
                 w, h = struct.unpack("<ii", b[18:26])
                 (bpp,) = struct.unpack("<H", b[28:30])
-                ch = bpp // 8
-                row_bytes = w * ch
+                pal = _bmp_palette(b) if bpp == 8 else None
+                row_bytes = w * (1 if bpp == 8 else bpp // 8)
                 stride = (row_bytes + 3) & ~3
                 total = 0
                 for y in range(abs(h)):
                     row = b[off + y * stride : off + y * stride + row_bytes]
-                    total += sum(row)
+                    if pal is not None:
+                        total += sum(
+                            pal[4 * i] + pal[4 * i + 1] + pal[4 * i + 2]
+                            for i in row
+                        )
+                    else:
+                        total += sum(row)
                 ids.append(r["media_id"])
-                ns.append(row_bytes * abs(h))
+                ns.append((3 * w if pal is not None else row_bytes) * abs(h))
                 ss.append(int(total))
             yield pd.DataFrame({"media_id": ids, "n_px_bytes": ns, "px_sum": ss})
 

@@ -22,6 +22,8 @@ from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
     gif_pixel_sums,
     png_pixel_sums,
     synthesize_bmps,
+    synthesize_bmp8s,
+    synthesize_palette_pngs,
     probe_media_headers,
     synthesize_gifs,
     wav_sample_sums,
@@ -120,6 +122,40 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(ss) AS BIGINT) AS sum_px,
                CAST(SUM(npxb) AS BIGINT) AS sum_npx
         FROM bmp_sums
+    ),
+    pngpal_sums AS (
+        SELECT doc_id, 3 * w * h AS npx,
+               list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                       (((x + y) % 16) * 37) % 256
+                       + (((x + y) % 16) * 37 + 5) % 256
+                       + (((x + y) % 16) * 37 + 11) % 256)))) AS ps
+        FROM (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+              FROM documents WHERE doc_id % 4 = 2)
+    ),
+    pngpal_agg AS (
+        SELECT 'decode:png-pal' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ps) AS BIGINT) AS sum_pixels,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM pngpal_sums
+    ),
+    bmp8_sums AS (
+        SELECT doc_id, 3 * w * h AS npxb,
+               list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                       (((x * 7 + y * 13) % 16) * 37) % 256
+                       + (((x * 7 + y * 13) % 16) * 37 + 5) % 256
+                       + (((x * 7 + y * 13) % 16) * 37 + 11) % 256)))) AS ss
+        FROM (SELECT doc_id, 2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h
+              FROM documents WHERE doc_id % 4 = 0)
+    ),
+    bmp8_agg AS (
+        SELECT 'decode:bmp8' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ss) AS BIGINT) AS sum_px,
+               CAST(SUM(npxb) AS BIGINT) AS sum_npx
+        FROM bmp8_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -145,12 +181,18 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM bmpdec_agg
         UNION ALL SELECT kind, 'sum_px', sum_px FROM bmpdec_agg
         UNION ALL SELECT kind, 'sum_npx', sum_npx FROM bmpdec_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM pngpal_agg
+        UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM pngpal_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM pngpal_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM bmp8_agg
+        UNION ALL SELECT kind, 'sum_px', sum_px FROM bmp8_agg
+        UNION ALL SELECT kind, 'sum_npx', sum_npx FROM bmp8_agg
     )
     """,
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata inventory, long format (kind, metric,
-    value) — six branches sharing one output shape:
+    value) — eight branches sharing one output shape:
 
     kind='image|audio|video' — storage accounting over opaque
     payloads (count + octet-length stats), the rollup every
@@ -188,6 +230,13 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind='decode:bmp' — the stride gate: known pixel bytes in rows
     padded to 4-byte boundaries; the sum only matches a reader that
     applies real stride arithmetic and never counts padding.
+
+    kind='decode:png-pal' (round 5) — color-type-3 PNGs: known index
+    plane defiltered at bpp=1 (all five filters cycling), indices
+    resolved through a known PLTE; gates the palette path end-to-end.
+
+    kind='decode:bmp8' (round 5) — indexed BMPs: known index bytes in
+    stride-padded rows resolved through a known 16-entry BGRA table.
 
     Scale shape: synthesis, probing and decoding are Arrow maps (no
     shuffle); the rollups are small aggregates."""
@@ -293,12 +342,51 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_media', n_media, 'sum_px', sum_px, "
         "'sum_npx', sum_npx) AS (metric, value)",
     )
+    # kind='decode:png-pal' (round 5) — the palette gate: color-type-3
+    # PNGs with a known index plane, every defilter branch cycling at
+    # bpp=1, indices resolved through PLTE; the exact RGB sums only
+    # match if BOTH the 1-byte/pixel filter offsets and the palette
+    # resolution are right.
+    pngpal_sums = png_pixel_sums(
+        synthesize_palette_pngs(docs.filter(F.col("doc_id") % 4 == 2))
+    )
+    pngpal_agg = pngpal_sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("pixel_sum").cast("bigint").alias("sum_pixels"),
+        F.sum("n_pixels").cast("bigint").alias("sum_npixels"),
+    ).select(
+        F.lit("decode:png-pal").alias("kind"), "n_media", "sum_pixels", "sum_npixels"
+    )
+    pngpal_long = pngpal_agg.selectExpr(
+        "kind",
+        "stack(3, 'n_media', n_media, 'sum_pixels', sum_pixels, "
+        "'sum_npixels', sum_npixels) AS (metric, value)",
+    )
+    # kind='decode:bmp8' (round 5) — indexed BMP: known index bytes in
+    # stride-padded rows over a known 16-entry BGRA color table; the
+    # sum only matches a reader that skips padding AND resolves
+    # indices to intensities.
+    bmp8_sums = bmp_pixel_sums(
+        synthesize_bmp8s(docs.filter(F.col("doc_id") % 4 == 0))
+    )
+    bmp8_agg = bmp8_sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("px_sum").cast("bigint").alias("sum_px"),
+        F.sum("n_px_bytes").cast("bigint").alias("sum_npx"),
+    ).select(F.lit("decode:bmp8").alias("kind"), "n_media", "sum_px", "sum_npx")
+    bmp8_long = bmp8_agg.selectExpr(
+        "kind",
+        "stack(3, 'n_media', n_media, 'sum_px', sum_px, "
+        "'sum_npx', sum_npx) AS (metric, value)",
+    )
     return (
         bytes_long.unionByName(probe_long)
         .unionByName(decode_long)
         .unionByName(wavdec_long)
         .unionByName(gifdec_long)
         .unionByName(bmpdec_long)
+        .unionByName(pngpal_long)
+        .unionByName(bmp8_long)
     )
 
 

@@ -160,9 +160,51 @@ def test_real_decode_png_bmp_wav(spark):
     wav = buf.getvalue()
     wav_mean = sum(abs(s) for s in samples) / len(samples) / 32768.0
 
+    # palette PNG (color type 3), hand-built: 3×2 index plane with
+    # filters 0 and 1 at bpp=1, a 4-entry PLTE — the decoder must
+    # defilter the indices AND resolve them through PLTE
+    import zlib
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    pal = [(10, 20, 30), (40, 50, 60), (200, 210, 220), (5, 6, 7)]
+    idx_rows = [[0, 2, 1], [3, 1, 2]]
+    raw = bytearray()
+    raw.append(0)
+    raw.extend(idx_rows[0])  # filter None
+    raw.append(1)  # filter Sub at bpp=1
+    line = idx_rows[1]
+    raw.extend([(line[i] - (line[i - 1] if i else 0)) & 0xFF for i in range(3)])
+    png_pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    png_pal_mean = sum(sum(pal[i]) for row in idx_rows for i in row) / (3 * 6)
+
+    # 8bpp BMP, hand-built: 2×2 indices into a 4-entry BGRA table,
+    # stride padding present (row_bytes 2 → stride 4)
+    bgra = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+    bmp8_px = bytes([0, 2]) + b"\x00\x00" + bytes([3, 1]) + b"\x00\x00"
+    off8 = 14 + 40 + len(bgra)
+    bmp8 = (
+        b"BM" + struct.pack("<IHHI", off8 + len(bmp8_px), 0, 0, off8)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(bmp8_px), 0, 0, 4, 0)
+        + bgra + bmp8_px
+    )
+    bmp8_mean = sum(sum(pal[i]) for i in [0, 2, 3, 1]) / (3 * 4)
+
     media = spark.createDataFrame(
         [(1, "image", bytearray(png), "t"), (2, "image", bytearray(bmp), "t"),
-         (3, "audio", bytearray(wav), "t")],
+         (3, "audio", bytearray(wav), "t"),
+         (4, "image", bytearray(png_pal), "t"),
+         (5, "image", bytearray(bmp8), "t")],
         "media_id long, kind string, payload binary, source string",
     )
     got = {r["media_id"]: r for r in real_decode_media(media).collect()}
@@ -179,6 +221,12 @@ def test_real_decode_png_bmp_wav(spark):
         "wav", 100, 1, 8000, 16,
     )
     assert abs(w["sample_mean"] - wav_mean) < 1e-9
+    pp = got[4]
+    assert (pp["format"], pp["width"], pp["height"], pp["n_channels"]) == ("png", 3, 2, 3)
+    assert abs(pp["sample_mean"] - png_pal_mean) < 1e-9  # PLTE-resolved
+    b8 = got[5]
+    assert (b8["format"], b8["width"], b8["height"], b8["n_channels"]) == ("bmp", 2, 2, 3)
+    assert abs(b8["sample_mean"] - bmp8_mean) < 1e-9  # palette-resolved, padding excluded
 
     # non-decodable format → honest NotImplementedError
     junk = spark.createDataFrame(
