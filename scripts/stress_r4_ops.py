@@ -68,14 +68,18 @@ def main() -> None:
         )
     )
 
-    # 1. quality classifier at 100× docs
+    # 1. quality classifier at 100× docs — ONE corpus pass: total and
+    # pass counts come from a single aggregate (round 5; the previous
+    # count() + filtered count() shape ran the classifier twice and
+    # doubled the reported wall)
     t0 = time.time()
     qc = quality_scored(docs)
-    n_docs = qc.count()
-    passed = qc.filter("qc_pass = 1").count()
+    row = qc.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("qc_pass").alias("passed")
+    ).collect()[0]
     out["qc"] = {
-        "docs": n_docs,
-        "passed": passed,
+        "docs": int(row["docs"]),
+        "passed": int(row["passed"]),
         "wall_sec": round(time.time() - t0, 1),
     }
 
