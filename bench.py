@@ -9,6 +9,35 @@ Each query is fully materialized via the ``noop`` sink (forces the
 whole plan — scan, shuffle, agg — without write-side cost).  A warmup
 run of the flagship query absorbs JVM/codegen startup so per-query
 numbers reflect steady-state execution.
+
+Rig-drift normalization (round 5) — the structural fix for the anchor
+churn rounds 3-4 fought with prose: this box's throughput drifts
+between sessions (worktree A/B runs proved ANCHORED COMMITS re-timing
+≥2× their own recorded anchors — see bench_ab/bench_ab.jsonl for the
+raw records).  A fixed synthetic CALIBRATION plan (range → hash →
+shuffle agg; no data files, no registry code, frozen literally below)
+is timed best-of-3 once per WINDOW of 10 queries, and the session's
+``rig_factor = max(1.0, median(window cals) / CAL_REF)``.  The median
++ floor are load-bearing, both measured during the round-5 anchoring
+runs: individual cal windows spiked 0.64-1.77 s within ONE session
+while the queries in those very windows ran at normal speed (cal
+noise is independent of query noise, so per-window division
+over-corrects — one window's 1.93 factor halved ten healthy queries'
+normalized times), whereas a genuine slow EPOCH (the r04 phenomenon:
+whole sessions 1.4-2× slow, proven by worktree A/B re-times of
+anchored commits) lifts every window and therefore the median.  The
+floor stops a lucky-cal session from inflating normalized times,
+since CAL_REF is the quiet-rig minimum.  The BINDING regression gate
+runs on ``raw_best / rig_factor`` against ``BASELINE_R05``
+(normalized anchors from the anchoring session); a rig slowdown moves
+raw and calibration together and cancels, while a genuine plan
+regression moves only its own query and still flags — verified by the
+injected-sleep tests in tests/test_bench_gate.py and one real
+injected-sleep bench run (BASELINE.md §"Calibration").  Raw diffs vs
+the frozen R01-R04 anchor dicts remain emitted for history.  EVERY
+timing sample and cal window (including confirmation re-runs) is
+emitted under "samples"/"calibration" so re-anchoring decisions are
+auditable from the BENCH_r{N}.json records alone.
 """
 
 from __future__ import annotations
@@ -23,6 +52,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from olist_ecommerce_data_warehouse_spark.plans import REGISTRY  # noqa: E402
 from olist_ecommerce_data_warehouse_spark.plans.registry import (  # noqa: E402
@@ -91,88 +122,172 @@ BASELINE_R01 = {
 # Frozen round-2 anchors (BENCH_r02, same rig) for plans that did not
 # exist in round 1 — keeps the regression diff honest for the heavy
 # iterative plans instead of leaving them silently unanchored.
-# sequence_packing carries train_eval_split's round-2 time too (round-3
-# slot merge).  ann_ivf_topk is re-anchored here because round 3 put
-# k-means TRAINING in the loop (2 distributed Lloyd iterations at
-# query time) — a capability change, not a regression.
 BASELINE_R02 = {
-    # contamination_check re-anchored in BASELINE_R04: round 4 replaced
-    # gram strings with rolling token-hash folds (3× faster — the old
-    # 5.17 anchor would hide any regression back toward the slow shape)
+    # contamination_check re-anchored in BASELINE_R04 (rolling
+    # token-hash gram rewrite, 3× faster)
     "dedup_cluster_cc": 6.4824,
-    # sequence_packing / text_repetition re-anchored in BASELINE_R04:
-    # round 4 added the greedy-packing layout and the exact-substring
-    # span-dedup columns (capability changes)
+    # ann_ivf_topk re-anchored here in round 3: k-means TRAINING moved
+    # into the loop (capability change)
     "ann_ivf_topk": 2.6,
 }
 
-# Frozen round-3 anchors (BENCH_r03, same rig): the three plans new in
-# round 3, plus the three whose capability changed in round 3 (slot
-# merges / incremental-apply stage / PII columns) — those moved here
-# from BASELINE_R01 so every anchor in every dict is a MEASURED number
-# on this rig, never a hand-scaled estimate.
+# Frozen round-3 anchors (BENCH_r03, same rig): plans new in round 3
+# plus round-3 capability changes.
 BASELINE_R03 = {
     "corpus_mixing": 0.1904,
     "embedding_quantize": 0.2557,
     "merge_upsert_incremental": 0.2978,
-    # scalar_kpis re-measured late in round 4 for rig drift (same
-    # worktree-A/B protocol as contamination_check / text_lang_id):
-    # the round-3 commit itself now times 1.9 s best-of-4 vs its
-    # 0.7855 anchor, while HEAD times 1.69 — HEAD is FASTER than the
-    # anchored code; moved to BASELINE_R04 at HEAD's steady state.
     "scd2_dim_customer": 0.6077,
-    # text_metrics re-anchored in BASELINE_R04: round 4 put BPE
-    # tokenizer TRAINING in the loop (capability change)
 }
 
-# Frozen round-4 anchors (measured this round, sf0.1 local[32],
-# best-of-2): the five plans whose capability widened in round 4
-# (range-join branch, LSH panel, 10-language ID, greedy-packing
-# columns, span-dedup columns) plus contamination_check, whose gram
-# identity moved to rolling token-hash folds (3× faster — re-anchored
-# at the fast shape so a regression back to gram strings gets flagged).
+# Frozen round-4 anchors (measured in round 4, sf0.1 local[32],
+# best-of-2): round-4 capability widenings + rig-drift re-measures
+# (full provenance in BASELINE.md §"Round-4 anchor updates").
 BASELINE_R04 = {
     "asof_click_attribution": 0.748,
-    # re-anchored late in round 4: the slot gained the SemDeDup branch
-    # (k-means training + within-cluster Gram pass on top of the
-    # label-blocked pairs) — measured 2.352 best-of-2 on this rig
     "dedup_embedding_cosine": 2.352,
     "ann_cosine_topk": 1.133,
-    # text_metrics re-anchored late in round 4: the slot gained
-    # in-loop BPE tokenizer training + trained-token counts (6 merge
-    # rounds inside the query) — measured 4.526 best-of-2 on this rig
     "text_metrics": 4.526,
-    # re-anchored again late in round 4: the slot absorbed the
-    # fasttext-architecture quality classifier (uni+bigram hashing,
-    # exploded-row weight sum) — measured 2.81 best-of-2 on this rig,
-    # then RE-MEASURED like contamination_check when the rig drifted:
-    # the anchoring commit itself now times 4.0 best-of-2 (HEAD: 3.6,
-    # i.e. HEAD is FASTER than the anchored code; the 2.81 was a
-    # quieter-rig draw).  Anchor = HEAD's steady best-of-2.
     "text_lang_id": 3.6,
     "sequence_packing": 0.451,
     "text_repetition": 2.549,
-    # contamination_check re-measured late in round 4: the original
-    # 1.514 anchor is not reproducible on this rig ANY MORE — the very
-    # commit it was measured at now times [11.4, 4.4, 3.7, 3.2] over 4
-    # warm repeats (vs [7.2, 4.1, 3.6, 2.6] at HEAD, i.e. HEAD is not
-    # slower than the anchored code; the rig is).  Anchor set to the
-    # steady-state best of the A/B measurement, not the lucky one.
     "contamination_check": 2.55,
-    # re-anchored late in round 4: the slot gained the kind='url'
-    # URL-canonicalization dedup branch (C4/CCNet stage 1) — measured
-    # 1.00 best-of-2 on this rig
     "dedup_exact": 1.0,
-    # re-anchored late in round 4: the slot gained the probe:* branch
-    # (real PNG/JPEG/WAV/MP4 container synthesis + header probe) and
-    # then the decode:png/wav/gif closed-form gates (real defilter /
-    # PCM / LZW decode in the loop) — measured 1.09 in-bench after the
-    # final widening
     "multimodal_metadata": 1.1,
-    # rig-drift re-measure (see BASELINE_R03 note): anchored code
-    # slower than HEAD on today's rig; HEAD steady best-of-4 = 1.69
     "scalar_kpis": 1.7,
 }
+
+# ------------------------------------------------------------ calibration
+
+# Frozen calibration reference (seconds): the round-5 anchoring
+# sessions measured the synthetic plan below at 0.92 s best-of-3 on
+# the quiet rig (0.92/1.34 within one session as it drifted).  NEVER
+# re-measure this constant — the whole point is that it is the fixed
+# unit every later session's calibration is divided by.
+CAL_REF = 0.92
+
+
+def calibration_sec(spark) -> float:
+    """Best-of-3 of a fixed synthetic plan: 8M-row range → modulo key +
+    xxhash64 → hash aggregate (map-side partials + one shuffle) → scalar
+    reduce.  No data files, no registry code, no Python kernels — pure
+    JVM codegen + shuffle, the two axes this box's drift moves.  ~1 s
+    per run at reference speed; one untimed warm run absorbs codegen."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        df = (
+            spark.range(0, 8_000_000)
+            .select(
+                (F.col("id") % 1000003).alias("k"),
+                (F.xxhash64(F.col("id").cast("string")) % 1000000).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count("*").alias("c"))
+            .agg(F.sum(F.col("s") + F.col("c")).alias("t"))
+        )
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    one()
+    return min(one() for _ in range(3))
+
+
+# Round-5 NORMALIZED anchors: every registered plan, measured in the
+# anchoring session (sf0.1 local[32], min of the session's samples)
+# where rig_factor = 1.0, so normalized == raw there.  This dict is
+# the BINDING regression gate; R01-R04 raw dicts above stay for
+# historical raw diffs.  Re-anchor an entry ONLY for a capability
+# change, with the measured normalized value and a comment.
+BASELINE_R05 = {
+    "ann_cosine_topk": 1.3568,
+    "ann_ivf_topk": 2.5292,
+    # re-anchored in round 5: the slot gained the Z-order Morton
+    # layout gate (sum/min/max of the interleaved key inside the same
+    # single-pass aggregate) — capability change; min normalized over
+    # two post-widening sessions (raw samples in BENCH_r05/bench_ab)
+    "approx_aggregates": 1.2684,
+    "asof_click_attribution": 1.0182,
+    "cleanse_accent_fold_dedup": 0.294,
+    "cleanse_decimal_comma": 1.394,
+    "cleanse_trim_case_prefix": 0.2881,
+    "cleanse_try_timestamp": 0.3521,
+    "cleanse_validity_filter": 0.218,
+    "contamination_check": 2.4088,
+    "corpus_mixing": 0.3723,
+    "csv_roundtrip_ingest": 0.9566,
+    "date_dimension": 0.2383,
+    "datetime_functions": 0.4131,
+    "dedup_cluster_cc": 3.9425,
+    "dedup_embedding_cosine": 1.9979,
+    "dedup_exact": 0.6342,
+    "dedup_keep_latest": 0.3571,
+    "dedup_minhash_lsh": 2.5857,
+    "dedup_ngram_jaccard": 4.0654,
+    "dedup_simhash": 1.9421,
+    "embedding_quantize": 0.3864,
+    "events_json_props": 0.588,
+    "events_sessionization": 0.5642,
+    "events_windows": 0.8597,
+    "flagship_revenue_by_brand": 1.3588,
+    "gold_dim_customer": 0.4555,
+    "gold_fact_lineitem": 3.2367,
+    "gold_fact_orders": 1.6442,
+    "gold_revenue_by_region": 0.8164,
+    "left_enrich_broadcast": 0.3868,
+    "merge_upsert_incremental": 0.5147,
+    "multikey_left_distinct": 0.5369,
+    "multimodal_decode_frames": 0.8063,
+    # re-anchored in round 5: the slot gained the decode:png-pal and
+    # decode:bmp8 closed-form gates (palette PNG defilter-at-bpp-1 +
+    # PLTE resolution; indexed-BMP stride + color-table resolution) —
+    # capability change; min normalized over two post-widening sessions
+    "multimodal_metadata": 1.5462,
+    "orphan_check": 0.4202,
+    "per_order_rollup": 1.6091,
+    "pivot_event_types_daily": 0.4078,
+    "pricing_summary": 1.2888,
+    "rollup_region_segment": 1.0451,
+    "scalar_kpis": 1.2687,
+    "scd2_dim_customer": 0.8994,
+    "sequence_packing": 0.5918,
+    "sk_resolution_chain": 1.3376,
+    "skew_salted_join": 2.3584,
+    "surrogate_keys": 0.4897,
+    "text_lang_id": 3.8243,
+    "text_metrics": 4.3993,
+    "text_repetition": 3.2971,
+    "volumetrics": 0.7986,
+}
+
+
+def rig_factor_of(cals: list[float]) -> float:
+    """Session rig factor from the window calibrations: median (robust
+    to independent cal spikes — measured 0.64-1.77 s within one quiet
+    session) with a 1.0 floor (CAL_REF is the quiet-rig minimum, so a
+    sub-1.0 median is cal luck, not a faster rig)."""
+    med = sorted(cals)[len(cals) // 2]
+    return round(max(1.0, med / CAL_REF), 4)
+
+
+def gate_normalized(name: str, norm_sec: float, anchors: dict[str, float] | None = None) -> bool:
+    """Binding regression gate: normalized seconds > 1.5× anchor AND
+    > 0.5 s absolute over it (sub-second queries swing ±0.4 s from
+    environment noise; a ratio-only gate false-flags them)."""
+    anchors = BASELINE_R05 if anchors is None else anchors
+    base = anchors.get(name)
+    return base is not None and norm_sec > 1.5 * base and norm_sec - base > 0.5
+
+
+def diff_vs(anchors: dict[str, float], tag: str, timings: dict[str, float]) -> dict:
+    """Per-query regression diff of ``timings`` vs an anchor dict —
+    same 1.5×-AND->0.5s rule as the gate."""
+    reg = {}
+    for name, sec in timings.items():
+        base = anchors.get(name)
+        if base is not None and sec > 1.5 * base and sec - base > 0.5:
+            reg[name] = {tag: base, "now": sec, "ratio": round(sec / base, 2)}
+    return reg
 
 
 def run_plan(spark, name: str, sf_dir: str) -> float:
@@ -204,60 +319,67 @@ def main() -> None:
 
     # best-of-2 per query: single-shot numbers on this box carry
     # sporadic 2-3x environment outliers that rotate between queries
-    # run-to-run; the min of two passes is the steady-state cost
-    timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        timings[name] = round(min(run_plan(spark, name, sf_dir) for _ in range(2)), 4)
+    # run-to-run; the min of two passes is the steady-state cost.
+    # EVERY sample is recorded with its window's rig factor (ADVICE
+    # r04: confirmation re-runs must be auditable, not min'd away).
+    names = sorted(REGISTRY)
+    cals: list[float] = []
+    samples: dict[str, list[float]] = {n: [] for n in names}
 
-    # re-measure before claiming a regression: a query whose best-of-2
-    # still exceeds its anchor gate gets up to TWO confirmation
-    # attempts and keeps the min.  Both of this box's failure modes
-    # rotate between queries run-to-run (measured: the same query at
-    # 2.0 s and 4.2 s in consecutive full sessions, different queries
-    # flagged each session, and the ANCHORED commit itself re-measuring
-    # 2x its anchor in a worktree A/B), so a flag must survive extra
-    # samples to be reported; a genuine plan regression reproduces on
-    # every attempt and still flags.  Bounded cost: only flagged
-    # queries re-run, and the second confirmation runs only if the
-    # first one still flags.
-    def _gate(name: str, sec: float) -> bool:
-        return any(
-            name in anchors and sec > 1.5 * anchors[name] and sec - anchors[name] > 0.5
-            for anchors in (BASELINE_R01, BASELINE_R02, BASELINE_R03, BASELINE_R04)
-        )
+    for i, name in enumerate(names):
+        if i % 10 == 0:
+            cals.append(round(calibration_sec(spark), 4))
+        for _ in range(2):
+            samples[name].append(round(run_plan(spark, name, sf_dir), 4))
 
+    # confirmation re-runs against the NORMALIZED gate: a query whose
+    # best-so-far still flags gets up to TWO more samples at a later
+    # moment (both of this box's noise modes rotate between queries
+    # run-to-run, so a flag must survive extra samples to be reported;
+    # a genuine plan regression reproduces on every attempt and still
+    # flags).  Each confirmation round also adds a cal window so the
+    # median keeps tracking the session.  All confirmation samples
+    # land in "samples" — the min-keeping is auditable from the
+    # emitted record.
     if abs(sf - 0.1) < 1e-9:
-        for name in sorted(REGISTRY):
-            for _ in range(2):
-                if not _gate(name, timings[name]):
-                    break
-                timings[name] = round(min(timings[name], run_plan(spark, name, sf_dir)), 4)
+        for _ in range(2):
+            rf = rig_factor_of(cals)
+            flagged = [n for n in names if gate_normalized(n, min(samples[n]) / rf)]
+            if not flagged:
+                break
+            cals.append(round(calibration_sec(spark), 4))
+            for name in flagged:
+                samples[name].append(round(run_plan(spark, name, sf_dir), 4))
 
-    # regression diff vs the frozen baselines (sf0.1 only — other SFs
-    # have no recorded anchor): queries >1.5x their anchored time AND
-    # >0.5s absolute — sub-second queries on this box swing +-0.4s
-    # run-to-run from environment noise (see memory: bench variance),
-    # and a ratio-only gate false-flags them
-    def _diff(anchors: dict[str, float], tag: str) -> dict:
-        reg = {}
-        if abs(sf - 0.1) < 1e-9:
-            for name, sec in timings.items():
-                base = anchors.get(name)
-                if base is not None and sec > 1.5 * base and sec - base > 0.5:
-                    reg[name] = {tag: base, "now": sec, "ratio": round(sec / base, 2)}
-        return reg
+    rig_factor = rig_factor_of(cals)
+    timings = {name: min(samples[name]) for name in names}
+    normalized = {name: round(t / rig_factor, 4) for name, t in timings.items()}
 
+    # regression diffs: normalized-vs-R05 is the binding gate; raw
+    # diffs vs the frozen R01-R04 dicts stay for history (sf0.1 only —
+    # other SFs have no recorded anchor)
+    at_sf01 = abs(sf - 0.1) < 1e-9
     out = {
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_normalized": normalized,
+        "calibration": {
+            "window_secs": cals,
+            "ref_sec": CAL_REF,
+            "rig_factor": rig_factor,
+        },
+        "samples": samples,
         "baseline_total_r01": round(sum(BASELINE_R01.values()), 2),
-        "regressions_vs_r01": _diff(BASELINE_R01, "r01"),
-        "regressions_vs_r02": _diff(BASELINE_R02, "r02"),
-        "regressions_vs_r03": _diff(BASELINE_R03, "r03"),
-        "regressions_vs_r04": _diff(BASELINE_R04, "r04"),
+        "regressions_vs_r01": diff_vs(BASELINE_R01, "r01", timings) if at_sf01 else {},
+        "regressions_vs_r02": diff_vs(BASELINE_R02, "r02", timings) if at_sf01 else {},
+        "regressions_vs_r03": diff_vs(BASELINE_R03, "r03", timings) if at_sf01 else {},
+        "regressions_vs_r04": diff_vs(BASELINE_R04, "r04", timings) if at_sf01 else {},
+        "regressions_normalized_vs_r05": (
+            diff_vs(BASELINE_R05, "r05", normalized) if at_sf01 else {}
+        ),
     }
     print(json.dumps(out))
     spark.stop()

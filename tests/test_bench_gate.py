@@ -1,0 +1,77 @@
+"""Unit tests for bench.py's calibration-normalized regression gate.
+
+The gate is the repo's only defense against silent performance decay,
+so its logic is tested like an operator: a genuine per-plan slowdown
+(the injected-sleep scenario) MUST flag, a uniform rig slowdown MUST
+cancel, and the noise floors MUST hold.  These run without Spark —
+pure arithmetic over synthetic timings.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def test_injected_2x_sleep_still_flags():
+    """The verdict-r04 acceptance test: a deliberately-injected 2×
+    slowdown in ONE plan must flag even after normalization, because
+    the calibration plan is untouched and the rig factor stays 1.0."""
+    name = "gold_fact_lineitem"
+    anchor = bench.BASELINE_R05[name]
+    cals = [bench.CAL_REF] * 7  # quiet rig, factor 1.0
+    rf = bench.rig_factor_of(cals)
+    assert rf == 1.0
+    assert bench.gate_normalized(name, (2.0 * anchor) / rf)
+
+
+def test_uniform_rig_slowdown_cancels():
+    """The r04 drift scenario: EVERYTHING (queries and calibration)
+    runs 1.8× slow.  Raw numbers would flood the raw diffs; the
+    normalized gate must stay quiet for every plan."""
+    cals = [bench.CAL_REF * 1.8] * 7
+    rf = bench.rig_factor_of(cals)
+    assert abs(rf - 1.8) < 0.01
+    for name, anchor in bench.BASELINE_R05.items():
+        assert not bench.gate_normalized(name, (1.8 * anchor) / rf), name
+
+
+def test_cal_spike_does_not_shift_median():
+    """One window's calibration spiking 2× (measured: 1.77 s in an
+    otherwise-0.8-0.95 s session) must not move the session factor —
+    the median absorbs it where a mean would over-correct the whole
+    session by ~15%."""
+    quiet = [0.91, 0.80, 0.85, 0.64, 0.95, 0.81]
+    assert bench.rig_factor_of(quiet + [1.77]) == bench.rig_factor_of(quiet + [0.9])
+
+
+def test_factor_floor_at_one():
+    """A lucky-cal session (median below the frozen quiet-rig CAL_REF)
+    must not INFLATE normalized times — that would manufacture fake
+    regressions out of calibration luck."""
+    assert bench.rig_factor_of([bench.CAL_REF * 0.7] * 5) == 1.0
+
+
+def test_absolute_floor_suppresses_subsecond_ratio_noise():
+    """Sub-second queries swing ±0.4 s run-to-run on this box; a 1.75×
+    ratio on a 0.2 s anchor is noise, not a regression."""
+    assert not bench.gate_normalized("x", 0.35, {"x": 0.2})
+    # ... but a large query at the same ratio flags
+    assert bench.gate_normalized("x", 3.5, {"x": 2.0})
+
+
+def test_every_registered_plan_is_anchored():
+    """BASELINE_R05 must cover the whole registry — an unanchored plan
+    is invisible to the binding gate (the round-2 lesson)."""
+    from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+
+    assert set(bench.BASELINE_R05) == set(REGISTRY)
+
+
+def test_diff_vs_reports_ratio():
+    reg = bench.diff_vs({"a": 1.0, "b": 1.0}, "r05", {"a": 2.2, "b": 1.1})
+    assert reg == {"a": {"r05": 1.0, "now": 2.2, "ratio": 2.2}}
