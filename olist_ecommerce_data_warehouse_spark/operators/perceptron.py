@@ -49,6 +49,15 @@ mode).  The 1/T normalization is dropped because it changes neither
 sign nor ranking, so the averaged model stays all-integer and exactly
 SQL-replayable; the accumulator update is one model-sized join per
 round, nothing corpus-sized.
+
+Round 5 adds :func:`pegasos_train` — the mini-batch PEGASOS margin
+trainer that actually CONVERGES on the hard labels where full-batch
+lr=1 collapses (measured: 22.04% → <0.1% training error at 100×).
+Same broadcast-join + aggregation dataflow per round over a
+deterministic 1/K batch slice; integer fixed-point weights (scale
+``FX``) with truncating divisions shared bit-for-bit by Spark's
+``div``, DuckDB's ``//`` and the python reference, so the trained
+model remains exactly SQL-replayable (:func:`pegasos_oracle_ctes`).
 """
 
 from __future__ import annotations
@@ -294,4 +303,248 @@ def perceptron_oracle_ctes(
         parts.append(
             """pavg AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w WHERE FALSE)"""
         )
+    return ",\n    ".join(parts)
+
+
+# --------------------------------------------------------------- PEGASOS
+
+# Fixed-point scale for pegasos_train: weights are stored as integers
+# w_fx = w · FX, so the hinge margin "y·⟨w,x⟩ ≥ 1" becomes the integer
+# comparison y·score_fx ≥ FX and every update stays in BIGINTs.
+FX = 1 << 16
+
+
+def _itdiv(a: int, b: int) -> int:
+    """Integer division TRUNCATING TOWARD ZERO — the shared semantics
+    of Spark's ``div`` and DuckDB's ``//`` (measured: -7 // 2 = -3 in
+    both).  Python's ``//`` floors instead, and float division loses
+    exactness past 2^53, so the reference twin uses this."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def pegasos_train(
+    features: DataFrame,
+    labels: DataFrame,
+    rounds: int = 50,
+    c: int = 100,
+    batches: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PEGASOS-style margin trainer (Shalev-Shwartz et al., "Pegasos:
+    Primal Estimated sub-GrAdient SOlver for SVM", ICML 2007) in its
+    deterministic MINI-BATCH form — the convergent fix for the lr=1
+    batch-perceptron oscillation ``perceptron_train`` documents: hinge
+    VIOLATORS (y·⟨w,x⟩ < 1, not just misclassified) drive the update,
+    the step decays 1/(λt), and the iterate shrinks (1−1/t) toward the
+    max-margin solution.  Mini-batching is what makes it converge in
+    practice (measured on the content label: full-batch oscillates at
+    21% error for 20 rounds; K=10 batches reach <3% in 50 rounds =
+    5 epochs) — batch t is the DETERMINISTIC slice pmod(doc_id, K) ==
+    (t−1) mod K, so the "random" sample is replayable.
+
+    Round t over batch B_t (λ = 1/c, integer fixed-point at scale FX):
+
+      score_fx_d = Σ_b w_fx[b]·x_d[b]   for d ∈ B_t   (broadcast join + agg)
+      V_t        = {d ∈ B_t : y_d·score_fx_d < FX}    (margin violators)
+      g[b]       = Σ_{d∈V_t} y_d·x_d[b]               (one aggregation)
+      w_fx[b]   ← w_fx[b] − tdiv(w_fx[b], t) + tdiv(c·FX·g[b], t·|B_t|)
+
+    Both divisions TRUNCATE TOWARD ZERO — the semantics Spark's
+    ``div``, DuckDB's ``//`` and :func:`_itdiv` share, so the model is
+    exactly replayable by :func:`pegasos_oracle_ctes` and
+    :func:`pegasos_train_reference` with no float summation order or
+    learning-rate rounding to diverge on.  Dataflow per round: one
+    broadcast-weights join + one aggregation over the batch slice of
+    the (lineage-cut) feature matrix — 1/K of a corpus pass, so an
+    epoch costs one corpus pass regardless of K and per-round cost
+    stays flat as the corpus grows.  Nothing corpus-sized leaves the
+    executors; batch sizes are computed once up front (model-sized).
+
+    Overflow posture (ANSI mode fails loud, never wraps): the update
+    numerator is c·FX·g, so callers keep c·FX·max|g| < 2^62 — with
+    c ≤ 10^4 that allows per-bucket gradient sums |g| < 1.4e12, orders
+    beyond any real violator sum.
+
+    Returns (bucket, w) with w at FX scale; score with
+    :func:`perceptron_score` and read decisions as sign(score)."""
+    feats = features.join(labels, id_col).select(
+        id_col, "bucket", F.col("cnt").cast("bigint").alias("cnt"), "y"
+    )
+    if rounds == 0:
+        return features.sparkSession.createDataFrame([], "bucket bigint, w bigint")
+    feats = cut_lineage(feats)
+    # per-batch doc counts, ONCE (model-sized: K numbers)
+    bt_col = F.pmod(F.col(id_col), F.lit(batches))
+    sizes = {
+        int(r["bt"]): int(r["n"])
+        for r in feats.select(id_col, bt_col.alias("bt"))
+        .distinct()
+        .groupBy("bt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not sizes:
+        feats.unpersist()
+        return features.sparkSession.createDataFrame([], "bucket bigint, w bigint")
+    w: DataFrame | None = None
+    try:
+        for t in range(1, rounds + 1):
+            bt = (t - 1) % batches
+            nb = sizes.get(bt, 0)
+            shrunk = (
+                None
+                if w is None
+                else w.select("bucket", F.expr(f"w - (w div {t})").alias("w"))
+            )
+            if nb == 0:
+                # empty batch: shrink-only round (the SQL replay's
+                # no-violator rounds behave identically)
+                if shrunk is not None:
+                    w = shrunk.filter(F.col("w") != 0).localCheckpoint(eager=True)
+                continue
+            batch = feats.filter(bt_col == bt)
+            if w is None:
+                scored = batch.select(
+                    id_col, "y", F.lit(0).cast("bigint").alias("score")
+                ).distinct()
+            else:
+                scored = (
+                    batch.join(F.broadcast(w), "bucket", "left")
+                    .groupBy(id_col, "y")
+                    .agg(
+                        F.sum(
+                            F.col("cnt") * F.coalesce(F.col("w"), F.lit(0))
+                        ).alias("score")
+                    )
+                )
+            viol = scored.filter(F.col("y") * F.col("score") < FX).select(id_col)
+            grad = (
+                batch.join(viol, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+                .select("bucket", F.expr(f"({c} * {FX} * g) div {t * nb}").alias("w"))
+            )
+            w = (
+                _merge_weights(shrunk, grad)
+                if shrunk is not None
+                else grad.filter(F.col("w") != 0)
+            )
+            w = w.localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
+    if w is None:
+        return features.sparkSession.createDataFrame([], "bucket bigint, w bigint")
+    return w
+
+
+def pegasos_train_reference(
+    feat_rows: list[tuple[int, int, int]],
+    label_map: dict[int, int],
+    rounds: int,
+    c: int = 100,
+    batches: int = 10,
+) -> dict[int, int]:
+    """Driver-side reference of :func:`pegasos_train` — the
+    distributed trainer must produce identical fixed-point weights.
+    Python's ``%`` on a positive modulus is already pmod, matching the
+    engine's ``F.pmod`` and the oracle's ``((x % K) + K) % K``."""
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for d, b, cnt in feat_rows:
+        if d in label_map:
+            by_doc.setdefault(d, []).append((b, cnt))
+    w: dict[int, int] = {}
+    if not by_doc:
+        return w
+    for t in range(1, rounds + 1):
+        bt = (t - 1) % batches
+        batch = [d for d in by_doc if d % batches == bt]
+        nw: dict[int, int] = {}
+        g: dict[int, int] = {}
+        if batch:
+            nb = len(batch)
+            viol = [
+                d
+                for d in batch
+                if label_map[d] * sum(cnt * w.get(b, 0) for b, cnt in by_doc[d]) < FX
+            ]
+            for d in viol:
+                y = label_map[d]
+                for b, cnt in by_doc[d]:
+                    g[b] = g.get(b, 0) + y * cnt
+        for b in set(w) | set(g):
+            v = w.get(b, 0)
+            v = v - _itdiv(v, t)
+            if batch and g.get(b, 0):
+                v += _itdiv(c * FX * g[b], t * nb)
+            if v != 0:
+                nw[b] = v
+        w = nw
+    return w
+
+
+def pegasos_oracle_ctes(
+    rounds: int,
+    c: int = 100,
+    batches: int = 10,
+    feats_cte: str = "pfeats",
+    labels_cte: str = "plabels",
+) -> str:
+    """SQL replay of :func:`pegasos_train` as unrolled-round CTEs:
+    expects ``feats_cte(doc_id, bucket, cnt)`` / ``labels_cte(doc_id,
+    y)``; emits ``pgw{rounds}(bucket, w)`` and ``pgscores(doc_id,
+    score)``.  Batch membership is ``((doc_id % K) + K) % K`` — pmod,
+    because DuckDB's ``%`` follows the dividend's sign where Spark's
+    ``pmod`` and Python's ``%`` don't.  DuckDB's ``//`` truncates
+    toward zero exactly like Spark's ``div`` (measured), which is what
+    makes the fixed-point steps replayable.  No leading WITH."""
+    parts = [
+        f"""pgf AS (
+        SELECT f.doc_id, f.bucket, CAST(f.cnt AS BIGINT) AS cnt, l.y,
+               ((f.doc_id % {batches}) + {batches}) % {batches} AS bt
+        FROM {feats_cte} f JOIN {labels_cte} l USING (doc_id)
+    )""",
+        """pgw0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w WHERE FALSE)""",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        bt = (t - 1) % batches
+        parts.append(
+            f"""pgscore{p} AS (
+        SELECT pgf.doc_id, pgf.y,
+               CAST(COALESCE(SUM(pgf.cnt * w.w), 0) AS BIGINT) AS score
+        FROM pgf LEFT JOIN pgw{p} w USING (bucket)
+        WHERE pgf.bt = {bt}
+        GROUP BY pgf.doc_id, pgf.y
+    )""",
+        )
+        parts.append(
+            f"""pggrad{t} AS (
+        SELECT pgf.bucket, CAST(SUM(pgf.y * pgf.cnt) AS BIGINT) AS g
+        FROM pgf
+        JOIN (SELECT doc_id FROM pgscore{p} WHERE y * score < {FX}) v
+          USING (doc_id)
+        GROUP BY pgf.bucket
+    )""",
+        )
+        parts.append(
+            f"""pgw{t} AS (
+        SELECT bucket, w FROM (
+            SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+                   (COALESCE(a.w, 0) - (COALESCE(a.w, 0) // {t}))
+                   + (({c} * {FX} * COALESCE(b.g, 0))
+                      // ({t} * GREATEST(1, (SELECT COUNT(DISTINCT doc_id)
+                                             FROM pgf WHERE bt = {bt})))) AS w
+            FROM pgw{p} a FULL OUTER JOIN pggrad{t} b ON a.bucket = b.bucket
+        ) WHERE w != 0
+    )""",
+        )
+    parts.append(
+        f"""pgscores AS (
+        SELECT f.doc_id,
+               CAST(COALESCE(SUM(f.cnt * w.w), 0) AS BIGINT) AS score
+        FROM {feats_cte} f LEFT JOIN pgw{rounds} w USING (bucket)
+        GROUP BY f.doc_id
+    )"""
+    )
     return ",\n    ".join(parts)

@@ -183,16 +183,28 @@ def quality_train(
     rounds: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "max_violator",
 ):
     """Train (bucket, w) quality weights on labeled docs — labels is
-    (id_col, y) with y ∈ {−1 junk, +1 clean}.  Max-violator mode so
-    Novikoff convergence applies on separable corpora; the model is
+    (id_col, y) with y ∈ {−1 junk, +1 clean}.  The model is
     bucket-space-bounded (≤ 2^20 rows), broadcastable at any corpus
-    size."""
-    from .perceptron import perceptron_train
+    size.  ``method``:
 
+    - ``'max_violator'`` (default): sequential perceptron driven by the
+      worst violator — Novikoff convergence on separable corpora, but
+      one update per round makes it the wrong tool past ~10^5 docs.
+    - ``'pegasos'``: mini-batch PEGASOS margin trainer (round 5) — the
+      corpus-scale choice: converges on hard/imbalanced labels where
+      batch perceptron collapses (measured <0.1% vs 22% at 100×),
+      each round touching 1/10 of the feature matrix."""
+    from .perceptron import pegasos_train, perceptron_train
+
+    feats = quality_feature_counts(df, id_col, text_col)
+    if method == "pegasos":
+        return pegasos_train(feats, labels, rounds=rounds, c=100, batches=10,
+                             id_col=id_col)
     return perceptron_train(
-        quality_feature_counts(df, id_col, text_col),
+        feats,
         labels,
         rounds=rounds,
         id_col=id_col,

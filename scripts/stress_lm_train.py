@@ -11,6 +11,11 @@ operators whose 100 TB posture is "per-round work = one broadcast join
    with a content-derived label (doc mentions 'data'): batch mode,
    5 rounds — per-round wall must be flat (each round re-scans the
    cached feature matrix once), and training errors must FALL.
+4. mini-batch PEGASOS (round 5) on the SAME features/label: K=10
+   deterministic batches, 50 rounds = 5 epochs — must reach <5%
+   training error where full-batch collapsed to the majority class
+   (22.04%), at ~the same total corpus-scan budget (each round
+   touches 1/K of the feature matrix).
 
 Usage: python scripts/stress_lm_train.py [doc_replicas] (default 100).
 Prints one JSON line; measured table in SCALING.md.
@@ -33,6 +38,7 @@ from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import (  # noqa: E
     ngram_lm_train,
 )
 from olist_ecommerce_data_warehouse_spark.operators.perceptron import (  # noqa: E402
+    pegasos_train,
     perceptron_score,
     perceptron_train,
 )
@@ -111,6 +117,28 @@ def main() -> None:
         "train_wall_sec": round(t_train - t_feat, 1),
         "errors_after": errors,
         "error_rate": round(errors / n_docs, 4),
+        "total_wall_sec": round(time.time() - t0, 1),
+    }
+
+    # 4. mini-batch PEGASOS on the same features/label (round 5)
+    t0 = time.time()
+    rounds, k = 50, 10
+    wp = pegasos_train(feats, labels, rounds=rounds, c=100, batches=k)
+    t_train = time.time()
+    errors_p = (
+        perceptron_score(feats, wp)
+        .join(labels, "doc_id")
+        .filter(F.col("y") * F.col("score") <= 0)
+        .count()
+    )
+    out["pegasos"] = {
+        "rounds": rounds,
+        "batches": k,
+        "epochs": rounds // k,
+        "train_wall_sec": round(t_train - t0, 1),
+        "per_round_wall_sec": round((t_train - t0) / rounds, 2),
+        "errors_after": errors_p,
+        "error_rate": round(errors_p / n_docs, 4),
         "total_wall_sec": round(time.time() - t0, 1),
     }
 

@@ -230,3 +230,17 @@ def test_range_join_branch_is_hash_join(spark):
     # explode of interval replicas)
     assert "Generate" in plan and "explode" in plan
     assert "Join" in plan
+
+
+def test_morton_gate_adds_no_scan(spark):
+    """The round-5 Z-order gate rides the EXISTING single-pass
+    aggregate of approx_aggregates: the plan still scans events
+    exactly 3 times (two partial-distinct counts + one sketch/morton
+    aggregate) and the Morton key stays inside whole-stage codegen —
+    the gate must cost an expression, not a pass."""
+    plan = _plan(spark, "approx_aggregates")
+    n_scans = sum(
+        1 for ln in plan.splitlines() if "Scan parquet" in ln and "events" in ln
+    )
+    assert n_scans == 3, f"events scanned {n_scans}x"
+    assert "CartesianProduct" not in plan

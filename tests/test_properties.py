@@ -960,6 +960,68 @@ def test_perceptron_cross_engine_parity(spark, ddb, rows, labels, rounds, mv, av
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),   # doc
+            st.integers(0, 7),   # bucket
+            st.integers(1, 4),   # cnt
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    labels=st.lists(st.sampled_from([-1, 1]), min_size=6, max_size=6),
+    rounds=st.integers(0, 5),
+    batches=st.integers(1, 3),
+    c=st.sampled_from([10, 100]),
+)
+@_SETTINGS
+def test_pegasos_cross_engine_parity(spark, ddb, rows, labels, rounds, batches, c):
+    """Mini-batch PEGASOS training must produce fixed-point weights
+    identical to the driver-side reference AND the DuckDB unrolled
+    replay for arbitrary sparse integer data — including the empty
+    batches, truncating divisions, and pmod batch membership that are
+    the cross-engine hazards of the decaying-step update."""
+    from olist_ecommerce_data_warehouse_spark.operators.perceptron import (
+        pegasos_oracle_ctes,
+        pegasos_train,
+        pegasos_train_reference,
+    )
+
+    dedup = {}
+    for d, b, cnt in rows:
+        dedup[(d, b)] = dedup.get((d, b), 0) + cnt
+    feat_rows = [(d, b, cnt) for (d, b), cnt in dedup.items()]
+    label_map = {d: labels[d] for d in range(6)}
+
+    feats = spark.createDataFrame(feat_rows, "doc_id long, bucket long, cnt long")
+    lab = spark.createDataFrame(list(label_map.items()), "doc_id long, y long")
+    got = {
+        r["bucket"]: r["w"]
+        for r in pegasos_train(
+            feats, lab, rounds=rounds, c=c, batches=batches
+        ).collect()
+    }
+    want = pegasos_train_reference(feat_rows, label_map, rounds, c=c, batches=batches)
+    assert got == want, (got, want)
+
+    ddb.execute("CREATE OR REPLACE TABLE _pgf (doc_id BIGINT, bucket BIGINT, cnt BIGINT)")
+    for d, b, cnt in feat_rows:
+        ddb.execute("INSERT INTO _pgf VALUES (?, ?, ?)", [d, b, cnt])
+    ddb.execute("CREATE OR REPLACE TABLE _pgl (doc_id BIGINT, y BIGINT)")
+    for d, y in label_map.items():
+        ddb.execute("INSERT INTO _pgl VALUES (?, ?)", [d, y])
+    duck = dict(
+        ddb.execute(
+            "WITH "
+            + pegasos_oracle_ctes(rounds, c=c, batches=batches,
+                                  feats_cte="_pgf", labels_cte="_pgl")
+            + f" SELECT bucket, w FROM pgw{rounds}"
+        ).fetchall()
+    )
+    assert duck == want, (duck, want)
+
+
+@given(
     docs=st.lists(
         st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=8),
         min_size=1,
