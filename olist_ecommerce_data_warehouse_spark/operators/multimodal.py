@@ -258,8 +258,9 @@ def _parse_gif(b: bytes):
     resolved THROUGH the color table to RGB before averaging — the
     same palette-resolution policy ``_png_pixels`` applies to PLTE
     and ``_parse_bmp`` to indexed BMPs, so the mean is over pixel
-    intensities, never palette positions.  Interlaced GIFs raise (PIL
-    territory, same policy as interlaced PNG)."""
+    intensities, never palette positions.  Interlaced GIFs
+    de-interlace for real (``_gif_deinterlace``, the spec's 4-pass row
+    permutation, reference-pinned in tests)."""
     import struct
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -294,8 +295,6 @@ def _parse_gif(b: bytes):
         pos += 3 * n
     if ct is None:
         raise ValueError("GIF image without any color table")
-    if iflags & 0x40:
-        raise NotImplementedError("interlaced GIF beyond the stdlib decoder")
     min_code_size = b[pos]
     pos += 1
     data = bytearray()
@@ -309,11 +308,30 @@ def _parse_gif(b: bytes):
     indices = _lzw_decode_gif(bytes(data), min_code_size)
     if len(indices) < w * h:
         raise ValueError("truncated GIF pixel data")
-    total = sum(
-        ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2] for i in indices[: w * h]
-    )
+    indices = indices[: w * h]
+    if iflags & 0x40:  # interlaced: rows stored in the 4-pass order
+        indices = _gif_deinterlace(indices, w, h)
+    total = sum(ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2] for i in indices)
     mean = total / (3 * w * h) if w * h else 0.0
     return w, h, 3, 8, mean
+
+
+def _gif_deinterlace(indices, w: int, h: int):
+    """GIF89a 4-pass interlace → sequential row order: stored rows
+    cover y = 0,8,16,… then 4,12,… then 2,6,10,… then 1,3,5,… (spec
+    appendix E).  Pure row permutation of the decoded index stream —
+    the mean is permutation-invariant, but downstream pixel consumers
+    (resize, fingerprints) need rows in raster order."""
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = [0] * (w * h)
+    for stored, y in enumerate(order):
+        out[y * w : (y + 1) * w] = indices[stored * w : (stored + 1) * w]
+    return out
 
 
 def _parse_wav(b: bytes):

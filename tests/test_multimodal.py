@@ -284,10 +284,11 @@ def test_real_decode_gif(spark):
     with the palette-resolved RGB mean exact; (2) a hand-packed
     compressed stream exercises the LZW table-growth path including
     the code==len(table) self-reference case; (3) interlaced GIFs
-    raise — same honest policy as interlaced PNG."""
-    import pytest
-
+    de-interlace for real — the 4-pass row permutation is pinned
+    against a brute-force reference, and an interlaced fixture decodes
+    to the exact mean of its known content."""
     from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _gif_deinterlace,
         _lzw_decode_gif,
         real_decode_media,
     )
@@ -327,21 +328,41 @@ def test_real_decode_gif(spark):
     assert (g2["format"], g2["width"], g2["height"]) == ("gif", 2, 2)
     assert abs(g2["sample_mean"] - mean2) < 1e-9
 
-    # interlaced → honest NotImplementedError
-    interlaced = bytearray(gif2)
-    # image descriptor sits right after header+LSD+GCT: set interlace bit
+    # interlaced: the 4-pass permutation, pinned against a brute-force
+    # reference on every (w, h) up to 9×9 …
+    for w in range(1, 10):
+        for h in range(1, 10):
+            seq = list(range(w * h))
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            stored = [seq[y * w + x] for y in order for x in range(w)]
+            assert _gif_deinterlace(stored, w, h) == seq, (w, h)
+
+    # … and end-to-end: an interlaced fixture whose stored rows are
+    # written in pass order must decode through the same code path
+    # (flag honored, no raise) with the exact palette-resolved mean
+    h4 = 5  # rows 0..4 → pass order [0], [4], [2], [1, 3]
+    seq_rows = [[(r + c) % 4 for c in range(3)] for r in range(h4)]
+    pass_order = [0, 4, 2, 1, 3]
+    stored_idx = [i for r in pass_order for i in seq_rows[r]]
+    codes3 = []
+    for i in stored_idx:
+        codes3 += [(4, 3), (i, 3)]
+    codes3.append((5, 3))
+    gif3 = bytearray(_gif_wrap(3, h4, palette, _gif_bitpack(codes3)))
     idesc = 6 + 7 + 12
-    assert interlaced[idesc] == 0x2C
-    interlaced[idesc + 9] |= 0x40
-    bad = spark.createDataFrame(
-        [(3, "image", interlaced, "t")],
+    assert gif3[idesc] == 0x2C
+    gif3[idesc + 9] |= 0x40  # interlace flag
+    mean3 = sum(sum(palette[i]) for row in seq_rows for i in row) / (3 * 3 * h4)
+    inter = spark.createDataFrame(
+        [(3, "image", gif3, "t")],
         "media_id long, kind string, payload binary, source string",
     )
-    with pytest.raises(Exception) as ei:
-        real_decode_media(bad).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+    g3 = real_decode_media(inter).collect()[0]
+    assert (g3["format"], g3["width"], g3["height"]) == ("gif", 3, h4)
+    assert abs(g3["sample_mean"] - mean3) < 1e-9
 
 
 def test_resize_images_nearest_neighbor_exact(spark):

@@ -1613,3 +1613,78 @@ def test_cut_lineage_truncates_plan_and_preserves_rows(spark):
     finally:
         persisted.unpersist()
     cut.unpersist()
+
+
+def test_dsir_importance_resampling(spark):
+    """DSIR end-to-end: hashed-ngram importance weights under a
+    target/raw model pair must (1) rank target-like raw docs above
+    junk, (2) make the Gumbel-top-k selection strongly enriched in
+    target-like docs, (3) be INTEGER-exact: the distributed weight_fp
+    recomputes bit-for-bit from the collected λ table, and the whole
+    λ table sits within the documented ±1 fp libm tolerance of the
+    driver reference, (4) be deterministic: same seed ⇒ identical
+    selection under different partitionings."""
+    from olist_ecommerce_data_warehouse_spark.operators.dsir import (
+        dsir_feature_counts,
+        dsir_log_ratio,
+        dsir_reference,
+        dsir_resample,
+        dsir_score,
+    )
+
+    wiki = "the capital of france is paris and the river seine flows through it"
+    code = "def main args return zero while loop break continue import sys"
+    target = spark.createDataFrame(
+        [(1000 + i, wiki + f" fact {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    raw_rows = [(i, wiki + f" city {i}") for i in range(30)] + [
+        (100 + i, code + f" v{i}") for i in range(30)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+
+    lam_df, lam0 = dsir_log_ratio(target, raw, buckets=2048)
+    scored = dsir_score(raw, lam_df, lam0, buckets=2048)
+
+    w = {r["doc_id"]: r["weight_fp"] for r in scored.collect()}
+    wiki_ids = {i for i in range(30)}
+    code_ids = {100 + i for i in range(30)}
+    assert min(w[d] for d in wiki_ids) > max(w[d] for d in code_ids)
+
+    picked = {r["doc_id"] for r in dsir_resample(scored, 20, seed=7).collect()}
+    assert len(picked & wiki_ids) >= 18, picked
+
+    # integer exactness downstream of the λ quantization
+    lam = {r["bucket"]: r["lam_fp"] for r in lam_df.collect()}
+    feats: dict[int, dict[int, int]] = {}
+    for r in dsir_feature_counts(raw, buckets=2048).collect():
+        feats.setdefault(r["doc_id"], {})[r["bucket"]] = r["cnt"]
+    for d, fs in feats.items():
+        assert w[d] == sum(c * lam.get(b, lam0) for b, c in fs.items()), d
+
+    # λ table vs driver reference: libm ln is 1-ulp specified, so each
+    # quantized entry may differ by at most 1 fp unit
+    tgt_counts: dict[int, int] = {}
+    for r in dsir_feature_counts(target, buckets=2048).collect():
+        tgt_counts[r["bucket"]] = tgt_counts.get(r["bucket"], 0) + r["cnt"]
+    raw_counts: dict[int, int] = {}
+    for d, fs in feats.items():
+        for b, c in fs.items():
+            raw_counts[b] = raw_counts.get(b, 0) + c
+    ref_lam, ref_lam0, ref_w = dsir_reference(
+        feats, tgt_counts, raw_counts, buckets=2048
+    )
+    assert abs(lam0 - ref_lam0) <= 1
+    assert set(lam) == set(ref_lam)
+    assert all(abs(lam[b] - ref_lam[b]) <= 1 for b in lam)
+    nf = {r["doc_id"]: r["n_features"] for r in scored.collect()}
+    assert all(abs(w[d] - ref_w[d]) <= max(nf[d], 1) for d in w)
+
+    # determinism across partitionings
+    again = {
+        r["doc_id"]
+        for r in dsir_resample(scored.repartition(13), 20, seed=7).collect()
+    }
+    assert again == picked
+    other = {r["doc_id"] for r in dsir_resample(scored, 20, seed=8).collect()}
+    assert other != picked or len(wiki_ids) == 20  # different seed reshuffles ties
