@@ -255,7 +255,12 @@ BASELINE_R05 = {
     "skew_salted_join": 2.3584,
     "surrogate_keys": 0.4897,
     "text_lang_id": 3.8243,
-    "text_metrics": 4.3993,
+    # re-anchored in round 5: the slot gained the Gopher rule battery
+    # (7 integer-gated filters + AND, map-only) — capability change;
+    # measured 4.5086 best-of-4 on a quiet rig (factor exactly 1.0;
+    # a second, noisier session normalized to 4.05 — the quiet-rig
+    # number is the anchor, no normalization uncertainty)
+    "text_metrics": 4.5086,
     "text_repetition": 3.2971,
     "volumetrics": 0.7986,
 }

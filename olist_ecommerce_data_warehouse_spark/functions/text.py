@@ -198,3 +198,110 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         )
         for kind, pat in PII_PATTERNS.items()
     }
+
+
+# ------------------------------------------------------------ Gopher rules
+
+# The Gopher repetition-free quality rule set (Rae et al. 2021,
+# Appendix A — the filter battery MassiveText/Dolma/FineWeb descend
+# from), as pure codegen expressions with a DuckDB twin.  Words here
+# are WHITESPACE segments (rules reason about symbols/alpha chars
+# INSIDE words, so letter-run tokens would be wrong); every ratio
+# gate is CROSS-MULTIPLIED into an integer comparison (3n ≤ Σlen ≤
+# 10n instead of 3 ≤ Σlen/n ≤ 10), so the whole battery is exact
+# int64 — no float division anywhere, hence driver-hash-gateable.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_SYMBOL_RE = r"#|\.\.\.|…"  # hash or ellipsis (ASCII and Unicode)
+_GOPHER_BULLET_RE = r"^\s*[-•*]"
+_GOPHER_ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"
+
+
+def _ws_words(col: Column | str) -> Column:
+    """array<string> of whitespace-delimited segments (Gopher's word
+    unit), empties dropped."""
+    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda w: w != "")
+
+
+def gopher_flags(col: Column | str = "text") -> dict[str, Column]:
+    """The 7 Gopher gates as named 0/1 columns plus ``gopher_pass``
+    (their AND) and the ``gopher_n_words`` evidence count.  One pass
+    of array expressions, no shuffle; SQL twin
+    :func:`gopher_flags_sql` shares every literal."""
+    t = _c(col)
+    words = _ws_words(t)
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(_GOPHER_SYMBOL_RE), 0))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(_GOPHER_BULLET_RE)))
+    n_ell = F.size(F.filter(lines, lambda ln: ln.rlike(_GOPHER_ELLIPSIS_END_RE)))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    n_stop = marker_hits(t, GOPHER_STOPWORDS)
+
+    def b(cond) -> Column:  # noqa: ANN001 — tiny local adapter
+        return F.when(cond, 1).otherwise(0).cast("int")
+
+    flags = {
+        "gopher_n_words": n_words.cast("bigint"),
+        # 1. word count in [50, 100k]
+        "gopher_word_count_ok": b((n_words >= 50) & (n_words <= 100_000)),
+        # 2. mean word length in [3, 10]  ⇔  3n ≤ Σlen ≤ 10n
+        "gopher_mean_word_len_ok": b(
+            (n_words > 0) & (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+        ),
+        # 3. symbol-to-word ratio ≤ 0.1  ⇔  10·n_sym ≤ n_words
+        "gopher_symbol_ratio_ok": b((n_words > 0) & (10 * n_sym <= n_words)),
+        # 4. ≤90% of lines start with a bullet  ⇔  10·n_bullet ≤ 9·n_lines
+        "gopher_bullet_ok": b(10 * n_bullet <= 9 * n_lines),
+        # 5. ≤30% of lines end with an ellipsis  ⇔  10·n_ell ≤ 3·n_lines
+        "gopher_ellipsis_ok": b(10 * n_ell <= 3 * n_lines),
+        # 6. ≥80% of words contain a letter  ⇔  5·n_alpha ≥ 4·n_words
+        "gopher_alpha_ok": b((n_words > 0) & (5 * n_alpha >= 4 * n_words)),
+        # 7. ≥2 occurrences of the Gopher stopword list
+        "gopher_stop_ok": b(n_stop >= 2),
+    }
+    gate = None
+    for k, v in flags.items():
+        if k == "gopher_n_words":
+            continue
+        gate = v if gate is None else gate * v
+    flags["gopher_pass"] = gate.cast("int")
+    return flags
+
+
+def gopher_flags_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twin of :func:`gopher_flags` — same regex and threshold
+    literals, same cross-multiplied integer gates."""
+    words = f"list_filter(regexp_split_to_array(trim({col}), '\\s+'), w -> w <> '')"
+    n_words = f"len({words})"
+    sum_len = f"coalesce(list_sum(list_transform({words}, w -> length(w))), 0)"
+    n_sym = f"len(regexp_extract_all({col}, '{_GOPHER_SYMBOL_RE}'))"
+    lines = f"string_split({col}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = f"len(list_filter({lines}, l -> regexp_matches(l, '{_GOPHER_BULLET_RE}')))"
+    n_ell = f"len(list_filter({lines}, l -> regexp_matches(l, '{_GOPHER_ELLIPSIS_END_RE}')))"
+    stop_set = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_alpha = f"len(list_filter({words}, w -> regexp_matches(w, '\\p{{L}}')))"
+    n_stop = f"len(list_filter({toks_sql(col)}, t -> t IN ({stop_set})))"
+
+    def b(cond: str) -> str:
+        return f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS INT)"
+
+    flags = {
+        "gopher_n_words": f"CAST({n_words} AS BIGINT)",
+        "gopher_word_count_ok": b(f"{n_words} >= 50 AND {n_words} <= 100000"),
+        "gopher_mean_word_len_ok": b(
+            f"{n_words} > 0 AND {sum_len} >= 3 * {n_words} AND {sum_len} <= 10 * {n_words}"
+        ),
+        "gopher_symbol_ratio_ok": b(f"{n_words} > 0 AND 10 * {n_sym} <= {n_words}"),
+        "gopher_bullet_ok": b(f"10 * {n_bullet} <= 9 * {n_lines}"),
+        "gopher_ellipsis_ok": b(f"10 * {n_ell} <= 3 * {n_lines}"),
+        "gopher_alpha_ok": b(f"{n_words} > 0 AND 5 * {n_alpha} >= 4 * {n_words}"),
+        "gopher_stop_ok": b(f"{n_stop} >= 2"),
+    }
+    gate = " * ".join(v for k, v in flags.items() if k != "gopher_n_words")
+    flags["gopher_pass"] = f"CAST({gate} AS INT)"
+    return flags

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from olist_ecommerce_data_warehouse_spark.catalog import table
 from olist_ecommerce_data_warehouse_spark.functions.text import (
+    gopher_flags,
     LANG_ID_LANGS,
     LANG_MARKERS,
     PII_PATTERNS,
@@ -56,6 +57,24 @@ from olist_ecommerce_data_warehouse_spark.operators.bpe import (  # noqa: E402
 )
 
 
+# Gopher rule battery (functions.text.gopher_flags) — rendered once
+# for the oracle f-string below; the rendered SQL contains literal
+# regex braces, so it must NOT be inlined into the f-string source.
+def _gopher_cols_sql() -> str:
+    from olist_ecommerce_data_warehouse_spark.functions.text import gopher_flags_sql
+
+    return ",\n               ".join(
+        f"{expr} AS {name}" for name, expr in gopher_flags_sql("text").items()
+    )
+
+
+_GOPHER_NAMES = (
+    "gopher_n_words, gopher_word_count_ok, gopher_mean_word_len_ok, "
+    "gopher_symbol_ratio_ok, gopher_bullet_ok, gopher_ellipsis_ok, "
+    "gopher_alpha_ok, gopher_stop_ok, gopher_pass"
+)
+
+
 @query(
     "text_metrics",
     oracle=f"""
@@ -73,7 +92,8 @@ from olist_ecommerce_data_warehouse_spark.operators.bpe import (  # noqa: E402
                CASE WHEN doc_id % 7 = 0
                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
                          || '@example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.0.1'
-                    ELSE text END AS itext
+                    ELSE text END AS itext,
+               {_gopher_cols_sql()}
         FROM documents
     )
     SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens, n_bpe_pretokens,
@@ -92,7 +112,8 @@ from olist_ecommerce_data_warehouse_spark.operators.bpe import (  # noqa: E402
            {_pii_count_sql("itext", "IP")} AS n_ip,
            length({_pii_redact_sql("itext")}) AS redacted_len,
            md5({_pii_redact_sql("itext")}) AS redacted_fp,
-           COALESCE(bc.n_bpe_trained_tokens, 0) AS n_bpe_trained_tokens
+           COALESCE(bc.n_bpe_trained_tokens, 0) AS n_bpe_trained_tokens,
+           {_GOPHER_NAMES}
     FROM t LEFT JOIN bpe_doc_counts bc USING (doc_id)
     """,
 )
@@ -124,7 +145,15 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``bpe_oracle_ctes`` — the unrolled-Lloyd device applied to BPE),
     so the driver hash gates train → encode end-to-end.  This adds
     the plan's one join (doc_id, broadcast-sized counts) to what was
-    a pure map."""
+    a pure map.
+
+    Round 5 merges the GOPHER RULE BATTERY (Rae et al. 2021 App. A —
+    the filter set MassiveText/Dolma/FineWeb descend from) into the
+    slot: all 7 gates as 0/1 columns plus their AND, every ratio
+    cross-multiplied into an integer comparison so the battery is
+    exact int64 and the driver hash gates each rule's regex and
+    threshold (functions.text.gopher_flags / gopher_flags_sql share
+    every literal).  Still map-only."""
     from olist_ecommerce_data_warehouse_spark.operators.bpe import (
         bpe_encode,
         bpe_train,
@@ -172,6 +201,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["IP"].alias("n_ip"),
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),
+        *[v.alias(k) for k, v in gopher_flags("text").items()],
     ).join(bpe_counts, "doc_id")
 
 
