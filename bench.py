@@ -225,7 +225,11 @@ BASELINE_R05 = {
     "dedup_minhash_lsh": 2.5857,
     "dedup_ngram_jaccard": 4.0654,
     "dedup_simhash": 1.9421,
-    "embedding_quantize": 0.3864,
+    # re-anchored in round 5: the slot gained in-loop PQ codebook
+    # training (2 subspace k-means, unrolled-Lloyd-replayed) + encode
+    # — capability change; measured 3.2677 best-of-4, cal 1.04 →
+    # normalized 3.1526
+    "embedding_quantize": 3.1526,
     "events_json_props": 0.588,
     "events_sessionization": 0.5642,
     "events_windows": 0.8597,

@@ -1,0 +1,242 @@
+"""Product quantization (PQ) — the compression leg of billion-scale
+ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the PQ in FAISS's IVF-PQ).
+
+The IVF index (operators/similarity.py, operators/ann_index.py) bounds
+how many vectors a query SCANS; PQ bounds how many bytes each scanned
+vector COSTS: the d-dim embedding splits into ``m`` subvectors, each
+encoded as the id of its nearest subspace centroid (a ``k``-entry
+codebook trained per subspace), so a float32×d vector becomes m small
+ints (d=64, m=4, k=256 → 4 bytes vs 256: 64×).  Search uses
+ASYMMETRIC DISTANCE (ADC): per query, an m×k lookup table of exact
+query-to-centroid partial distances is built once (model-sized), and
+each candidate's distance is m table lookups + adds — no decode.
+
+Spark shapes:
+
+- ``pq_train`` — m INDEPENDENT k-means trainings over sliced vectors,
+  each the bit-deterministic integer Lloyd of ``kmeans_train`` (same
+  seeding, same floor-division means), so the whole codebook is
+  exactly replayable by the unrolled-Lloyd SQL device
+  (``plans.similarity.trained_cents_sql`` with per-subspace prefixes).
+- ``pq_encode`` — one Arrow map: per subspace argmin over k centroids
+  (exact int64 L2², ties → lower code), emits the code array plus the
+  integer reconstruction error Σ_j L2²(sub_j, codebook_j[code_j]) —
+  the quantization-quality number PQ deployments monitor.
+- ``pq_adc_topk`` — queries collect to a model-sized matrix (the
+  broadcast-contract shape of ``brute_force_topk``), every kernel
+  batch scores its candidates against the LUTs and keeps a
+  PER-PARTITION top-k; the global top-k window runs over
+  (n_queries × partitions × k) rows, never the full corpus.
+
+Everything is integer on the shared 1e-6 quantization grid —
+training, codes, reconstruction errors and ADC distances are all
+bit-stable under any partitioning and cross-engine replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olist_ecommerce_data_warehouse_spark.operators.kmeans import kmeans_train
+from olist_ecommerce_data_warehouse_spark.operators.similarity import quantized
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train ``m`` subspace codebooks (each k × d/m int64-quantized
+    centroids).  d must divide by m.  Each subspace is a full
+    ``kmeans_train`` over the sliced, pre-quantized vectors — m small
+    trainings, each the documented small-model/big-data loop."""
+    d = len(vectors.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    sub = d // m
+    q = vectors.select(F.col(id_col), quantized(vec_col).alias("__qv"))
+    books = []
+    for j in range(m):
+        sliced = q.select(
+            id_col, F.slice("__qv", j * sub + 1, sub).alias("__sub")
+        )
+        books.append(
+            kmeans_train(
+                sliced,
+                id_col=id_col,
+                vec_col="__sub",
+                k=k,
+                n_iter=n_iter,
+                pre_quantized=True,
+            )
+        )
+    return books
+
+
+PQ_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+        T.StructField("recon_err", T.LongType()),
+    ]
+)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes, recon_err): per-subspace nearest-centroid codes
+    (exact int64 L2², ties → lower code) + the integer reconstruction
+    error.  One Arrow map, no shuffle; the codebooks ride the closure
+    (model-sized: m·k·(d/m) ints)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def kernel(batches):
+        cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+        cns = [np.einsum("ij,ij->i", cb, cb) for cb in cbs]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # quantization happened ENGINE-side (similarity.quantized)
+            # before the exchange — one grid definition everywhere
+            vm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__qv"]])
+            codes = np.zeros((len(pdf), m), dtype=np.int32)
+            err = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(m):
+                s = vm[:, j * sub : (j + 1) * sub]
+                # exact int64 L2² to every centroid; argmin ties →
+                # lower code (np.argmin takes the first minimum)
+                d2 = (
+                    np.einsum("ij,ij->i", s, s)[:, None]
+                    - 2 * (s @ cbs[j].T)
+                    + cns[j][None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+                err += d2[np.arange(len(pdf)), codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "codes": list(codes),
+                    "recon_err": err,
+                }
+            )
+
+    return vectors.select(
+        F.col(id_col), quantized(vec_col).alias("__qv")
+    ).mapInPandas(kernel, PQ_CODE_SCHEMA)
+
+
+ADC_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("adc_dist", T.LongType()),
+    ]
+)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    queries: DataFrame,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: (query_id, vec_id,
+    adc_dist, rank).  Each query's m×k LUT of exact int64 partial
+    distances is built once from the collected query matrix
+    (model-sized — the broadcast contract of ``brute_force_topk``);
+    the kernel scores each batch by m gathers + adds and keeps a
+    per-partition top-k, so the global window sees
+    n_queries × partitions × k rows, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qrows = queries.select(
+        F.col(id_col).alias("__qid"), quantized(vec_col).alias("__qv")
+    ).collect()
+    qids = np.array([r["__qid"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["__qv"], dtype=np.int64) for r in qrows])
+    cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+    # LUT[q, j, c] = L2²(query_q subvector j, codebook_j centroid c)
+    lut = np.stack(
+        [
+            np.einsum("ij,ij->i", qs, qs)[:, None]
+            - 2 * (qs @ cbs[j].T)
+            + np.einsum("ij,ij->i", cbs[j], cbs[j])[None, :]
+            for j, qs in (
+                (j, qm[:, j * sub : (j + 1) * sub]) for j in range(m)
+            )
+        ],
+        axis=1,
+    )  # (n_q, m, k)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf["vec_id"].to_numpy()
+            # dist[q, d] = Σ_j LUT[q, j, cm[d, j]]
+            dist = np.zeros((len(qids), len(pdf)), dtype=np.int64)
+            for j in range(m):
+                dist += lut[:, j, cm[:, j]]
+            keep = min(top_k, dist.shape[1])
+            part = np.argpartition(dist, keep - 1, axis=1)[:, :keep]
+            rows = {
+                "query_id": np.repeat(qids, keep),
+                "vec_id": ids[part].ravel(),
+                "adc_dist": np.take_along_axis(dist, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import Window
+
+    cand = codes.select("vec_id", "codes").mapInPandas(kernel, ADC_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "vec_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
+def pq_encode_reference(
+    qvecs: dict[int, list[int]], codebooks: list[list[list[int]]]
+) -> dict[int, tuple[list[int], int]]:
+    """Driver-side twin of :func:`pq_encode` over PRE-QUANTIZED int
+    vectors (quantize once, on the engine grid — re-deriving the grid
+    from floats here would double-round) — the distributed codes and
+    errors must match exactly."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = {}
+    for vid, qv in qvecs.items():
+        codes, err = [], 0
+        for j in range(m):
+            s = qv[j * sub : (j + 1) * sub]
+            best, best_d = 0, None
+            for c, cent in enumerate(codebooks[j]):
+                d2 = sum((a - b) ** 2 for a, b in zip(s, cent))
+                if best_d is None or d2 < best_d:
+                    best, best_d = c, d2
+            codes.append(best)
+            err += best_d
+        out[vid] = (codes, err)
+    return out

@@ -193,11 +193,13 @@ IVF_K = 8
 IVF_ITERS = 2
 
 
-def _lloyd_iter_sql(i: int) -> str:
-    """CTEs for Lloyd iteration ``i``: assign to cents{i-1}, integer
-    means, cents{i}."""
+def _lloyd_iter_sql(i: int, p: str = "", rel: str = "c") -> str:
+    """CTEs for Lloyd iteration ``i``: assign to {p}cents{i-1}, integer
+    means, {p}cents{i}.  ``p`` prefixes every CTE name so several
+    independent trainings (e.g. PQ's per-subspace codebooks) can chain
+    in one WITH clause."""
     return f"""
-    assign{i} AS (
+    {p}assign{i} AS (
         SELECT vec_id, cvec, cluster FROM (
             SELECT c.vec_id, c.cvec, s.cluster,
                    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
@@ -205,38 +207,41 @@ def _lloyd_iter_sql(i: int) -> str:
                          - 2 * {_dot_sql("c.cvec", "s.centvec")}
                          + {_dot_sql("s.centvec", "s.centvec")},
                        s.cluster) AS rn
-            FROM c CROSS JOIN cents{i - 1} s
+            FROM {rel} c CROSS JOIN {p}cents{i - 1} s
         ) WHERE rn = 1
     ),
-    expl{i} AS (
+    {p}expl{i} AS (
         SELECT cluster, unnest(range(1, len(cvec) + 1)) AS dim, unnest(cvec) AS val
-        FROM assign{i}
+        FROM {p}assign{i}
     ),
-    means{i} AS (
+    {p}means{i} AS (
         SELECT cluster, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS newvec
-        FROM (SELECT cluster, dim, SUM(val) AS s, COUNT(*) AS n FROM expl{i} GROUP BY 1, 2)
+        FROM (SELECT cluster, dim, SUM(val) AS s, COUNT(*) AS n FROM {p}expl{i} GROUP BY 1, 2)
         GROUP BY cluster
     ),
-    cents{i} AS (
+    {p}cents{i} AS (
         SELECT p.cluster, COALESCE(m.newvec, p.centvec) AS centvec
-        FROM cents{i - 1} p LEFT JOIN means{i} m USING (cluster)
+        FROM {p}cents{i - 1} p LEFT JOIN {p}means{i} m USING (cluster)
     )"""
 
 
-def trained_cents_sql(k: int, iters: int) -> str:
+def trained_cents_sql(k: int, iters: int, prefix: str = "", rel: str = "c") -> str:
     """Unrolled-Lloyd centroid training as chained CTEs over a
-    ``c(vec_id, cvec)`` relation — emits a final ``cents(centroid_id,
-    centvec)`` CTE bit-identical to ``operators.kmeans.kmeans_train``
-    on the same quantized vectors (shared by the IVF-ANN and SemDeDup
-    oracles)."""
+    ``rel(vec_id, cvec)`` relation — emits a final ``{prefix}cents
+    (centroid_id, centvec)`` CTE bit-identical to
+    ``operators.kmeans.kmeans_train`` on the same quantized vectors
+    (shared by the IVF-ANN, SemDeDup, and PQ oracles; ``prefix``
+    namespaces the chain so the PQ gate trains one codebook per
+    subspace in a single WITH clause)."""
+    p = prefix
     return (
-        f"""cents0 AS (
+        f"""{p}cents0 AS (
         SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cluster, cvec AS centvec
-        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, cvec FROM c ORDER BY h LIMIT {k})
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, cvec FROM {rel} ORDER BY h LIMIT {k})
     ),"""
-        + ",".join(_lloyd_iter_sql(i) for i in range(1, iters + 1))
+        + ",".join(_lloyd_iter_sql(i, p, rel) for i in range(1, iters + 1))
         + f""",
-    cents AS (SELECT cluster AS centroid_id, centvec FROM cents{iters})"""
+    {p}cents AS (SELECT cluster AS centroid_id, centvec FROM {p}cents{iters})"""
     )
 
 
@@ -323,9 +328,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- PQ gate parameters (shared Spark/oracle): 2 subspaces × 4
+# centroids × 2 Lloyd iterations keeps the unrolled replay tractable;
+# the operator's production defaults (operators/pq.py) are larger.
+PQ_M = 2
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def _pq_argmin_sql(rel: str, cents: str) -> str:
+    """(vec_id, code, d2) — nearest codebook entry per sliced vector,
+    exact int64 L2², ties → lower centroid id (the np.argmin rule)."""
+    d2 = (
+        f"{_dot_sql('c.cvec', 'c.cvec')} - 2 * {_dot_sql('c.cvec', 's.centvec')}"
+        f" + {_dot_sql('s.centvec', 's.centvec')}"
+    )
+    return f"""(
+        SELECT vec_id, code, d2 FROM (
+            SELECT c.vec_id, s.centroid_id AS code, {d2} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                      ORDER BY {d2}, s.centroid_id) AS rn
+            FROM {rel} c CROSS JOIN {cents} s
+        ) WHERE rn = 1
+    )"""
+
+
 @query(
     "embedding_quantize",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     n AS (SELECT vec_id, v,
@@ -350,14 +380,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_max(list_transform(
                      list_zip(u, list_transform(codes, c -> CAST(c AS DOUBLE) * s / 127.0)),
                      p -> abs(p[1] - p[2]))) AS max_abs_err
-          FROM q)
-    SELECT vec_id,
+          FROM q),
+    qc AS (SELECT vec_id, {QVEC_SQL} AS cvec FROM embeddings),
+    c0 AS (SELECT vec_id, cvec[1:32] AS cvec FROM qc),
+    c1 AS (SELECT vec_id, cvec[33:64] AS cvec FROM qc),
+    {trained_cents_sql(PQ_K, PQ_ITERS, prefix="p0", rel="c0")},
+    {trained_cents_sql(PQ_K, PQ_ITERS, prefix="p1", rel="c1")},
+    pqe0 AS {_pq_argmin_sql("c0", "p0cents")},
+    pqe1 AS {_pq_argmin_sql("c1", "p1cents")}
+    SELECT d.vec_id,
            nrm + 0.0 AS l2_norm,
            s + 0.0 AS scale,
            md5(array_to_string(codes, ',')) AS codes_fp,
            max_abs_err + 0.0 AS max_abs_err,
-           CASE WHEN max_abs_err <= s / 254.0 + 1e-12 THEN 1 ELSE 0 END AS in_bounds
-    FROM d
+           CASE WHEN max_abs_err <= s / 254.0 + 1e-12 THEN 1 ELSE 0 END AS in_bounds,
+           CAST(pqe0.code AS INT) AS pq_code_0,
+           CAST(pqe1.code AS INT) AS pq_code_1,
+           CAST(pqe0.d2 + pqe1.d2 AS BIGINT) AS pq_recon_err
+    FROM d JOIN pqe0 ON d.vec_id = pqe0.vec_id
+           JOIN pqe1 ON d.vec_id = pqe1.vec_id
     """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,13 +421,36 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow single-step use.  The kernel's reductions are explicit
     LEFT FOLDS in element order with half-away-from-zero rounding, so
     its float64 outputs are bit-identical to the oracle's list_reduce
-    arithmetic and the code fingerprint is exact, not approximate."""
+    arithmetic and the code fingerprint is exact, not approximate.
+
+    Round 5 merges PRODUCT QUANTIZATION into the slot (operators/pq.py
+    — the IVF-PQ compression leg): 2 subspace codebooks train IN the
+    query (per-subspace integer Lloyd, the kmeans_train machinery over
+    sliced vectors), every vector encodes to its per-subspace argmin
+    codes, and the integer reconstruction error rides along.  The
+    oracle re-trains BOTH codebooks via prefixed unrolled-Lloyd CTEs
+    (trained_cents_sql with p0/p1 namespaces) and replays the argmin
+    with the same tie rule, so the driver hash gates codebook
+    training, encoding, and quantization quality end-to-end."""
     from olist_ecommerce_data_warehouse_spark.functions.embedding import (
         quantize_int8_stats,
     )
 
+    from olist_ecommerce_data_warehouse_spark.operators.pq import (
+        pq_encode,
+        pq_train,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
-    return quantize_int8_stats(emb, id_col="vec_id", vec_col="embedding")
+    base = quantize_int8_stats(emb, id_col="vec_id", vec_col="embedding")
+    books = pq_train(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS)
+    codes = pq_encode(emb, books).select(
+        "vec_id",
+        F.col("codes")[0].alias("pq_code_0"),
+        F.col("codes")[1].alias("pq_code_1"),
+        F.col("recon_err").alias("pq_recon_err"),
+    )
+    return base.join(codes, "vec_id")
 
 
 # ---- SemDeDup parameters (shared Spark/oracle): cluster count, Lloyd
