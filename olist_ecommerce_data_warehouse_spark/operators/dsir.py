@@ -13,13 +13,28 @@ two bag-of-hashed-ngrams models:
                        (the same hashing trick / shared rolling-hash
                        machinery as the fasttext-style classifier;
                        DSIR's paper uses B = 10^4, the default here);
-  models    p̂_t[b] = (t_b + α) / (T + αB)   (target, add-α smoothed)
-            p̂_r[b] = (r_b + α) / (R + αB)   (raw)
+  models    p̂_r[b] = (r_b + 1) / (R + B)          (raw, add-one)
+            p̂_t[b] = (t_b + μ·p̂_r[b]) / (T + μ)   (target, DIRICHLET-
+                       PRIOR smoothed on the raw model — Zhai &
+                       Lafferty 2001)
   weight    log ŵ_d = Σ_b x_d[b] · λ[b],  λ[b] = ln p̂_t[b] − ln p̂_r[b]
+                    = ln((t_b/p̂_r[b] + μ) / (T + μ))
   selection Gumbel-top-k:  key_d = log ŵ_d + g_d  with g_d standard
             Gumbel  ⇒  the top-n by key is an exact sample without
             replacement with P(d) ∝ ŵ_d  (Vieira 2014) — the paper's
             importance resampling, deterministically.
+
+Why Dirichlet-prior smoothing instead of the paper's symmetric add-α:
+a practical target sample is ORDERS smaller than the raw corpus
+(T ≪ R), and add-α then mis-prices the no-evidence cases — a bucket
+unseen in BOTH corpora gets λ0 = ln((R+αB)/(T+αB)) > 0 (hapax/junk
+vocabulary UP-weighted), and matched-rate buckets get a small negative
+bias that accumulates per token into a length penalty.  Measured at
+100×: selection became ANTI-enriched (64.6% target-like picks vs a
+78% base rate).  Anchoring the target model on the raw model fixes
+both analytically: λ = 0 EXACTLY when target and raw rates match
+(any T/R), and every target-unseen feature costs the same constant
+ln(μ/(T+μ)) instead of a raw-frequency-dependent bonus.
 
 Dataflow at 100 TB: the two bucket-count tables and the λ table are
 MODEL-sized (≤ B rows) — one aggregation over each corpus builds
@@ -29,7 +44,7 @@ global sort).  Nothing corpus-sized ever sits on the driver.
 
 Determinism (the ngram_lm policy): float ``ln`` appears exactly ONCE
 per bucket — λ[b] quantizes to fixed-point ``lam_fp = round(λ·2^20)``
-as a pure function of the integer tuple (t_b, T, r_b, R, B, α) — and
+as a pure function of the integer tuple (t_b, T, r_b, R, B, μ) — and
 ONCE per document for the Gumbel noise, whose uniform input is
 ``(pmod(xxhash64(id, seed), 2^31) + 0.5) / 2^31`` (a pure function of
 id and seed — replayable, partitioning-independent).  Per-doc weights
@@ -92,34 +107,41 @@ def dsir_log_ratio(
     target: DataFrame,
     raw: DataFrame,
     buckets: int = DSIR_BUCKETS,
-    alpha: int = 1,
+    mu: int = 2000,
     text_col: str = "text",
 ) -> tuple[DataFrame, int]:
-    """Fixed-point log-ratio table: returns ``(lam, lam0_fp)`` where
-    ``lam`` is (bucket, lam_fp) for every bucket seen in EITHER corpus
-    and ``lam0_fp`` is the constant ratio of a bucket seen in NEITHER
-    (t_b = r_b = 0 ⇒ λ0 = ln(R+αB) − ln(T+αB)) — document features
-    hashing to an unseen bucket still carry that prior, they don't
-    silently weigh 0.  Model-sized everywhere: two corpus aggregates,
-    one ≤B-row full-outer join, two scalar totals."""
+    """Fixed-point log-ratio table under Dirichlet-prior smoothing
+    (see module doc): returns ``(lam, lam0_fp)`` where ``lam`` is
+    (bucket, lam_fp) for every bucket with target evidence and
+    ``lam0_fp = round(ln(μ/(T+μ))·2^20)`` is the constant weight of
+    EVERY target-unseen bucket (seen-only-in-raw and seen-in-neither
+    alike — under this smoothing absence from the target prices the
+    same regardless of raw frequency).  λ[b] = ln((t_b/p̂_r[b] + μ) /
+    (T + μ)) with t_b/p̂_r[b] = t_b·(R+B)/(r_b+1) — one float ln per
+    bucket, quantized once.  ``mu`` is the Dirichlet mass (≈ a typical
+    document's token count; 2000 is the IR-standard default).
+    Model-sized everywhere: two corpus aggregates, one ≤B-row join,
+    two scalar totals."""
     tc = _bucket_totals(target, buckets, text_col)
     rc = _bucket_totals(raw, buckets, text_col)
     t_total = tc.agg(F.sum("c")).collect()[0][0] or 0
     r_total = rc.agg(F.sum("c")).collect()[0][0] or 0
-    log_t_denom = math.log(t_total + alpha * buckets)
-    log_r_denom = math.log(r_total + alpha * buckets)
-    lam0_fp = round((log_r_denom - log_t_denom) * _FP)
+    log_denom = math.log(t_total + mu)
+    lam0_fp = round((math.log(mu) - log_denom) * _FP)
     lam = (
         tc.withColumnRenamed("c", "t_b")
-        .join(rc.withColumnRenamed("c", "r_b"), "bucket", "full")
+        .join(rc.withColumnRenamed("c", "r_b"), "bucket", "left")
         .select(
             "bucket",
             F.round(
                 (
-                    F.log((F.coalesce("t_b", F.lit(0)) + F.lit(alpha)).cast("double"))
-                    - F.lit(log_t_denom)
-                    - F.log((F.coalesce("r_b", F.lit(0)) + F.lit(alpha)).cast("double"))
-                    + F.lit(log_r_denom)
+                    F.log(
+                        F.col("t_b").cast("double")
+                        * F.lit(float(r_total + buckets))
+                        / (F.coalesce("r_b", F.lit(0)) + F.lit(1)).cast("double")
+                        + F.lit(float(mu))
+                    )
+                    - F.lit(log_denom)
                 )
                 * F.lit(float(_FP))
             )
@@ -192,7 +214,7 @@ def dsir_reference(
     target_counts: dict[int, int],
     raw_counts: dict[int, int],
     buckets: int = DSIR_BUCKETS,
-    alpha: int = 1,
+    mu: int = 2000,
 ) -> tuple[dict[int, int], int, dict[int, int]]:
     """Driver-side reference: returns (lam_fp table, lam0_fp,
     weight_fp per doc) from pre-hashed feature counts — the
@@ -201,20 +223,20 @@ def dsir_reference(
     EXACTLY once the λ table is fixed."""
     t_total = sum(target_counts.values())
     r_total = sum(raw_counts.values())
-    log_t_denom = math.log(t_total + alpha * buckets)
-    log_r_denom = math.log(r_total + alpha * buckets)
-    lam0_fp = round((log_r_denom - log_t_denom) * _FP)
+    log_denom = math.log(t_total + mu)
+    lam0_fp = round((math.log(mu) - log_denom) * _FP)
     lam = {
         b: round(
             (
-                math.log(target_counts.get(b, 0) + alpha)
-                - log_t_denom
-                - math.log(raw_counts.get(b, 0) + alpha)
-                + log_r_denom
+                math.log(
+                    t_b * float(r_total + buckets) / (raw_counts.get(b, 0) + 1)
+                    + float(mu)
+                )
+                - log_denom
             )
             * _FP
         )
-        for b in set(target_counts) | set(raw_counts)
+        for b, t_b in target_counts.items()
     }
     weights = {
         d: sum(cnt * lam.get(b, lam0_fp) for b, cnt in feats.items())
