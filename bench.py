@@ -226,10 +226,10 @@ BASELINE_R05 = {
     "dedup_ngram_jaccard": 4.0654,
     "dedup_simhash": 1.9421,
     # re-anchored in round 5: the slot gained in-loop PQ codebook
-    # training (2 subspace k-means, unrolled-Lloyd-replayed) + encode
-    # — capability change; measured 3.2677 best-of-4, cal 1.04 →
-    # normalized 3.1526
-    "embedding_quantize": 3.1526,
+    # training (2 subspace k-means, unrolled-Lloyd-replayed) with
+    # encoding FUSED into the int8 kernel (zero-exchange plan kept);
+    # measured 2.941 best-of-4, cal 1.16 → normalized 2.5327
+    "embedding_quantize": 2.5327,
     "events_json_props": 0.588,
     "events_sessionization": 0.5642,
     "events_windows": 0.8597,

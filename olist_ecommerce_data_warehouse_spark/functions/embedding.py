@@ -71,10 +71,25 @@ def dequantize_int8(codes: Column | str, scale: Column) -> Column:
     return F.transform(c, lambda q: q.cast("double") * scale / 127.0)
 
 
-def quantize_int8_stats(vectors, id_col: str = "vec_id", vec_col: str = "embedding"):
+def quantize_int8_stats(
+    vectors,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pq_codebooks=None,
+):
     """Normalize + int8-quantize every vector and emit per-vector
     quantization statistics in ONE Arrow-batched pass: (id, l2_norm,
     scale, codes_fp, max_abs_err, in_bounds).
+
+    ``pq_codebooks`` (round 5): a trained ``operators.pq`` codebook
+    list fuses PQ ENCODING into the same pass — extra columns
+    pq_code_{j} per subspace and the integer pq_recon_err.  Fusion is
+    the scale point: the plan stays a single exchange-free Arrow map
+    (asserted in tests/test_plan_quality.py); a join of two separate
+    derivations of the same scan would shuffle the corpus twice for
+    nothing.  The in-kernel grid (floor(float64(x)·10^6)) is the same
+    IEEE op sequence as operators.similarity.quantized, so codes are
+    bit-identical to the standalone pq_encode path.
 
     This is the HOT-path twin of the column expressions above.  The
     expression path evaluates higher-order lambdas interpreted per
@@ -134,19 +149,42 @@ def quantize_int8_stats(vectors, id_col: str = "vec_id", vec_col: str = "embeddi
                 hashlib.md5(",".join(str(int(c)) for c in row).encode()).hexdigest()
                 for row in codes
             ]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "l2_norm": nrm,
-                    "scale": s,
-                    "codes_fp": fp,
-                    "max_abs_err": err,
-                    "in_bounds": (err <= s / 254.0 + 1e-12).astype("int32"),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "l2_norm": nrm,
+                "scale": s,
+                "codes_fp": fp,
+                "max_abs_err": err,
+                "in_bounds": (err <= s / 254.0 + 1e-12).astype("int32"),
+            }
+            if pq_codebooks is not None:
+                qv = np.floor(vm * 1_000_000.0).astype(np.int64)
+                m = len(pq_codebooks)
+                sub = len(pq_codebooks[0][0])
+                recon = np.zeros(len(vm), dtype=np.int64)
+                for j in range(m):
+                    cb = np.asarray(pq_codebooks[j], dtype=np.int64)
+                    cn = np.einsum("ij,ij->i", cb, cb)
+                    sj = qv[:, j * sub : (j + 1) * sub]
+                    d2 = (
+                        np.einsum("ij,ij->i", sj, sj)[:, None]
+                        - 2 * (sj @ cb.T)
+                        + cn[None, :]
+                    )
+                    pick = np.argmin(d2, axis=1)  # ties → lower code
+                    out[f"pq_code_{j}"] = pick.astype("int32")
+                    recon += d2[np.arange(len(vm)), pick]
+                out["pq_recon_err"] = recon
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        kernel,
+    schema = (
         f"{id_col} bigint, l2_norm double, scale double, codes_fp string, "
-        "max_abs_err double, in_bounds int",
+        "max_abs_err double, in_bounds int"
     )
+    if pq_codebooks is not None:
+        schema += (
+            ", "
+            + ", ".join(f"pq_code_{j} int" for j in range(len(pq_codebooks)))
+            + ", pq_recon_err bigint"
+        )
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)

@@ -436,21 +436,17 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_int8_stats,
     )
 
-    from olist_ecommerce_data_warehouse_spark.operators.pq import (
-        pq_encode,
-        pq_train,
-    )
+    from olist_ecommerce_data_warehouse_spark.operators.pq import pq_train
 
     emb = table(spark, sf_dir, "embeddings")
-    base = quantize_int8_stats(emb, id_col="vec_id", vec_col="embedding")
     books = pq_train(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS)
-    codes = pq_encode(emb, books).select(
-        "vec_id",
-        F.col("codes")[0].alias("pq_code_0"),
-        F.col("codes")[1].alias("pq_code_1"),
-        F.col("recon_err").alias("pq_recon_err"),
+    # PQ encoding FUSED into the int8-stats kernel: one exchange-free
+    # Arrow pass emits both families (a vec_id join of two derivations
+    # of the same scan would shuffle the corpus twice — caught by
+    # tests/test_plan_quality.py's zero-Exchange budget for this slot)
+    return quantize_int8_stats(
+        emb, id_col="vec_id", vec_col="embedding", pq_codebooks=books
     )
-    return base.join(codes, "vec_id")
 
 
 # ---- SemDeDup parameters (shared Spark/oracle): cluster count, Lloyd

@@ -461,8 +461,12 @@ def test_quantize_kernel_cross_engine_parity(spark, ddb, vecs):
     ddb.execute("CREATE OR REPLACE TABLE _fuzz_emb AS SELECT * FROM (VALUES (NULL::BIGINT, NULL::FLOAT[])) t(vec_id, embedding) WHERE FALSE")
     for i, v in rows:
         ddb.execute("INSERT INTO _fuzz_emb VALUES (?, ?)", [i, v])
+    # project the int8 columns by name: the slot's oracle also carries
+    # the round-5 PQ gate, whose 64-dim subspace slices are not
+    # meaningful on these 4-dim fuzz vectors
     oracle = e.oracle_sql()["embedding_quantize"].replace("embeddings", "_fuzz_emb")
-    for r in ddb.execute(oracle).fetchall():
+    cols = "vec_id, l2_norm, scale, codes_fp, max_abs_err, in_bounds"
+    for r in ddb.execute(f"SELECT {cols} FROM ({oracle})").fetchall():
         vid, l2, sc, fp, err, inb = r
         g = got[vid]
         assert repr(g["l2_norm"]) == repr(l2), (vid, g["l2_norm"], l2)
