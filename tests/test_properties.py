@@ -1152,3 +1152,42 @@ def test_url_canonicalize_cross_engine_parity(spark, ddb, parts):
             default = ":80" if scheme == "http" else ":443"
             assert not hostport.endswith(default), (u, c)
             assert not hostport.startswith("www."), (u, c)
+
+
+# ------------------------------------------------------------ Gopher twins
+
+_GOPHER_ATOMS = [
+    "the", "of", "and", "that", "have", "with", "data", "pipeline",
+    "x", "#", "...", "…", "•", "-", "*", "12345", "!!!", "a" * 12,
+    "ab", "\n", "\n- bullet", "\n• item", "...\n", "…\n", "  ",
+    "İstanbul", "ılık", "漢字",
+]
+
+
+@given(
+    parts=st.lists(st.sampled_from(_GOPHER_ATOMS), min_size=0, max_size=30),
+    sep=st.sampled_from([" ", "  ", "\n"]),
+)
+@_SETTINGS
+def test_gopher_flags_cross_engine_parity(spark, ddb, parts, sep):
+    """Fuzz the Gopher rule battery twins over adversarial text
+    (bullets, ellipses in both scripts, hash runs, pure digits,
+    over-long words, Turkish İ/ı, CJK, newline salads): every rule's
+    0/1 gate and the evidence count must agree EXACTLY — the battery
+    is integer end-to-end, so any divergence is a regex/threshold
+    drift between the twins, the exact bug class this pins."""
+    from olist_ecommerce_data_warehouse_spark.functions.text import (
+        gopher_flags,
+        gopher_flags_sql,
+    )
+
+    text = sep.join(parts)
+    fl = gopher_flags("text")
+    df = spark.createDataFrame([(0, text)], "i long, text string")
+    got = df.select(*[v.alias(k) for k, v in fl.items()]).collect()[0].asDict()
+    sel = ", ".join(f"{v} AS {k}" for k, v in gopher_flags_sql("text").items())
+    want = ddb.execute(
+        f"SELECT {sel} FROM (SELECT ? AS text)", [text]
+    ).fetchdf().iloc[0].to_dict()
+    for k in got:
+        assert int(got[k]) == int(want[k]), (k, text)
