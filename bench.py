@@ -270,6 +270,21 @@ BASELINE_R05 = {
 }
 
 
+def median_of(xs: list[float]) -> float:
+    """Standard median (mean of the middle pair for even n).  The GATE
+    statistic since round 6: gating on min(samples) let one lucky
+    sample un-flag a genuinely bimodal-slow query (the asymmetry the
+    round-4/5 ADVICE called out) — the median keeps confirmation
+    re-runs symmetric: extra samples can clear an environment outlier,
+    but a plan that is slow on MOST samples stays flagged.  min() is
+    still emitted under "queries" as the steady-state cost record."""
+    s = sorted(xs)
+    n = len(s)
+    if n % 2:
+        return s[n // 2]
+    return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def rig_factor_of(cals: list[float]) -> float:
     """Session rig factor from the window calibrations: median (robust
     to independent cal spikes — measured 0.64-1.77 s within one quiet
@@ -342,18 +357,22 @@ def main() -> None:
             samples[name].append(round(run_plan(spark, name, sf_dir), 4))
 
     # confirmation re-runs against the NORMALIZED gate: a query whose
-    # best-so-far still flags gets up to TWO more samples at a later
+    # MEDIAN-so-far still flags gets up to TWO more samples at a later
     # moment (both of this box's noise modes rotate between queries
     # run-to-run, so a flag must survive extra samples to be reported;
     # a genuine plan regression reproduces on every attempt and still
     # flags).  Each confirmation round also adds a cal window so the
-    # median keeps tracking the session.  All confirmation samples
-    # land in "samples" — the min-keeping is auditable from the
-    # emitted record.
+    # rig median keeps tracking the session.  The gate statistic is the
+    # MEDIAN of all samples (round 6 — see median_of): a single lucky
+    # confirmation sample can no longer un-flag a bimodal-slow query,
+    # while a one-off outlier is outvoted by the clean majority.  All
+    # confirmation samples land in "samples".
     if abs(sf - 0.1) < 1e-9:
         for _ in range(2):
             rf = rig_factor_of(cals)
-            flagged = [n for n in names if gate_normalized(n, min(samples[n]) / rf)]
+            flagged = [
+                n for n in names if gate_normalized(n, median_of(samples[n]) / rf)
+            ]
             if not flagged:
                 break
             cals.append(round(calibration_sec(spark), 4))
@@ -362,7 +381,11 @@ def main() -> None:
 
     rig_factor = rig_factor_of(cals)
     timings = {name: min(samples[name]) for name in names}
+    medians = {name: median_of(samples[name]) for name in names}
     normalized = {name: round(t / rig_factor, 4) for name, t in timings.items()}
+    normalized_median = {
+        name: round(t / rig_factor, 4) for name, t in medians.items()
+    }
 
     # regression diffs: normalized-vs-R05 is the binding gate; raw
     # diffs vs the frozen R01-R04 dicts stay for history (sf0.1 only —
@@ -375,6 +398,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "queries_normalized": normalized,
+        "queries_median": medians,
         "calibration": {
             "window_secs": cals,
             "ref_sec": CAL_REF,
@@ -387,7 +411,7 @@ def main() -> None:
         "regressions_vs_r03": diff_vs(BASELINE_R03, "r03", timings) if at_sf01 else {},
         "regressions_vs_r04": diff_vs(BASELINE_R04, "r04", timings) if at_sf01 else {},
         "regressions_normalized_vs_r05": (
-            diff_vs(BASELINE_R05, "r05", normalized) if at_sf01 else {}
+            diff_vs(BASELINE_R05, "r05", normalized_median) if at_sf01 else {}
         ),
     }
     print(json.dumps(out))

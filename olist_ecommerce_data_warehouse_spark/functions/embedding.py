@@ -158,22 +158,17 @@ def quantize_int8_stats(
                 "in_bounds": (err <= s / 254.0 + 1e-12).astype("int32"),
             }
             if pq_codebooks is not None:
+                # same grid as operators.similarity.quantized, same
+                # argmin core as pq_encode (shared helper — one
+                # implementation, two call sites, no drift)
+                from olist_ecommerce_data_warehouse_spark.operators.pq import (
+                    pq_encode_block,
+                )
+
                 qv = np.floor(vm * 1_000_000.0).astype(np.int64)
-                m = len(pq_codebooks)
-                sub = len(pq_codebooks[0][0])
-                recon = np.zeros(len(vm), dtype=np.int64)
-                for j in range(m):
-                    cb = np.asarray(pq_codebooks[j], dtype=np.int64)
-                    cn = np.einsum("ij,ij->i", cb, cb)
-                    sj = qv[:, j * sub : (j + 1) * sub]
-                    d2 = (
-                        np.einsum("ij,ij->i", sj, sj)[:, None]
-                        - 2 * (sj @ cb.T)
-                        + cn[None, :]
-                    )
-                    pick = np.argmin(d2, axis=1)  # ties → lower code
-                    out[f"pq_code_{j}"] = pick.astype("int32")
-                    recon += d2[np.arange(len(vm)), pick]
+                pq_codes, recon = pq_encode_block(qv, pq_codebooks)
+                for j in range(len(pq_codebooks)):
+                    out[f"pq_code_{j}"] = pq_codes[:, j]
                 out["pq_recon_err"] = recon
             yield pd.DataFrame(out)
 

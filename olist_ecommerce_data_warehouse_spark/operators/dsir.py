@@ -71,6 +71,16 @@ _FP = 1 << FP_BITS
 _UM = 1 << 31  # uniform grid for the Gumbel input
 
 
+def round_half_away(x: float) -> int:
+    """Round half AWAY from zero — Spark ``F.round``'s rule on doubles
+    (and DuckDB's).  Python's builtin ``round`` is half-to-even, so a
+    λ landing exactly on a .5 fp boundary would diverge between the
+    engine and any driver/SQL twin for a reason other than the
+    documented 1-ulp libm tolerance; every driver-side quantization in
+    this module goes through this helper instead."""
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+
 def dsir_feature_counts(
     docs: DataFrame,
     buckets: int = DSIR_BUCKETS,
@@ -127,7 +137,7 @@ def dsir_log_ratio(
     t_total = tc.agg(F.sum("c")).collect()[0][0] or 0
     r_total = rc.agg(F.sum("c")).collect()[0][0] or 0
     log_denom = math.log(t_total + mu)
-    lam0_fp = round((math.log(mu) - log_denom) * _FP)
+    lam0_fp = round_half_away((math.log(mu) - log_denom) * _FP)
     lam = (
         tc.withColumnRenamed("c", "t_b")
         .join(rc.withColumnRenamed("c", "r_b"), "bucket", "left")
@@ -224,9 +234,9 @@ def dsir_reference(
     t_total = sum(target_counts.values())
     r_total = sum(raw_counts.values())
     log_denom = math.log(t_total + mu)
-    lam0_fp = round((math.log(mu) - log_denom) * _FP)
+    lam0_fp = round_half_away((math.log(mu) - log_denom) * _FP)
     lam = {
-        b: round(
+        b: round_half_away(
             (
                 math.log(
                     t_b * float(r_total + buckets) / (raw_counts.get(b, 0) + 1)

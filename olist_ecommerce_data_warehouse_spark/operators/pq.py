@@ -79,6 +79,29 @@ def pq_train(
     return books
 
 
+def pq_encode_block(qv, codebooks):
+    """Shared numpy core of PQ encoding over a block of PRE-QUANTIZED
+    int64 vectors: per-subspace exact-int64 L2² argmin (ties → lower
+    code, np.argmin takes the first minimum).  Returns
+    ``(codes int32 (n, m), recon_err int64 (n,))``.  Used by BOTH
+    :func:`pq_encode` and the fused int8-stats kernel
+    (functions/embedding.py) so the two paths cannot drift apart."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = np.zeros((len(qv), m), dtype=np.int32)
+    err = np.zeros(len(qv), dtype=np.int64)
+    for j in range(m):
+        cb = np.asarray(codebooks[j], dtype=np.int64)
+        cn = np.einsum("ij,ij->i", cb, cb)
+        s = qv[:, j * sub : (j + 1) * sub]
+        d2 = np.einsum("ij,ij->i", s, s)[:, None] - 2 * (s @ cb.T) + cn[None, :]
+        codes[:, j] = np.argmin(d2, axis=1)
+        err += d2[np.arange(len(qv)), codes[:, j]]
+    return codes, err
+
+
 PQ_CODE_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
@@ -101,31 +124,14 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-
     def kernel(batches):
-        cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
-        cns = [np.einsum("ij,ij->i", cb, cb) for cb in cbs]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             # quantization happened ENGINE-side (similarity.quantized)
             # before the exchange — one grid definition everywhere
             vm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__qv"]])
-            codes = np.zeros((len(pdf), m), dtype=np.int32)
-            err = np.zeros(len(pdf), dtype=np.int64)
-            for j in range(m):
-                s = vm[:, j * sub : (j + 1) * sub]
-                # exact int64 L2² to every centroid; argmin ties →
-                # lower code (np.argmin takes the first minimum)
-                d2 = (
-                    np.einsum("ij,ij->i", s, s)[:, None]
-                    - 2 * (s @ cbs[j].T)
-                    + cns[j][None, :]
-                )
-                codes[:, j] = np.argmin(d2, axis=1)
-                err += d2[np.arange(len(pdf)), codes[:, j]]
+            codes, err = pq_encode_block(vm, codebooks)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].astype("int64"),
@@ -198,7 +204,14 @@ def pq_adc_topk(
             for j in range(m):
                 dist += lut[:, j, cm[:, j]]
             keep = min(top_k, dist.shape[1])
-            part = np.argpartition(dist, keep - 1, axis=1)[:, :keep]
+            # Per-partition prune uses the SAME (adc_dist, vec_id)
+            # lexicographic rule as the global window: argpartition on
+            # distance alone keeps an arbitrary subset among boundary
+            # ties (realistic — duplicate vectors share PQ codes), so
+            # final membership would vary with Arrow batch size.
+            part = np.stack(
+                [np.lexsort((ids, dist[qi]))[:keep] for qi in range(len(qids))]
+            )
             rows = {
                 "query_id": np.repeat(qids, keep),
                 "vec_id": ids[part].ravel(),

@@ -75,3 +75,33 @@ def test_every_registered_plan_is_anchored():
 def test_diff_vs_reports_ratio():
     reg = bench.diff_vs({"a": 1.0, "b": 1.0}, "r05", {"a": 2.2, "b": 1.1})
     assert reg == {"a": {"r05": 1.0, "now": 2.2, "ratio": 2.2}}
+
+
+def test_median_gate_resists_one_lucky_sample():
+    """The round-6 bias fix: a bimodal-noise query that is slow on
+    MOST samples must stay flagged even after one lucky confirmation
+    sample — under the old min-of-samples statistic that single fast
+    sample un-flagged it (the asymmetry the round-4/5 ADVICE called
+    out)."""
+    anchor = 2.0
+    # slow on 3 of 4 samples; one lucky confirmation run at anchor speed
+    samples = [6.0, 6.2, 2.0, 6.1]
+    med = bench.median_of(samples)
+    assert med > 1.5 * anchor  # median keeps the flag...
+    assert bench.gate_normalized("x", med, {"x": anchor})
+    assert not bench.gate_normalized("x", min(samples), {"x": anchor})  # ...min lost it
+
+
+def test_median_gate_clears_single_outlier():
+    """The symmetric case: ONE environment outlier among clean samples
+    must not flag — the clean majority outvotes it."""
+    anchor = 2.0
+    samples = [2.1, 6.0, 2.0, 2.05]
+    assert not bench.gate_normalized("x", bench.median_of(samples), {"x": anchor})
+
+
+def test_median_of_definitions():
+    assert bench.median_of([3.0]) == 3.0
+    assert bench.median_of([1.0, 3.0]) == 2.0
+    assert bench.median_of([1.0, 10.0, 3.0]) == 3.0
+    assert bench.median_of([1.0, 2.0, 3.0, 10.0]) == 2.5

@@ -1757,3 +1757,34 @@ def test_product_quantization_end_to_end(spark):
     }
     first = {(r["query_id"], r["rank"]): r["vec_id"] for r in top.collect()}
     assert again == first
+
+
+def test_pq_adc_topk_tie_determinism(spark):
+    """Exact ADC-distance TIES at the keep boundary (realistic:
+    duplicate vectors share PQ codes) must resolve by the (adc_dist,
+    vec_id) lexicographic rule in the PER-BATCH prune too — an
+    argpartition on distance alone keeps an arbitrary subset among
+    boundary ties, so final top-k membership would vary with
+    partitioning/Arrow batch size (round-6 advice)."""
+    from olist_ecommerce_data_warehouse_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    # 60 IDENTICAL vectors → identical codes → all ADC distances equal:
+    # every candidate ties, and the contract demands the 5 LOWEST ids.
+    base = [round(0.1 * ((j % 7) - 3), 6) for j in range(16)]
+    rows = [(i, base) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(vecs, m=2, k=4, n_iter=2)
+    enc = pq_encode(vecs, books)
+    queries = vecs.filter(F.col("vec_id") == 59)
+    for parts in (1, 7, 32):
+        got = [
+            r["vec_id"]
+            for r in pq_adc_topk(enc.repartition(parts), books, queries, top_k=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [0, 1, 2, 3, 4], (parts, got)
