@@ -194,15 +194,50 @@ def dsir_score(
 def gumbel_key(weight_fp_col, id_col, seed: int = 0):
     """key_fp = weight_fp + round(Gumbel(u)·2^20) with u a pure
     function of (id, seed): top-n by this key samples without
-    replacement with P ∝ exp(weight) — the Gumbel-top-k trick.  The
-    0.5/2^31 offset keeps u strictly inside (0, 1)."""
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_UM)) + F.lit(0.5)
-    ) / F.lit(float(_UM))
+    replacement with P ∝ exp(weight) — the Gumbel-top-k trick.
+
+    The uniform source is the md5 device (round 6 — previously
+    xxhash64, which DuckDB cannot replay): v = first-8-hex-digits of
+    md5('id:dsir:seed') ∈ [0, 2^32), u = (v + 0.5) / 2^32.  v is exact
+    in a double (< 2^53), +0.5 is exact, and the divisor is a POWER OF
+    TWO so the division is exact too — u is bit-identical in Spark,
+    DuckDB and Python, leaving the two libm ``ln``s as the only float
+    ops (their post-quantization flip margins are measured ≫ 1-ulp in
+    tests/test_operators.py::test_dsir_gate_rounding_margins)."""
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+        hex_to_long,
+    )
+
+    v = hex_to_long(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f":dsir:{seed}")
+                )
+            ),
+            1,
+            8,
+        )
+    )
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
     g = -F.log(-F.log(u))
     return (F.col(weight_fp_col) + F.round(g * F.lit(float(_FP))).cast("bigint")).alias(
         "key_fp"
     )
+
+
+def gumbel_key_sql(id_expr: str, seed: int = 0) -> str:
+    """SQL twin of the round-6 :func:`gumbel_key` noise term:
+    round(Gumbel(u)·2^20) as a BIGINT expression (add the caller's
+    weight_fp column).  Exact-u md5 device, see gumbel_key."""
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+        hex2int_sql,
+    )
+
+    h = f"substr(md5(CAST({id_expr} AS VARCHAR) || ':dsir:{seed}'), 1, 8)"
+    v = hex2int_sql("{h}").format(h=h)
+    u = f"((CAST({v} AS DOUBLE) + 0.5) / 4294967296.0)"
+    return f"CAST(round(-ln(-ln({u})) * {float(_FP)!r}) AS BIGINT)"
 
 
 def dsir_resample(

@@ -26,6 +26,8 @@ from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
     synthesize_palette_pngs,
     probe_media_headers,
     synthesize_gifs,
+    synthesize_gray_jpegs,
+    jpeg_pixel_sums,
     wav_sample_sums,
     sample_frames,
     synthesize_media,
@@ -156,6 +158,21 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(ss) AS BIGINT) AS sum_px,
                CAST(SUM(npxb) AS BIGINT) AS sum_npx
         FROM bmp8_sums
+    ),
+    jpeg_sums AS (
+        SELECT doc_id, 64 * bw * bh AS npx,
+               64 * list_sum(flatten(list_transform(generate_series(0, bh - 1), by ->
+                   list_transform(generate_series(0, bw - 1), bx ->
+                       (bx * 7 + by * 13 + doc_id) % 256)))) AS ps
+        FROM (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+              FROM documents WHERE doc_id % 4 = 1)
+    ),
+    jpegdec_agg AS (
+        SELECT 'decode:jpeg' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ps) AS BIGINT) AS sum_pixels,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM jpeg_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -187,6 +204,9 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM bmp8_agg
         UNION ALL SELECT kind, 'sum_px', sum_px FROM bmp8_agg
         UNION ALL SELECT kind, 'sum_npx', sum_npx FROM bmp8_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM jpegdec_agg
+        UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM jpegdec_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM jpegdec_agg
     )
     """,
 )
@@ -379,6 +399,28 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_media', n_media, 'sum_px', sum_px, "
         "'sum_npx', sum_npx) AS (metric, value)",
     )
+    # kind='decode:jpeg' (round 6) — the baseline-DCT gate: real
+    # grayscale JPEGs with block-constant known content (exact integer
+    # DC, zero AC under unit quantization) go through the FULL decode
+    # path — segment walk, DQT/DHT parse, canonical-Huffman entropy
+    # decode with byte unstuffing, DC-diff EXTEND, dequantize,
+    # de-zigzag, float IDCT, level shift — and the exact pixel sums
+    # must match the oracle's closed form over the same id arithmetic.
+    jpeg_sums = jpeg_pixel_sums(
+        synthesize_gray_jpegs(docs.filter(F.col("doc_id") % 4 == 1))
+    )
+    jpegdec_agg = jpeg_sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("px_sum").cast("bigint").alias("sum_pixels"),
+        F.sum("n_px").cast("bigint").alias("sum_npixels"),
+    ).select(
+        F.lit("decode:jpeg").alias("kind"), "n_media", "sum_pixels", "sum_npixels"
+    )
+    jpegdec_long = jpegdec_agg.selectExpr(
+        "kind",
+        "stack(3, 'n_media', n_media, 'sum_pixels', sum_pixels, "
+        "'sum_npixels', sum_npixels) AS (metric, value)",
+    )
     return (
         bytes_long.unionByName(probe_long)
         .unionByName(decode_long)
@@ -387,6 +429,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bmpdec_long)
         .unionByName(pngpal_long)
         .unionByName(bmp8_long)
+        .unionByName(jpegdec_long)
     )
 
 

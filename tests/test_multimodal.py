@@ -228,9 +228,11 @@ def test_real_decode_png_bmp_wav(spark):
     assert (b8["format"], b8["width"], b8["height"], b8["n_channels"]) == ("bmp", 2, 2, 3)
     assert abs(b8["sample_mean"] - bmp8_mean) < 1e-9  # palette-resolved, padding excluded
 
-    # non-decodable format → honest NotImplementedError
+    # non-decodable format → honest NotImplementedError (round 6:
+    # baseline JPEG is now a REAL decode path, so the honest boundary
+    # is exercised with an unknown container instead)
     junk = spark.createDataFrame(
-        [(9, "image", bytearray(b"\xff\xd8\xff junk jpeg"), "t")],
+        [(9, "video", bytearray(b"\x00\x00\x00\x14ftypisom junk"), "t")],
         "media_id long, kind string, payload binary, source string",
     )
     with pytest.raises(Exception) as ei:
@@ -238,6 +240,25 @@ def test_real_decode_png_bmp_wav(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+    # baseline JPEG decodes for real through the sniffing path
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _synth_jpeg_gray_bytes,
+    )
+
+    jb = _synth_jpeg_gray_bytes(16, 8, 7)
+    jdf = spark.createDataFrame(
+        [(10, "image", bytearray(jb), "t")],
+        "media_id long, kind string, payload binary, source string",
+    )
+    jr = real_decode_media(jdf).collect()[0]
+    assert (jr["format"], jr["width"], jr["height"], jr["n_channels"]) == (
+        "jpeg", 16, 8, 1,
+    )
+    want_mean = (
+        sum((bx * 7 + 0 * 13 + 7) % 256 for bx in range(2)) * 64 / (16 * 8)
+    )
+    assert abs(jr["sample_mean"] - want_mean) < 1e-9
 
 
 def _gif_bitpack(codes):
@@ -572,3 +593,109 @@ def test_known_content_synthesis_inverts(spark):
     assert list(array.array("h", frames)) == [
         ((j * 37) % 2048) - 1024 for j in range(42)
     ]
+
+
+def test_jpeg_baseline_decode_roundtrip():
+    """Round-6 JPEG gate machinery: (1) the known-content encoder's
+    block-constant fixtures decode back EXACTLY (DC-only blocks have
+    exact integer DCT under unit quantization, and the float IDCT's
+    ~1e-13 error vanishes in the 0.5 rounding margin); (2) a
+    hand-built file with a NONZERO AC coefficient decodes to the same
+    pixels as an independent dense IDCT — exercising run/size AC
+    coding and EXTEND beyond what the fixtures reach; (3) the honest
+    NotImplementedError boundaries hold."""
+    import struct
+
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _ZIGZAG,
+        _decode_jpeg_baseline,
+        _synth_jpeg_gray_bytes,
+    )
+
+    for mid in (0, 1, 5, 11, 254, 255):
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        b = _synth_jpeg_gray_bytes(w, h, mid)
+        dw, dh, planes = _decode_jpeg_baseline(b)
+        assert (dw, dh) == (w, h)
+        got = planes[0].astype(np.int64)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = (bx * 7 + by * 13 + mid) % 256
+                blk = got[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == v).all(), (mid, bx, by, v, blk[0, 0])
+
+    # nonzero-AC file: splice an AC symbol into a custom single-block
+    # stream — DC cat 0, then (run=1, size=2) with magnitude bits 10
+    # (EXTEND → +2) at zigzag position 2, then EOB.
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _BitWriter,
+        _huff_canonical,
+    )
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_bits = [0, 3] + [0] * 14  # EOB, 0x12, 0xF0 as 2-bit codes
+    ac_vals = [0x00, 0x12, 0xF0]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dc_tab = _huff_canonical(dc_bits, dc_vals)
+    ac_tab = _huff_canonical(ac_bits, ac_vals)
+    bw = _BitWriter()
+    code, ln = dc_tab[0]
+    bw.write(code, ln)  # DC diff 0
+    code, ln = ac_tab[0x12]
+    bw.write(code, ln)  # run 1, size 2
+    bw.write(0b10, 2)  # EXTEND(2, 2) = +2 at zigzag k=2
+    code, ln = ac_tab[0x00]
+    bw.write(code, ln)  # EOB
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    _, _, planes = _decode_jpeg_baseline(jpg)
+    # independent dense IDCT of coef[zigzag 2] = 2 (natural (0,2))
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    F8 = np.zeros((8, 8))
+    F8[_ZIGZAG[2] // 8, _ZIGZAG[2] % 8] = 2.0
+    want = A.T @ F8 @ A + 128.0
+    want = np.clip(np.floor(np.abs(want) + 0.5) * np.sign(want), 0, 255)
+    assert (planes[0].astype(np.float64) == want).all()
+
+    # honest boundaries
+    import pytest
+
+    base = bytearray(_synth_jpeg_gray_bytes(8, 8, 3))
+    prog = bytearray(base)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg_baseline(bytes(prog))
+    sub = bytearray(base)
+    i = sub.find(b"\xff\xc0")
+    sub[i + 2 + 2 + 6 + 1] = 0x22  # sampling factor 2x2
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg_baseline(bytes(sub))
+    qt16 = bytearray(base)
+    qt16[qt16.find(b"\xff\xdb") + 4] = 0x10  # 16-bit quant precision
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg_baseline(bytes(qt16))
+    dri = (
+        bytes(base[: base.find(b"\xff\xdb")])
+        + seg(0xDD, struct.pack(">H", 4))
+        + bytes(base[base.find(b"\xff\xdb") :])
+    )
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg_baseline(dri)

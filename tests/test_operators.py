@@ -13,7 +13,7 @@ from olist_ecommerce_data_warehouse_spark.operators.surrogate import (
     add_surrogate_key_simple,
 )
 from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MID
 
 
 def test_approx_aggregates_error_bounds(spark):
@@ -1688,6 +1688,95 @@ def test_dsir_importance_resampling(spark):
     assert again == picked
     other = {r["doc_id"] for r in dsir_resample(scored, 20, seed=8).collect()}
     assert other != picked or len(wiki_ids) == 20  # different seed reshuffles ties
+
+
+def test_dsir_gate_rounding_margins():
+    """The round-6 DSIR driver gate quantizes ONE libm ``ln`` per λ
+    row and two per Gumbel key to the 2^-20 grid; the gate is sound
+    iff every quantization input sits FAR from a .5 rounding boundary
+    relative to the cross-libm 1-ulp hazard (~1e-8 at this magnitude
+    after the 2^20 scaling).  This asserts the measured margins at the
+    driver's gating SF (sf0.01) exceed 1e-6 — 100× the hazard.
+    Margins are corpus-fixed (deterministic synthetic data), so this
+    is a property of the shipped gate, not of one lucky run.  Measured
+    at build time: sf0.01 min λ margin 6.4e-3, min key margin 6.4e-4;
+    sf0.1: 4.0e-4 / 2.2e-5 — all ≫ 1e-6 except asserted here for the
+    gated tier."""
+    import math
+
+    import duckdb
+
+    from olist_ecommerce_data_warehouse_spark.operators.dsir import (
+        DSIR_BUCKETS,
+        _FP,
+    )
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        quality_features_sql,
+    )
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+        hex2int_sql,
+        mix32_sql_expr,
+    )
+    from olist_ecommerce_data_warehouse_spark.plans.corpus import (
+        DSIR_MU,
+        DSIR_SEED,
+    )
+
+    def margin(y: float) -> float:
+        f = ((y % 1.0) + 1.0) % 1.0
+        return abs(f - 0.5)
+
+    ddb = duckdb.connect()
+    ddb.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR_MID}/documents.parquet')"
+    )
+    feats = f"""
+      SELECT doc_id, ({mix32_sql_expr("h")}) % {DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, unnest({quality_features_sql('text')}) AS h
+            FROM documents)"""
+    tc = dict(
+        ddb.execute(
+            f"""WITH f AS ({feats})
+            SELECT bucket, COUNT(*) FROM f JOIN documents d USING (doc_id)
+            WHERE strpos(d.text, 'data') > 0 AND d.doc_id % 17 = 0
+            GROUP BY bucket"""
+        ).fetchall()
+    )
+    rc = dict(
+        ddb.execute(
+            f"WITH f AS ({feats}) SELECT bucket, COUNT(*) FROM f GROUP BY bucket"
+        ).fetchall()
+    )
+    t_total, r_total = sum(tc.values()), sum(rc.values())
+    log_denom = math.log(t_total + DSIR_MU)
+    lam_margins = [
+        margin(
+            (
+                math.log(
+                    t_b
+                    * float(r_total + DSIR_BUCKETS)
+                    / (rc.get(b, 0) + 1)
+                    + float(DSIR_MU)
+                )
+                - log_denom
+            )
+            * _FP
+        )
+        for b, t_b in tc.items()
+    ]
+    assert lam_margins and min(lam_margins) > 1e-6, min(lam_margins)
+    assert margin((math.log(DSIR_MU) - log_denom) * _FP) > 1e-6
+
+    h = hex2int_sql("{h}").format(
+        h=f"substr(md5(CAST(doc_id AS VARCHAR) || ':dsir:{DSIR_SEED}'), 1, 8)"
+    )
+    key_margins = [
+        margin(-math.log(-math.log((v + 0.5) / 4294967296.0)) * _FP)
+        for (v,) in ddb.execute(f"SELECT {h} FROM documents").fetchall()
+    ]
+    assert key_margins and min(key_margins) > 1e-6, min(key_margins)
+    ddb.close()
 
 
 def test_product_quantization_end_to_end(spark):

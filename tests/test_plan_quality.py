@@ -82,14 +82,26 @@ def test_fact_sk_no_global_window(spark):
 
 
 def test_corpus_plans_shuffle_budget(spark):
-    """corpus_mixing is a pure map + explode with ZERO shuffles — its
-    3-domain config takes the inline-conditional weight path (small
-    configs pay no broadcast build; >32 domains auto-switch to the
-    broadcast-joined weights table, asserted in
-    test_sample_by_weight_thousand_domains); sequence_packing pays
-    exactly one shuffle — the per-stream window, whose partitioning
-    the greedy Arrow stage reuses."""
-    mix_plan = _plan(spark, "corpus_mixing")
+    """The MIXING kind is a pure map + explode with ZERO shuffles —
+    asserted on the operator subplan, since round 6 merged the DSIR
+    kind into the corpus_mixing registry slot and DSIR legitimately
+    shuffles for its model-sized bucket aggregates.  Its 3-domain
+    config takes the inline-conditional weight path (small configs pay
+    no broadcast build; >32 domains auto-switch to the broadcast-joined
+    weights table, asserted in test_sample_by_weight_thousand_domains);
+    sequence_packing pays exactly one shuffle — the per-stream window,
+    whose partitioning the greedy Arrow stage reuses."""
+    from olist_ecommerce_data_warehouse_spark.catalog import table
+    from olist_ecommerce_data_warehouse_spark.operators.sampling import (
+        sample_by_weight,
+    )
+    from olist_ecommerce_data_warehouse_spark.plans.corpus import MIX_WEIGHTS
+
+    d = table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    mix = sample_by_weight(
+        d, MIX_WEIGHTS, source_col="lang", id_col="doc_id", salt=":mix"
+    )
+    mix_plan = mix._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in mix_plan, mix_plan
     pack_plan = _plan(spark, "sequence_packing")
     assert pack_plan.count("Exchange") == 1, pack_plan
