@@ -134,6 +134,21 @@ def dsir_log_ratio(
     two scalar totals."""
     tc = _bucket_totals(target, buckets, text_col)
     rc = _bucket_totals(raw, buckets, text_col)
+    return dsir_log_ratio_from_counts(tc, rc, buckets, mu)
+
+
+def dsir_log_ratio_from_counts(
+    tc: DataFrame,
+    rc: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    mu: int = 2000,
+) -> tuple[DataFrame, int]:
+    """:func:`dsir_log_ratio` over PRE-AGGREGATED (bucket, c) model
+    tables — the shared-scan shape: when target ⊆ raw (the usual
+    case), derive BOTH tables from one persisted per-doc feature-count
+    table instead of exploding the corpus three times (feature
+    extraction is the dominant cost; the gated plan and the oracle
+    both use this single-pass dataflow)."""
     t_total = tc.agg(F.sum("c")).collect()[0][0] or 0
     r_total = rc.agg(F.sum("c")).collect()[0][0] or 0
     log_denom = math.log(t_total + mu)
@@ -174,6 +189,19 @@ def dsir_score(
     importance weight per document (bit-stable under partitioning).
     Featureless docs score (0, 0): no evidence either way."""
     fc = dsir_feature_counts(docs, buckets, id_col, text_col)
+    return dsir_score_from_counts(docs, fc, lam, lam0_fp, id_col)
+
+
+def dsir_score_from_counts(
+    docs: DataFrame,
+    fc: DataFrame,
+    lam: DataFrame,
+    lam0_fp: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dsir_score` over a PRE-COMPUTED (id, bucket, cnt) table
+    — pair with :func:`dsir_log_ratio_from_counts` to score from the
+    same single feature pass that built the models."""
     scored = (
         fc.join(F.broadcast(lam), "bucket", "left")
         .groupBy(id_col)

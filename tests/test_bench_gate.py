@@ -105,3 +105,36 @@ def test_median_of_definitions():
     assert bench.median_of([1.0, 3.0]) == 2.0
     assert bench.median_of([1.0, 10.0, 3.0]) == 3.0
     assert bench.median_of([1.0, 2.0, 3.0, 10.0]) == 2.5
+
+
+def test_canonical_rows_columnwise_parity():
+    """The round-6 column-wise canonical_rows must produce EXACTLY the
+    rows the original iterrows formulation did — including numpy
+    scalar vs builtin repr parity, NaN/None/NaT canonicalization, and
+    timestamp formatting."""
+    import math
+
+    import pandas as pd
+
+    from tests.conftest import _canon_cell, canonical_rows
+
+    pdf = pd.DataFrame(
+        {
+            "b": [1.5, float("nan"), 0.1, 1e300],
+            "a": ["x", None, "z", "w"],
+            "c": pd.to_datetime(
+                ["2024-01-01", None, "2024-06-05 10:11:12", "1999-12-31"],
+                format="mixed",
+            ),
+            "d": [1, 2, 3, 4],
+        }
+    )
+    cols = sorted(pdf.columns)
+    want = sorted(
+        tuple(_canon_cell(row[c]) for c in cols) for _, row in pdf[cols].iterrows()
+    )
+    got = [tuple(r) for r in canonical_rows(pdf)]
+    assert got == want
+    assert canonical_rows(pd.DataFrame()) == []
+    assert math.isnan(float("nan"))  # sanity: NaN maps to the null token
+    assert got[0][cols.index("b")] != "nan"
