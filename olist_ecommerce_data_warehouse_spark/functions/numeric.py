@@ -31,11 +31,27 @@ def as_out(col: Column) -> Column:
     Internal math stays in exact decimal (deterministic, associative);
     the FINAL value is cast to double.  Rationale: Spark rounds
     HALF_UP when down-casting decimal scale while DuckDB truncates, so
-    any scale-reducing decimal output would hash-mismatch the oracle —
-    but exact-decimal → double is correctly rounded and bit-identical
-    in both engines (values here are far below 2^53 in units of the
-    decimal scale)."""
+    any scale-reducing decimal output would hash-mismatch the oracle.
+    Spark's decimal→double (BigDecimal.doubleValue) is CORRECTLY
+    ROUNDED at any magnitude; DuckDB's direct cast is NOT once the
+    unscaled value exceeds 2^53 (int128→double then ÷10^scale —
+    double-rounding, measured 1-ulp off at the sf1 sweep on a
+    scale-6 sum of 2.8e10), so every oracle-side decimal→double cast
+    goes through :func:`dec_dbl_sql`'s VARCHAR hop instead."""
     return col.cast("double")
+
+
+def dec_dbl_sql(expr: str) -> str:
+    """Correctly-rounded DECIMAL→DOUBLE for the DuckDB oracles:
+    ``CAST(CAST(e AS VARCHAR) AS DOUBLE)``.  DuckDB's direct decimal
+    cast converts the int128 unscaled value to double FIRST and then
+    divides by 10^scale — two roundings, 1 ulp off Spark's
+    BigDecimal.doubleValue once unscaled > 2^53 (first seen on
+    pricing_summary's scale-6 sum_charge at sf1: …941590 → …941593).
+    The VARCHAR hop goes through strtod, which rounds once and
+    correctly, matching Spark and Python at any magnitude; below 2^53
+    the two paths agree, so this is a pure strengthening."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
 
 
 def revenue_expr(price_col: str = "l_extendedprice", discount_col: str = "l_discount") -> Column:

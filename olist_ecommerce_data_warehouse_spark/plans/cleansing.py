@@ -88,13 +88,13 @@ def cleanse_trim_case_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
-           CAST(TRY_CAST(replace(raw_amount, ',', '.') AS DECIMAL(12,2)) AS DOUBLE) AS amount,
+           CAST(CAST(TRY_CAST(replace(raw_amount, ',', '.') AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS amount,
            CASE WHEN TRY_CAST(replace(raw_amount, ',', '.') AS DECIMAL(12,2)) IS NULL
                 THEN 1 ELSE 0 END AS is_bad,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) +
-                CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS total_value,
-           CAST(CAST(l_quantity AS DECIMAL(12,2)) *
-                CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS volume_value,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) +
+                CAST(l_tax AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS total_value,
+           CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+                CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS volume_value,
            CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS is_discounted,
            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_returned
     FROM corrupted

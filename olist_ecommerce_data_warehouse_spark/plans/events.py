@@ -26,7 +26,7 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                date_trunc('hour', ts) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 2, 3
     ),
@@ -39,7 +39,7 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
     sliding AS (
         SELECT 'sliding' AS window_kind, window_start, event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
         FROM expanded
         GROUP BY 2, 3
     )

@@ -72,9 +72,8 @@ def gold_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(strftime(l.l_shipdate, '%Y%m%d') AS INT) AS ship_date_key,
            l.l_quantity AS quantity,
            l.l_extendedprice AS price,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                AS DOUBLE) AS item_revenue
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS item_revenue
     FROM lineitem l
     JOIN fact_orders o ON l.l_orderkey = o.o_orderkey
     JOIN dim_part dp   ON l.l_partkey  = dp.p_partkey
@@ -93,7 +92,7 @@ def gold_fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dim_customer AS ({DIM_CUSTOMER_SQL})
     SELECT d.region_name,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_sales
     FROM orders o
     JOIN dim_customer d ON o.o_custkey = d.c_custkey
     GROUP BY d.region_name
