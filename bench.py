@@ -201,7 +201,11 @@ def calibration_sec(spark) -> float:
 # change, with the measured normalized value and a comment.
 BASELINE_R05 = {
     "ann_cosine_topk": 1.3568,
-    "ann_ivf_topk": 2.5292,
+    # re-anchored in round 6: the slot gained PQ ADC top-k search as
+    # kind='adc' (codebook training + encoding + table-lookup search
+    # in-query) — capability change; measured 3.6753 min / 3.7345 2nd
+    # on a rig-factor-1.0 session after the noise epoch cleared
+    "ann_ivf_topk": 3.6753,
     # re-anchored in round 5: the slot gained the Z-order Morton
     # layout gate (sum/min/max of the interleaved key inside the same
     # single-pass aggregate) — capability change; min normalized over
@@ -214,7 +218,11 @@ BASELINE_R05 = {
     "cleanse_try_timestamp": 0.3521,
     "cleanse_validity_filter": 0.218,
     "contamination_check": 2.4088,
-    "corpus_mixing": 0.3723,
+    # re-anchored in round 6: the slot gained DSIR importance
+    # resampling as kind='dsir' (single-pass hashed feature table, two
+    # corpus models, fixed-point λ, Gumbel-top-k selection in-query) —
+    # capability change; measured 6.4631/6.8735 clean samples, rig 1.0
+    "corpus_mixing": 6.4631,
     "csv_roundtrip_ingest": 0.9566,
     "date_dimension": 0.2383,
     "datetime_functions": 0.4131,
@@ -258,7 +266,11 @@ BASELINE_R05 = {
     "sk_resolution_chain": 1.3376,
     "skew_salted_join": 2.3584,
     "surrogate_keys": 0.4897,
-    "text_lang_id": 3.8243,
+    # re-anchored in round 6: the slot gained the TRAINED quality head
+    # (in-slot label + 4-round mini-batch PEGASOS training + scoring,
+    # oracle re-trains) — capability change; measured 10.3543 min of
+    # four consistent samples (10.35-12.05), rig 1.0
+    "text_lang_id": 10.3543,
     # re-anchored in round 5: the slot gained the Gopher rule battery
     # (7 integer-gated filters + AND, map-only) — capability change;
     # measured 4.5086 best-of-4 on a quiet rig (factor exactly 1.0;
@@ -357,18 +369,24 @@ def main() -> None:
             samples[name].append(round(run_plan(spark, name, sf_dir), 4))
 
     # confirmation re-runs against the NORMALIZED gate: a query whose
-    # MEDIAN-so-far still flags gets up to TWO more samples at a later
-    # moment (both of this box's noise modes rotate between queries
-    # run-to-run, so a flag must survive extra samples to be reported;
-    # a genuine plan regression reproduces on every attempt and still
-    # flags).  Each confirmation round also adds a cal window so the
-    # rig median keeps tracking the session.  The gate statistic is the
-    # MEDIAN of all samples (round 6 — see median_of): a single lucky
-    # confirmation sample can no longer un-flag a bimodal-slow query,
-    # while a one-off outlier is outvoted by the clean majority.  All
+    # MEDIAN-so-far still flags gets up to THREE more samples at a
+    # later moment (both of this box's noise modes rotate between
+    # queries run-to-run, so a flag must survive extra samples to be
+    # reported; a genuine plan regression reproduces on every attempt
+    # and still flags).  Each confirmation round also adds a cal
+    # window so the rig median keeps tracking the session.  The gate
+    # statistic is the MEDIAN of all samples (round 6 — see
+    # median_of): a single lucky confirmation sample can no longer
+    # un-flag a bimodal-slow query, while a one-off outlier is
+    # outvoted by the clean majority.  THREE rounds (not two) because
+    # a session-start noise EPOCH can poison both initial samples
+    # (measured: first two samples 5-20× inflated across many plans
+    # while cal windows read 2.2/1.9 s); with only two confirmations
+    # the 4-sample median sits between the modes and spuriously
+    # flags — the 5th sample lets the clean majority decide.  All
     # confirmation samples land in "samples".
     if abs(sf - 0.1) < 1e-9:
-        for _ in range(2):
+        for _ in range(3):
             rf = rig_factor_of(cals)
             flagged = [
                 n for n in names if gate_normalized(n, median_of(samples[n]) / rf)

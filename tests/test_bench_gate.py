@@ -138,3 +138,23 @@ def test_canonical_rows_columnwise_parity():
     assert canonical_rows(pd.DataFrame()) == []
     assert math.isnan(float("nan"))  # sanity: NaN maps to the null token
     assert got[0][cols.index("b")] != "nan"
+
+
+def test_epoch_poisoned_initial_samples_resolve_with_third_confirmation():
+    """A session-start noise EPOCH can inflate BOTH initial samples
+    (measured: first two samples 5-20× across many plans while the cal
+    windows read 2.2/1.9 s).  With only two confirmation rounds the
+    4-sample median sits between the modes and spuriously flags; the
+    third round's 5th sample lets the clean majority decide — while a
+    genuine regression (slow on every sample) still flags."""
+    anchor = 0.3
+    epoch_then_clean = [4.4, 6.3, 0.27, 0.23]  # after 2 confirmations
+    assert bench.gate_normalized(
+        "x", bench.median_of(epoch_then_clean), {"x": anchor}
+    )  # the 4-sample median still flags → a 3rd confirmation fires
+    resolved = epoch_then_clean + [0.25]
+    assert not bench.gate_normalized(
+        "x", bench.median_of(resolved), {"x": anchor}
+    )
+    genuine = [4.4, 6.3, 4.1, 4.3, 4.2]
+    assert bench.gate_normalized("x", bench.median_of(genuine), {"x": anchor})
