@@ -98,7 +98,12 @@ def main() -> None:
         r["lang"]: r["__b"]
         for r in scored.filter(F.col("ppl").isNotNull())
         .groupBy("lang")
-        .agg(F.expr("percentile(ppl, array(1.0/3, 2.0/3))").alias("__b"))
+        .agg(
+            F.expr(
+                "percentile(ppl, array(CAST(1.0/3 AS DOUBLE), "
+                "CAST(2.0/3 AS DOUBLE)))"
+            ).alias("__b")
+        )
         .collect()
     }
     per_lang = {}
