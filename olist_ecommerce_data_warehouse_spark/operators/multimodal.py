@@ -151,7 +151,10 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _parse_png(b: bytes):
     """Full PNG decode via stdlib (see ``_png_pixels``): returns
-    (w, h, channels, bit_depth, mean pixel value)."""
+    (w, h, channels, bit_depth, mean pixel value).  The reported depth
+    is the OUTPUT depth (always 8 — 16-bit sources fold to their high
+    byte inside ``_png_pixels``), and since round 6 Adam7-interlaced
+    and 16-bit files decode here too instead of raising."""
     w, h, ch, px = _png_pixels(b)
     mean = sum(px) / len(px) if px else 0.0
     return w, h, ch, 8, mean
@@ -424,6 +427,50 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass — pass p covers
+# pixels (x0 + i·dx, y0 + j·dy).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _defilter_image(raw: bytes, off: int, w: int, h: int, bpp: int):
+    """Undo the five PNG scanline filters over one (sub)image of
+    ``w`` pixels × ``h`` rows at ``bpp`` BYTES per pixel starting at
+    ``off`` in the inflated stream.  Returns (flat bytes, bytes
+    consumed).  The filter unit is ``bpp`` bytes per the spec — this
+    is what makes the same code serve 8-bit (bpp = channels) and
+    16-bit (bpp = 2·channels) images and every Adam7 sub-image."""
+    stride = w * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = off + y * (stride + 1)
+        f = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if f == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out.extend(line)
+        prev = line
+    return out, h * (stride + 1)
+
+
 def _png_pixels(b: bytes):
     """Full PNG decode via stdlib to (w, h, channels, flat pixel
     bytes): walk chunks, inflate IDAT, undo the per-scanline filters
@@ -431,9 +478,18 @@ def _png_pixels(b: bytes):
     decoded for real: the index plane defilters at 1 byte/pixel, then
     every index resolves THROUGH the PLTE chunk to RGB, so downstream
     means are over pixel intensities, never palette positions (the
-    same policy the GIF decoder applies to its color table).  8-bit
-    non-interlaced only — the overwhelmingly common case; 16-bit and
-    interlaced raise NotImplementedError (→ PIL territory)."""
+    same policy the GIF decoder applies to its color table).
+
+    Round 6 closes the last two PNG raises: ADAM7-INTERLACED images
+    decode for real (seven independently-filtered sub-images in the
+    inflated stream, each defiltered at its own dimensions and
+    scattered to (x0 + i·dx, y0 + j·dy) — gated by a POSITION-WEIGHTED
+    sum, since a plain pixel sum is permutation-invariant and couldn't
+    catch a pass-mapping bug), and 16-BIT images decode with the
+    filter unit at 2 bytes/sample, each big-endian sample folded to
+    its high byte on output (the standard 16→8 precision fold; the
+    flat-bytes contract stays 8-bit).  Bit depths below 8 and
+    interlace values beyond {0,1} still raise."""
     import struct
     import zlib
 
@@ -457,41 +513,45 @@ def _png_pixels(b: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
+    if (
+        bit_depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color_type not in (0, 2, 3, 4, 6)
+        or (bit_depth == 16 and color_type == 3)
+    ):
         raise NotImplementedError(
-            "PNG variant beyond the stdlib decoder (16-bit/interlaced) "
+            "PNG variant beyond the stdlib decoder (sub-8-bit depth) "
             "— PIL territory"
         )
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
+    bpp = ch * (bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    out = bytearray()
-    prev = bytearray(stride)
-    for y in range(h):
-        row_start = y * (stride + 1)
-        f = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        if f == 1:
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif f == 4:
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad PNG filter {f}")
-        out.extend(line)
-        prev = line
+    if interlace == 1:
+        # Adam7: seven sub-images in sequence, each filtered
+        # independently; scatter each pass's pixels to its lattice
+        out = bytearray(w * h * bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, used = _defilter_image(raw, off, wp, hp, bpp)
+            off += used
+            for j in range(hp):
+                for i in range(wp):
+                    src = (j * wp + i) * bpp
+                    dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
+                    out[dst : dst + bpp] = sub[src : src + bpp]
+    else:
+        out, _ = _defilter_image(raw, 0, w, h, bpp)
+    if bit_depth == 16:
+        # fold each big-endian 16-bit sample to its high byte — the
+        # standard precision reduction; the output contract stays
+        # 8-bit flat bytes
+        out = out[0::2]
     if color_type == 3:
         # resolve the defiltered index plane through PLTE: one
         # palette lookup per pixel, output becomes interleaved RGB
@@ -1712,6 +1772,181 @@ def synthesize_gray_jpegs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         8 * (1 + mid % 3), 8 * (1 + mid % 2), mid
                     )
                 )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------- Adam7 / 16-bit PNG (round 6)
+
+
+def _synth_png_adam7_bytes(w: int, h: int) -> bytes:
+    """ADAM7-interlaced grayscale PNG whose pixel at (x, y) is the
+    known function ``(x*5 + y*7) % 251`` — the encoder builds the
+    seven passes INDEPENDENTLY of the decoder's pass walker (pixels
+    gathered per lattice, each pass stored with filter 2 (Up) rows
+    after a filter-0 first row, so the per-pass defilter state is
+    exercised too).  Because interlacing only permutes STORAGE order,
+    the gate statistic must be position-sensitive: the closed-form
+    oracle pins Σ (1 + x + w·y)·v(x,y), which any pass-mapping error
+    changes."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        prev = [0] * wp
+        for j in range(hp):
+            line = [
+                (((x0 + i * dx) * 5 + (y0 + j * dy) * 7) % 251)
+                for i in range(wp)
+            ]
+            if j == 0:
+                raw.append(0)
+                raw.extend(line)
+            else:
+                raw.append(2)  # Up filter
+                raw.extend((line[i] - prev[i]) & 0xFF for i in range(wp))
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # gray, interlace 1
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _synth_png16_bytes(w: int, h: int) -> bytes:
+    """16-bit grayscale PNG whose sample at (x, y) is the known
+    function ``(x*301 + y*517) % 65536`` stored big-endian, rows
+    alternating filter 0 / filter 2 (Up operates on BYTES at the
+    2-byte filter unit — exactly the path 8-bit code gets wrong if it
+    hardcodes bpp=channels).  The decoder folds each sample to its
+    high byte, so the closed-form oracle pins
+    Σ (1 + x + w·y)·(v16 >> 8)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = bytearray(2 * w)
+    for y in range(h):
+        line = bytearray()
+        for x in range(w):
+            line += struct.pack(">H", (x * 301 + y * 517) % 65536)
+        if y % 2 == 0:
+            raw.append(0)
+            raw.extend(line)
+        else:
+            raw.append(2)
+            raw.extend((line[i] - prev[i]) & 0xFF for i in range(2 * w))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_WSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("pos_weighted_sum", T.LongType()),
+    ]
+)
+
+
+def png_weighted_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_px, pos_weighted_sum) via the REAL PNG decode:
+    Σ over pixels of (1 + x + w·y) · value, summed over channels —
+    position-SENSITIVE, so a decoder that defilters correctly but
+    scatters an Adam7 pass to the wrong lattice still fails the gate
+    (a plain pixel sum is permutation-invariant and cannot).  One
+    Arrow map, no shuffle."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ws = [], [], []
+            for _, r in pdf.iterrows():
+                w, h, ch, px = _png_pixels(bytes(r["payload"]))
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                weights = 1 + np.arange(w)[None, :] + w * np.arange(h)[:, None]
+                ws.append(
+                    int((img.astype(np.int64).sum(axis=2) * weights).sum())
+                )
+                ids.append(r["media_id"])
+                ns.append(w * h)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_px": ns, "pos_weighted_sum": ws}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, PNG_WSUM_SCHEMA)
+
+
+def synthesize_adam7_pngs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content Adam7 PNG per document:
+    w = 3 + id % 11, h = 2 + id % 9 (dims straddle all seven passes'
+    empty/non-empty boundaries across ids)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_png_adam7_bytes(3 + mid % 11, 2 + mid % 9))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+def synthesize_png16s(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content 16-bit PNG per document:
+    w = 2 + id % 7, h = 1 + id % 5."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_png16_bytes(2 + mid % 7, 1 + mid % 5))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     schema = T.StructType(

@@ -27,7 +27,10 @@ from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
     probe_media_headers,
     synthesize_gifs,
     synthesize_gray_jpegs,
+    synthesize_adam7_pngs,
+    synthesize_png16s,
     jpeg_pixel_sums,
+    png_weighted_sums,
     wav_sample_sums,
     sample_frames,
     synthesize_media,
@@ -173,6 +176,36 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(ps) AS BIGINT) AS sum_pixels,
                CAST(SUM(npx) AS BIGINT) AS sum_npixels
         FROM jpeg_sums
+    ),
+    adam7_sums AS (
+        SELECT doc_id, w * h AS npx,
+               list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                       (1 + x + w * y) * ((x * 5 + y * 7) % 251))))) AS ws
+        FROM (SELECT doc_id, 3 + doc_id % 11 AS w, 2 + doc_id % 9 AS h
+              FROM documents WHERE doc_id % 4 = 2)
+    ),
+    adam7_agg AS (
+        SELECT 'decode:png-adam7' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ws) AS BIGINT) AS sum_wpx,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM adam7_sums
+    ),
+    png16_sums AS (
+        SELECT doc_id, w * h AS npx,
+               list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                       (1 + x + w * y) * (((x * 301 + y * 517) % 65536) // 256))))) AS ws
+        FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+              FROM documents WHERE doc_id % 4 = 3)
+    ),
+    png16_agg AS (
+        SELECT 'decode:png16' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ws) AS BIGINT) AS sum_wpx,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM png16_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -207,6 +240,12 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM jpegdec_agg
         UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM jpegdec_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM jpegdec_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM adam7_agg
+        UNION ALL SELECT kind, 'sum_wpx', sum_wpx FROM adam7_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM adam7_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM png16_agg
+        UNION ALL SELECT kind, 'sum_wpx', sum_wpx FROM png16_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM png16_agg
     )
     """,
 )
@@ -421,6 +460,27 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_media', n_media, 'sum_pixels', sum_pixels, "
         "'sum_npixels', sum_npixels) AS (metric, value)",
     )
+    # kind='decode:png-adam7' / 'decode:png16' (round 6) — the last
+    # two PNG raises closed: Adam7 interlace gated by a POSITION-
+    # WEIGHTED sum (a plain pixel sum is permutation-invariant, so a
+    # decoder that scattered a pass to the wrong lattice would pass
+    # it); 16-bit gated at the 2-byte filter unit with the high-byte
+    # precision fold pinned in the closed form.
+    def _wsum_branch(kind: str, synth_fn, mod: int):
+        sums = png_weighted_sums(synth_fn(docs.filter(F.col("doc_id") % 4 == mod)))
+        agg = sums.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("pos_weighted_sum").cast("bigint").alias("sum_wpx"),
+            F.sum("n_px").cast("bigint").alias("sum_npixels"),
+        ).select(F.lit(kind).alias("kind"), "n_media", "sum_wpx", "sum_npixels")
+        return agg.selectExpr(
+            "kind",
+            "stack(3, 'n_media', n_media, 'sum_wpx', sum_wpx, "
+            "'sum_npixels', sum_npixels) AS (metric, value)",
+        )
+
+    adam7_long = _wsum_branch("decode:png-adam7", synthesize_adam7_pngs, 2)
+    png16_long = _wsum_branch("decode:png16", synthesize_png16s, 3)
     return (
         bytes_long.unionByName(probe_long)
         .unionByName(decode_long)
@@ -430,6 +490,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pngpal_long)
         .unionByName(bmp8_long)
         .unionByName(jpegdec_long)
+        .unionByName(adam7_long)
+        .unionByName(png16_long)
     )
 
 

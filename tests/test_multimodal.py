@@ -699,3 +699,53 @@ def test_jpeg_baseline_decode_roundtrip():
     )
     with pytest.raises(NotImplementedError):
         _decode_jpeg_baseline(dri)
+
+
+def test_png_adam7_and_16bit_decode():
+    """The last two PNG raises, closed in round 6: (1) Adam7 images
+    round-trip exactly at every dims combination that exercises
+    empty/non-empty passes (1..13 × 1..11), with per-pass Up-filter
+    state; (2) the 7-pass lattice partitions the 8×8 cell exactly once
+    (the geometry constant cross-check); (3) 16-bit samples defilter
+    at the 2-byte unit and fold to the high byte; (4) sub-8-bit depth
+    still raises."""
+    import struct
+
+    import pytest
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _ADAM7,
+        _png_pixels,
+        _synth_png_adam7_bytes,
+        _synth_png16_bytes,
+    )
+
+    for w in (1, 2, 3, 7, 8, 9, 13):
+        for h in (1, 2, 5, 8, 11):
+            dw, dh, ch, px = _png_pixels(_synth_png_adam7_bytes(w, h))
+            assert (dw, dh, ch) == (w, h, 1)
+            for y in range(h):
+                for x in range(w):
+                    assert px[y * w + x] == (x * 5 + y * 7) % 251, (w, h, x, y)
+
+    cells = {}
+    for x0, y0, dx, dy in _ADAM7:
+        for x in range(x0, 8, dx):
+            for y in range(y0, 8, dy):
+                assert (x, y) not in cells
+                cells[(x, y)] = True
+    assert len(cells) == 64  # the passes PARTITION the lattice
+
+    for w, h in ((1, 1), (4, 3), (8, 6)):
+        dw, dh, ch, px = _png_pixels(_synth_png16_bytes(w, h))
+        assert (dw, dh, ch) == (w, h, 1)
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == ((x * 301 + y * 517) % 65536) >> 8
+
+    # sub-8-bit depth stays an honest raise
+    b = bytearray(_synth_png16_bytes(4, 3))
+    i = b.find(b"IHDR") + 4 + 8  # depth byte inside IHDR payload
+    b[i] = 4
+    with pytest.raises(NotImplementedError):
+        _png_pixels(bytes(b))
