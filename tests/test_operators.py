@@ -985,6 +985,53 @@ def test_quality_classifier_head(spark):
     }
 
 
+def test_quality_dual_head_matches_separate_heads(spark):
+    """The round-7 fused head (one aggregation over the counted
+    feature table) must reproduce BOTH legacy paths exactly: qc_* from
+    ``quality_scored`` (which re-derives the stand-in weight per
+    exploded feature — the Σ w(h) ≡ Σ cnt·w(bucket) collapse the fused
+    head relies on) and qt_logit_sum from ``perceptron_score`` under
+    the same trained weights."""
+    from pyspark.sql import functions as F
+
+    from olist_ecommerce_data_warehouse_spark.operators.perceptron import (
+        pegasos_train,
+        perceptron_score,
+    )
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        quality_dual_head,
+        quality_feature_counts,
+        quality_scored,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "data data pipelines move data"),
+            (3, "quality signals gate noisy web documents"),
+            (4, "fox dog fox dog fox"),
+        ],
+        "doc_id long, text string",
+    )
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("text").contains("data"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    feats = quality_feature_counts(docs)
+    w = pegasos_train(feats, labels, rounds=4, c=100, batches=2)
+    fused = {r["doc_id"]: r for r in quality_dual_head(feats, w).collect()}
+    qc = {r["doc_id"]: r for r in quality_scored(docs).collect()}
+    qt = {r["doc_id"]: r["score"] for r in perceptron_score(feats, w).collect()}
+    assert set(fused) == {1, 2, 3, 4}
+    for d, r in fused.items():
+        assert r["qc_n_features"] == qc[d]["qc_n_features"]
+        assert r["qc_logit_sum"] == qc[d]["qc_logit_sum"]
+        assert r["qt_logit_sum"] == qt[d]
+
+
 def test_bpe_train_matches_reference_and_encode_roundtrips(spark):
     """Distributed BPE training must produce the exact merge sequence
     of the driver-side reference trainer on the same word counts;

@@ -107,6 +107,21 @@ def test_corpus_plans_shuffle_budget(spark):
     assert pack_plan.count("Exchange") == 1, pack_plan
 
 
+def test_text_lang_id_single_join_fanin(spark):
+    """Round 7 collapsed text_lang_id's four doc_id-joined branches
+    (lang evidence / qc head / labels / trained qt head — the round-6
+    verdict's fan-in finding) into one base projection joined ONCE
+    with one fused aggregation over the persisted feature table.  The
+    executed plan must hold that shape: exactly one corpus-grain join
+    (sort-merge on doc_id) and an Exchange budget of 5 (feature-table
+    build, per-bucket agg reuse, head aggregation, two join sides) —
+    the old shape paid 3 corpus-wide joins and a second full feature
+    explode."""
+    plan = _plan(spark, "text_lang_id")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("Exchange") <= 5, plan
+
+
 def test_ann_plans_no_cartesian(spark):
     """The ANN rewrite must keep all-pairs scoring out of the plan:
     no CartesianProduct / BroadcastNestedLoopJoin anywhere — scoring
