@@ -170,6 +170,90 @@ def _dsir_oracle_ctes() -> str:
     )"""
 
 
+def _ccnet_oracle_ctes() -> str:
+    """Unrolled CCNet replay: re-derives the TRAIN-SPLIT bigram LM
+    (add-one smoothing), the per-pair fixed-point log-probs (the ONE
+    ``ln`` per distinct (c_bw, c_u, V) integer triple, quantized once
+    to 2^-20 — flip margins measured ≫ the 1-ulp cross-libm hazard,
+    asserted in tests/test_operators.py::test_ccnet_gate_rounding_margins),
+    integer per-doc sums, the grid-quantized mean ``avg_fp =
+    logprob_fp // n_bigrams`` (truncation toward zero, the Spark
+    ``div`` twin), and the exact per-language tertile assignment via
+    descending cumulative value counts — op-for-op the dataflow of
+    operators.ngram_lm.ppl_tertiles_fp."""
+    from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import _FP
+
+    split = _split_bucket_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    ctoks AS (
+        SELECT doc_id, lang, list_prepend('<s>', {TOKS}) AS t FROM documents
+    ),
+    cpairs AS (
+        SELECT doc_id, lang,
+               unnest(t[1:greatest(len(t)-1, 0)]) AS prev,
+               unnest(t[2:len(t)]) AS w
+        FROM ctoks
+    ),
+    cbig AS (
+        SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_bw
+        FROM cpairs WHERE ({split}) < 90
+        GROUP BY 1, 2
+    ),
+    cctx AS (SELECT prev, CAST(SUM(c_bw) AS BIGINT) AS c_u FROM cbig GROUP BY 1),
+    cvoc AS (SELECT COUNT(DISTINCT w) AS v FROM cbig),
+    cscore AS (
+        SELECT p.doc_id, p.lang,
+               CASE WHEN b.c_bw IS NULL THEN 1 ELSE 0 END AS oov,
+               CAST(round(ln(CAST(COALESCE(b.c_bw, 0) + 1 AS DOUBLE)
+                             / CAST(COALESCE(c.c_u, 0) + cvoc.v AS DOUBLE))
+                          * {float(_FP)!r}) AS BIGINT) AS lp_fp
+        FROM cpairs p LEFT JOIN cbig b USING (prev, w)
+        LEFT JOIN cctx c USING (prev) CROSS JOIN cvoc
+    ),
+    cdoc AS (
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+               CAST(SUM(lp_fp) AS BIGINT) AS logprob_fp
+        FROM cscore GROUP BY 1, 2
+    ),
+    cavg AS (SELECT *, logprob_fp // n_bigrams AS avg_fp FROM cdoc),
+    cvc AS (SELECT lang, avg_fp, COUNT(*) AS cnt FROM cavg GROUP BY 1, 2),
+    ccum AS (
+        SELECT lang, avg_fp,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY avg_fp DESC) AS cum
+        FROM cvc
+    ),
+    ctot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM cavg GROUP BY 1),
+    cbnd AS (
+        SELECT c.lang,
+               MAX(CASE WHEN c.cum >= (t.n + 2) // 3 THEN c.avg_fp END) AS b1,
+               MAX(CASE WHEN c.cum >= (2 * t.n + 2) // 3 THEN c.avg_fp END) AS b2
+        FROM ccum c JOIN ctot t USING (lang) GROUP BY 1
+    ),
+    cbuck AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.oov_bigrams, 0) AS oov_bigrams,
+               COALESCE(a.logprob_fp, 0) AS logprob_fp,
+               a.avg_fp,
+               CASE WHEN a.doc_id IS NULL THEN 'unscored'
+                    WHEN a.avg_fp >= b.b1 THEN 'head'
+                    WHEN a.avg_fp >= b.b2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM documents d LEFT JOIN cavg a USING (doc_id)
+        LEFT JOIN cbnd b ON b.lang = d.lang
+    )"""
+
+
+# NULL tails shared by the three kind branches of corpus_mixing's
+# oracle (each kind fills only its own column family).
+_CCNET_NULLS = """CAST(NULL AS BIGINT) AS n_bigrams,
+           CAST(NULL AS BIGINT) AS oov_bigrams,
+           CAST(NULL AS BIGINT) AS logprob_fp,
+           CAST(NULL AS BIGINT) AS avg_fp,
+           CAST(NULL AS VARCHAR) AS ppl_bucket"""
+
+
 @query(
     "corpus_mixing",
     oracle=f"""
@@ -187,18 +271,29 @@ def _dsir_oracle_ctes() -> str:
                       THEN 1 ELSE 0 END AS n_copies
         FROM w
     ),
-    {_dsir_oracle_ctes()}
+    {_dsir_oracle_ctes()},
+    {_ccnet_oracle_ctes()}
     SELECT 'mix' AS kind, doc_id, lang,
            CAST(unnest(range(0, n_copies)) AS INT) AS epoch,
            CAST(NULL AS BIGINT) AS n_features,
            CAST(NULL AS BIGINT) AS weight_fp,
            CAST(NULL AS BIGINT) AS key_fp,
-           CAST(NULL AS INT) AS selected
+           CAST(NULL AS INT) AS selected,
+           {_CCNET_NULLS}
     FROM n WHERE n_copies > 0
     UNION ALL
     SELECT 'dsir' AS kind, doc_id, lang, CAST(NULL AS INT) AS epoch,
-           n_features, weight_fp, key_fp, CAST(selected AS INT) AS selected
+           n_features, weight_fp, key_fp, CAST(selected AS INT) AS selected,
+           {_CCNET_NULLS}
     FROM dsel
+    UNION ALL
+    SELECT 'ccnet' AS kind, doc_id, lang, CAST(NULL AS INT) AS epoch,
+           CAST(NULL AS BIGINT) AS n_features,
+           CAST(NULL AS BIGINT) AS weight_fp,
+           CAST(NULL AS BIGINT) AS key_fp,
+           CAST(NULL AS INT) AS selected,
+           n_bigrams, oov_bigrams, logprob_fp, avg_fp, ppl_bucket
+    FROM cbuck
     """,
 )
 def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,15 +323,49 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, selection — so the driver hash gates model estimation AND
     sampling, not just scoring.  Dataflow unchanged at 100 TB: both
     models and λ are ≤B-row aggregates, scoring is a broadcast join +
-    integer sum, selection a TakeOrdered."""
+    integer sum, selection a TakeOrdered.
+
+    Round 7 merges CCNET PERPLEXITY BUCKETING as kind='ccnet' (the
+    last deterministic-at-heart operator without a driver gate — the
+    round-6 verdict's #3, closed with the DSIR λ device): a bigram LM
+    with add-one smoothing TRAINS in-query on the deterministic
+    'train' split (the CCNet posture — the LM learns a clean slice,
+    scores everything, so val/test docs genuinely exercise the OOV
+    path), every BOS-padded bigram's log-prob quantizes ONCE to 2^-20
+    fixed point (the only float ``ln`` in the path, a pure function of
+    the integer triple (c_bw, c_u, V); flip margins measured ≫ 1 ulp
+    and asserted in test_ccnet_gate_rounding_margins), per-doc scores
+    are INTEGER sums, and head/middle/tail assign per language from
+    EXACT tertiles of the grid-quantized mean — value-count cumulative
+    sums over a model-sized table (operators.ngram_lm.ppl_tertiles_fp),
+    never a corpus sort.  The oracle re-derives training, scoring,
+    quantization and assignment end-to-end (_ccnet_oracle_ctes).  At
+    100 TB: two corpus passes (train-split count agg + scoring join
+    against the broadcast model), one bounded value-count window, one
+    broadcast boundary join — the production sketch (ppl_buckets)
+    remains for percentile-approx bucketing; this kind is its exact
+    integer twin under the hash."""
     from olist_ecommerce_data_warehouse_spark.operators.dsir import (
         dsir_feature_counts,
         dsir_log_ratio_from_counts,
         dsir_score_from_counts,
         gumbel_key,
     )
+    from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import (
+        _bigram_pairs,
+        ngram_lm_score_from_pairs,
+        ngram_lm_train_from_pairs,
+        ppl_tertiles_fp,
+    )
     from olist_ecommerce_data_warehouse_spark.operators.sampling import sample_by_weight
 
+    ccnet_nulls = [
+        F.lit(None).cast("bigint").alias("n_bigrams"),
+        F.lit(None).cast("bigint").alias("oov_bigrams"),
+        F.lit(None).cast("bigint").alias("logprob_fp"),
+        F.lit(None).cast("bigint").alias("avg_fp"),
+        F.lit(None).cast("string").alias("ppl_bucket"),
+    ]
     docs = table(spark, sf_dir, "documents")
     d = docs.select("doc_id", "lang")
     mix = (
@@ -253,6 +382,7 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("weight_fp"),
             F.lit(None).cast("bigint").alias("key_fp"),
             F.lit(None).cast("int").alias("selected"),
+            *ccnet_nulls,
         )
     )
     # ONE feature pass feeds both corpus models and the scoring join
@@ -292,9 +422,46 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_fp",
             "key_fp",
             F.coalesce("__sel", F.lit(0)).cast("int").alias("selected"),
+            *ccnet_nulls,
         )
     )
-    return mix.unionByName(dsir)
+    # ccnet: LM trained on the deterministic train split, scores ALL
+    # docs — ONE corpus explode feeds both (the DSIR single-pass
+    # device): pairs persist once, training aggregates a split-filtered
+    # view (the split is a pure function of doc_id, which pairs carry),
+    # scoring joins the broadcast model onto the same table.  Val/test
+    # bigrams take the left-join add-one smoothing path whenever they
+    # miss the train table (on this shared-vocabulary synthetic corpus
+    # that's structural, not exercised — pytest covers genuinely
+    # held-out text).
+    pairs = track_persist(_bigram_pairs(docs, "text", "doc_id"))
+    bigram, context, v = ngram_lm_train_from_pairs(
+        pairs.filter(_split_col() == "train"), persist_fn=track_persist
+    )
+    # scored is doc-grain and NARROW (id, lang, 3 ints) — persisting it
+    # means the tertile operator's two consumers (value counts + final
+    # assignment) cost one scoring pass total, not two
+    scored = track_persist(
+        ngram_lm_score_from_pairs(
+            docs, pairs, bigram, context, v, keep_cols=("lang",)
+        )
+    )
+    ccnet = ppl_tertiles_fp(scored, by_col="lang").select(
+        F.lit("ccnet").alias("kind"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("int").alias("epoch"),
+        F.lit(None).cast("bigint").alias("n_features"),
+        F.lit(None).cast("bigint").alias("weight_fp"),
+        F.lit(None).cast("bigint").alias("key_fp"),
+        F.lit(None).cast("int").alias("selected"),
+        "n_bigrams",
+        "oov_bigrams",
+        "logprob_fp",
+        "avg_fp",
+        "ppl_bucket",
+    )
+    return mix.unionByName(dsir).unionByName(ccnet)
 
 
 @query(

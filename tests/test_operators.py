@@ -1737,6 +1737,125 @@ def test_dsir_importance_resampling(spark):
     assert other != picked or len(wiki_ids) == 20  # different seed reshuffles ties
 
 
+def test_ccnet_gate_rounding_margins():
+    """The round-7 CCNet driver gate quantizes ONE libm ``ln`` per
+    scored bigram — a pure function of the integer triple
+    (c_bw, c_u, V) — to the 2^-20 grid; the gate is sound iff every
+    distinct triple's ``ln(p)·2^20`` sits far from a .5 rounding
+    boundary relative to the cross-libm 1-ulp hazard (|x| ≤ ~25·2^20 →
+    hazard ~6e-9).  Asserts margins > 1e-6 (100×+ the hazard) over
+    EVERY distinct triple arising at the driver's gating SF (sf0.01)
+    and at the bench SF (sf0.1).  Margins are corpus-fixed
+    (deterministic synthetic data + deterministic md5 split), so this
+    is a property of the shipped gate.  Measured at build time:
+    sf0.01 min margin 1.6e-4."""
+    import math
+
+    import duckdb
+
+    from olist_ecommerce_data_warehouse_spark.functions.text import toks_sql
+    from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import _FP
+    from olist_ecommerce_data_warehouse_spark.plans.corpus import (
+        _split_bucket_sql,
+    )
+
+    split = _split_bucket_sql("CAST(doc_id AS VARCHAR)")
+    for sf_dir in (SF_DIR_MID, "/root/testdata/sf0.1"):
+        ddb = duckdb.connect()
+        ddb.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        triples = ddb.execute(
+            f"""WITH ctoks AS (
+                SELECT doc_id, list_prepend('<s>', {toks_sql()}) AS t
+                FROM documents
+            ),
+            cpairs AS (
+                SELECT doc_id, unnest(t[1:greatest(len(t)-1, 0)]) AS prev,
+                       unnest(t[2:len(t)]) AS w
+                FROM ctoks
+            ),
+            cbig AS (
+                SELECT prev, w, COUNT(*) AS c_bw FROM cpairs
+                WHERE ({split}) < 90 GROUP BY 1, 2
+            ),
+            cctx AS (SELECT prev, SUM(c_bw) AS c_u FROM cbig GROUP BY 1)
+            SELECT DISTINCT COALESCE(b.c_bw, 0), COALESCE(c.c_u, 0),
+                   (SELECT COUNT(DISTINCT w) FROM cbig)
+            FROM cpairs p LEFT JOIN cbig b USING (prev, w)
+            LEFT JOIN cctx c USING (prev)"""
+        ).fetchall()
+        assert triples
+        worst = min(
+            abs((math.log((c_bw + 1) / (c_u + v)) * _FP) % 1.0 - 0.5)
+            for c_bw, c_u, v in triples
+        )
+        assert worst > 1e-6, (sf_dir, worst, len(triples))
+
+
+def test_ppl_tertiles_fp_exact_and_oov(spark):
+    """ppl_tertiles_fp must (a) reproduce a brute-force driver-side
+    tertile assignment exactly (sort by avg_fp desc, first ⌈N/3⌉ =
+    head, next up to ⌈2N/3⌉ = middle, ties at a boundary all take the
+    higher bucket), (b) bucket empty docs 'unscored', and (c) count
+    genuinely held-out bigrams as OOV when the LM trains on a subset
+    (the CCNet posture — the synthetic gate corpus never exercises
+    this branch, so it is pinned here with real held-out text)."""
+    from pyspark.sql import functions as F
+
+    from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import (
+        ngram_lm_score,
+        ngram_lm_train,
+        ppl_tertiles_fp,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the cat sat on the mat again and again"),
+        (3, "en", "the dog sat on the mat"),
+        (4, "en", "a completely different sentence about spark"),
+        (5, "en", "the cat sat"),
+        (6, "en", "mat the on sat cat the"),
+        (7, "en", ""),
+        (8, "fr", "le chat dort"),
+        (9, "fr", "le chien dort"),
+        (10, "fr", "zebra xylophone quartz"),  # held-out words → OOV
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = docs.filter(F.col("doc_id") <= 9)  # doc 10 fully held out
+    bigram, context, v = ngram_lm_train(train)
+    scored = ppl_tertiles_fp(
+        ngram_lm_score(docs, bigram, context, v, keep_cols=("lang",)),
+        by_col="lang",
+    )
+    got = {r["doc_id"]: r for r in scored.collect()}
+    assert got[7]["ppl_bucket"] == "unscored" and got[7]["avg_fp"] is None
+    assert got[10]["oov_bigrams"] > 0  # held-out vocabulary is OOV
+    # brute-force reference per lang over the engine's own avg_fp
+    for lang in ("en", "fr"):
+        scored_docs = sorted(
+            (
+                (-r["avg_fp"], d)
+                for d, r in got.items()
+                if r["lang"] == lang and r["n_bigrams"] > 0
+            ),
+        )
+        n = len(scored_docs)
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        b1 = -scored_docs[k1 - 1][0]
+        b2 = -scored_docs[k2 - 1][0]
+        for d, r in got.items():
+            if r["lang"] != lang or r["n_bigrams"] == 0:
+                continue
+            want = (
+                "head"
+                if r["avg_fp"] >= b1
+                else ("middle" if r["avg_fp"] >= b2 else "tail")
+            )
+            assert got[d]["ppl_bucket"] == want, (d, got[d], b1, b2)
+
+
 def test_dsir_gate_rounding_margins():
     """The round-6 DSIR driver gate quantizes ONE libm ``ln`` per λ
     row and two per Gumbel key to the 2^-20 grid; the gate is sound
