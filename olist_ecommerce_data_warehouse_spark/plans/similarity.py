@@ -357,6 +357,10 @@ def _pq_argmin_sql(rel: str, cents: str) -> str:
     SELECT 'adc' AS kind, query_id, neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
            adc_dist, rank
     FROM adc_top
+    UNION ALL
+    SELECT 'ivf-loaded' AS kind, query_id, neighbor_id, cosine,
+           CAST(NULL AS BIGINT) AS adc_dist, rank
+    FROM ivf_top
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,7 +396,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the ADC distance as the same two inlined L2² lookups, so
     the driver hash now gates train → encode → ADC SEARCH end-to-end;
     ties resolve (adc_dist, vec_id) lexicographically in both the
-    per-batch prune and the global window."""
+    per-batch prune and the global window.
+
+    Round 7 merges the PERSISTENT-INDEX lifecycle as kind='ivf-loaded'
+    (the round-6 verdict's #4 — the actual 100 TB serving path was
+    pytest-only): the SAME trained index is saved
+    (``partitionBy(centroid_id)`` parquet — the cluster IS the
+    physical layout, Spark's analogue of FAISS inverted lists),
+    RELOADED from disk, and searched through operators.ann_index's
+    static ``centroid_id IN (probes)`` filter, which Catalyst turns
+    into PartitionFilters at the scan (asserted in
+    tests/test_operators.py) — only nprobe/nlist of the stored corpus
+    is ever read.  Search math is exact int64 over round-tripped
+    bigint arrays, so the loaded path must reproduce the in-query IVF
+    rows BIT-FOR-BIT: the oracle gates it as a second emission of
+    ivf_top, putting save → load → prune → search under the driver
+    hash."""
+    import os
+
+    from olist_ecommerce_data_warehouse_spark.operators.ann_index import IVFIndex
     from olist_ecommerce_data_warehouse_spark.operators.pq import (
         pq_adc_topk,
         pq_encode,
@@ -430,7 +452,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_dist",
         "rank",
     )
-    return ivf.unionByName(adc)
+    # persistent-index lifecycle: save the SAME trained index in its
+    # centroid-partitioned layout, reload, search — partition pruning
+    # (not a recompute) must reproduce the in-query rows exactly
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    idx_path = os.path.join(
+        scratch, "ivf_index_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    IVFIndex(spark, trained, assigned).save(idx_path)
+    loaded = IVFIndex.load(spark, idx_path).search(q, k=5, nprobe=2).select(
+        F.lit("ivf-loaded").alias("kind"),
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine",
+        F.lit(None).cast("bigint").alias("adc_dist"),
+        "rank",
+    )
+    return ivf.unionByName(adc).unionByName(loaded)
 
 
 @query(
