@@ -152,12 +152,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _parse_png(b: bytes):
     """Full PNG decode via stdlib (see ``_png_pixels``): returns
     (w, h, channels, bit_depth, mean pixel value).  The reported depth
-    is the OUTPUT depth (always 8 — 16-bit sources fold to their high
-    byte inside ``_png_pixels``), and since round 6 Adam7-interlaced
-    and 16-bit files decode here too instead of raising."""
+    is the SOURCE depth from IHDR (round-6 reported the folded output
+    depth, which made true 8-bit files indistinguishable from
+    high-byte-folded 16-bit ones in the emitted metadata — the round-6
+    ADVICE finding); the PIXEL contract is unchanged: 16-bit sources
+    still fold to their high byte inside ``_png_pixels``, so the mean
+    stays on the 8-bit scale.  Since round 6 Adam7-interlaced and
+    16-bit files decode here too instead of raising."""
     w, h, ch, px = _png_pixels(b)
     mean = sum(px) / len(px) if px else 0.0
-    return w, h, ch, 8, mean
+    # IHDR layout is fixed: 8-byte signature + 4 len + 4 type + 4 w +
+    # 4 h, so the source bit depth is always byte 24
+    return w, h, ch, b[24], mean
 
 
 def _bmp_palette(b: bytes) -> bytes:
@@ -1600,13 +1606,18 @@ def _extend(v: int, s: int) -> int:
 
 def _decode_jpeg_baseline(b: bytes):
     """(width, height, planes) — full baseline/extended-sequential
-    Huffman decode for JPEGs WITHOUT chroma subsampling (all sampling
-    factors 1×1; grayscale or 4:4:4).  planes is a list of
-    numpy uint8 arrays (h × w), one per component, IDCT'd from the
-    real entropy-decoded, dequantized coefficients.  Progressive
-    (SOF2), arithmetic coding (SOF9+), hierarchical, 12-bit precision,
-    subsampled components and restart intervals raise
-    NotImplementedError — the PIL/libjpeg boundary, honestly gated."""
+    Huffman decode including CHROMA-SUBSAMPLED files (round 7: any
+    per-component sampling factors in {1, 2} — 4:4:4, 4:2:2 and the
+    web-dominant 4:2:0 all decode; the interleaved scan walks real
+    MCUs).  planes is a list of numpy uint8 arrays, one per component,
+    each upsampled to the FULL h × w by nearest-neighbor replication
+    (the documented contract — libjpeg's default fancy upsampler
+    interpolates instead, so byte parity with libjpeg is not claimed;
+    the closed-form gates use block-constant fixtures where both
+    upsamplers agree exactly).  Progressive (SOF2), arithmetic coding
+    (SOF9+), hierarchical, 12-bit precision, sampling factors > 2 and
+    restart intervals raise NotImplementedError — the PIL/libjpeg
+    boundary, honestly gated."""
     import struct
 
     import numpy as np
@@ -1624,11 +1635,18 @@ def _decode_jpeg_baseline(b: bytes):
         cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
         for x in range(8):
             A[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
-    while i < len(b):
+    while i + 1 < len(b):
         if b[i] != 0xFF:
             raise ValueError("expected marker")
+        # spec-legal 0xFF FILL bytes may pad before any marker
+        # (ITU T.81 §B.1.1.2) — skip them so a padded file hits the
+        # intended clean boundary, not a garbage segment-length read
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
         marker = b[i + 1]
         i += 2
+        if marker == 0xD9:
+            break  # standalone EOI before any SOS → clean "no SOS" error
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", b[i : i + 2])
@@ -1672,9 +1690,16 @@ def _decode_jpeg_baseline(b: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled chroma needs libjpeg")
-                comps.append({"id": cid, "tq": tq})
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2 need libjpeg"
+                    )
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            if nc == 1:
+                # single-component scans are non-interleaved by spec:
+                # the MCU is one data unit whatever the factors say
+                comps[0]["h"] = comps[0]["v"] = 1
             i += seglen
             continue
         if marker == 0xDA:
@@ -1684,44 +1709,74 @@ def _decode_jpeg_baseline(b: bytes):
                 cid, tabs = payload[1 + 2 * ci], payload[2 + 2 * ci]
                 sel[cid] = (tabs >> 4, tabs & 0xF)
             reader = _BitReader(b, i + seglen)
-            bx_n, by_n = (w + 7) // 8, (h + 7) // 8
-            planes = [np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8) for _ in comps]
+            # interleaved MCU scan (§A.2.3): the MCU is Hmax×Vmax
+            # blocks of the max-sampled component; component ci
+            # contributes v×h blocks per MCU in row-major block order
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+            my_n = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((my_n * 8 * c["v"], mx_n * 8 * c["h"]), dtype=np.uint8)
+                for c in comps
+            ]
             pred = [0] * len(comps)
-            for by in range(by_n):
-                for bx in range(bx_n):
+
+            def decode_block(comp, ci):
+                dct, act = sel[comp["id"]]
+                dc_tab = huff[(0, dct)]
+                ac_tab = huff[(1, act)]
+                q = qt[comp["tq"]]
+                coef = [0] * 64
+                s = _huff_decode(reader, dc_tab)
+                diff = _extend(reader.bits(s), s) if s else 0
+                pred[ci] += diff
+                coef[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(reader, ac_tab)
+                    r, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:
+                        break  # EOB
+                    if rs == 0xF0:
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    coef[k] = _extend(reader.bits(size), size) * q[k]
+                    k += 1
+                F8 = np.zeros((8, 8))
+                for k in range(64):
+                    F8[_ZIGZAG[k] // 8, _ZIGZAG[k] % 8] = coef[k]
+                block = A.T @ F8 @ A + 128.0
+                px = np.floor(np.abs(block) + 0.5) * np.sign(block)
+                return np.clip(px, 0, 255).astype(np.uint8)
+
+            for myi in range(my_n):
+                for mxi in range(mx_n):
                     for ci, comp in enumerate(comps):
-                        dct, act = sel[comp["id"]]
-                        dc_tab = huff[(0, dct)]
-                        ac_tab = huff[(1, act)]
-                        q = qt[comp["tq"]]
-                        coef = [0] * 64
-                        s = _huff_decode(reader, dc_tab)
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        pred[ci] += diff
-                        coef[0] = pred[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tab)
-                            r, size = rs >> 4, rs & 0xF
-                            if rs == 0x00:
-                                break  # EOB
-                            if rs == 0xF0:
-                                k += 16  # ZRL
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coef[k] = _extend(reader.bits(size), size) * q[k]
-                            k += 1
-                        F8 = np.zeros((8, 8))
-                        for k in range(64):
-                            F8[_ZIGZAG[k] // 8, _ZIGZAG[k] % 8] = coef[k]
-                        block = A.T @ F8 @ A + 128.0
-                        px = np.floor(np.abs(block) + 0.5) * np.sign(block)
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            np.clip(px, 0, 255).astype(np.uint8)
-                        )
-            return w, h, [p[:h, :w] for p in planes]
+                        for bv in range(comp["v"]):
+                            for bh_ in range(comp["h"]):
+                                py = (myi * comp["v"] + bv) * 8
+                                px_ = (mxi * comp["h"] + bh_) * 8
+                                planes[ci][py : py + 8, px_ : px_ + 8] = (
+                                    decode_block(comp, ci)
+                                )
+            out = []
+            for ci, comp in enumerate(comps):
+                # crop to the component's true dims (§A.1.1), then
+                # nearest-neighbor upsample to full resolution
+                cw = -(-w * comp["h"] // hmax)
+                chh = -(-h * comp["v"] // vmax)
+                p = planes[ci][:chh, :cw]
+                p = np.repeat(
+                    np.repeat(p, vmax // comp["v"], axis=0),
+                    hmax // comp["h"],
+                    axis=1,
+                )
+                out.append(p[:h, :w])
+            return w, h, out
         i += seglen
     raise ValueError("no SOS segment")
 
@@ -1770,6 +1825,132 @@ def synthesize_gray_jpegs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(
                     _synth_jpeg_gray_bytes(
                         8 * (1 + mid % 3), 8 * (1 + mid % 2), mid
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+def _synth_jpeg_420_bytes(w: int, h: int, mid: int) -> bytes:
+    """Real baseline COLOR JPEG with 4:2:0 chroma subsampling (Y 2×2,
+    Cb/Cr 1×1 — the web-dominant layout) and block-constant known
+    content: Y block (bx, by) = (bx·7 + by·13 + mid) % 256, Cb block
+    (cx, cy) = (cx·11 + cy·3 + mid) % 256, Cr = (cx·5 + cy·17 + 2·mid)
+    % 256.  Entropy data is a real interleaved MCU stream (per MCU:
+    four Y blocks row-major, then Cb, then Cr, DC-diff predicted PER
+    COMPONENT) under unit quantization and the shared minimal Huffman
+    tables.  ``w``/``h`` must be multiples of 16 so chroma planes have
+    whole blocks and the closed form needs no edge model."""
+    import struct
+
+    assert w % 16 == 0 and h % 16 == 0
+    dc_tab = _huff_canonical(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_tab = _huff_canonical(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]))
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(ci: int, v: int) -> None:
+        dc = 8 * (v - 128)
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        mag = abs(diff)
+        s = mag.bit_length()
+        code, length = dc_tab[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, length = ac_tab[0x00]
+        bw.write(code, length)
+
+    for myi in range(h // 16):
+        for mxi in range(w // 16):
+            for bv in range(2):
+                for bh_ in range(2):
+                    bx, by = 2 * mxi + bh_, 2 * myi + bv
+                    put_block(0, (bx * 7 + by * 13 + mid) % 256)
+            put_block(1, (mxi * 11 + myi * 3 + mid) % 256)
+            put_block(2, (mxi * 5 + myi * 17 + 2 * mid) % 256)
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+JPEG420_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("cbcr_sum", T.LongType()),
+    ]
+)
+
+
+def jpeg420_pixel_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_px, y_sum, cbcr_sum) via the REAL subsampled
+    decode — interleaved MCU entropy decode, per-component DC
+    prediction, IDCT, nearest-neighbor chroma upsample — with the luma
+    sum and the COMBINED upsampled-chroma sum gated separately (a
+    correct Y path with a broken upsampler fails on cbcr_sum; a
+    correct upsampler over misplaced MCU blocks fails on both).  One
+    Arrow map, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ys, cs = [], [], [], []
+            for _, r in pdf.iterrows():
+                w, h, planes = _decode_jpeg_baseline(bytes(r["payload"]))
+                ids.append(r["media_id"])
+                ns.append(w * h)
+                ys.append(int(planes[0].astype("int64").sum()))
+                cs.append(
+                    int(planes[1].astype("int64").sum())
+                    + int(planes[2].astype("int64").sum())
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "n_px": ns, "y_sum": ys, "cbcr_sum": cs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, JPEG420_SUM_SCHEMA
+    )
+
+
+def synthesize_420_jpegs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content 4:2:0 color JPEG per
+    document: w = 16·(1 + id % 2), h = 16·(1 + id % 3), block values
+    per ``_synth_jpeg_420_bytes`` (shared with the decode:jpeg420
+    oracle's closed form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _synth_jpeg_420_bytes(
+                        16 * (1 + mid % 2), 16 * (1 + mid % 3), mid
                     )
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})

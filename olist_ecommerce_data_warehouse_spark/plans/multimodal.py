@@ -206,6 +206,26 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(ws) AS BIGINT) AS sum_wpx,
                CAST(SUM(npx) AS BIGINT) AS sum_npixels
         FROM png16_sums
+    ),
+    jpeg420_sums AS (
+        SELECT doc_id, 256 * cw * ch AS npx,
+               64 * list_sum(flatten(list_transform(generate_series(0, 2 * ch - 1), by ->
+                   list_transform(generate_series(0, 2 * cw - 1), bx ->
+                       (bx * 7 + by * 13 + doc_id) % 256)))) AS ysum,
+               256 * list_sum(flatten(list_transform(generate_series(0, ch - 1), cy ->
+                   list_transform(generate_series(0, cw - 1), cx ->
+                       (cx * 11 + cy * 3 + doc_id) % 256
+                       + (cx * 5 + cy * 17 + 2 * doc_id) % 256)))) AS csum
+        FROM (SELECT doc_id, 1 + doc_id % 2 AS cw, 1 + doc_id % 3 AS ch
+              FROM documents WHERE doc_id % 4 = 3)
+    ),
+    jpeg420_agg AS (
+        SELECT 'decode:jpeg420' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ysum) AS BIGINT) AS sum_y,
+               CAST(SUM(csum) AS BIGINT) AS sum_cbcr,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM jpeg420_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -246,6 +266,10 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM png16_agg
         UNION ALL SELECT kind, 'sum_wpx', sum_wpx FROM png16_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM png16_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM jpeg420_agg
+        UNION ALL SELECT kind, 'sum_y', sum_y FROM jpeg420_agg
+        UNION ALL SELECT kind, 'sum_cbcr', sum_cbcr FROM jpeg420_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM jpeg420_agg
     )
     """,
 )
@@ -297,8 +321,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind='decode:bmp8' (round 5) — indexed BMPs: known index bytes in
     stride-padded rows resolved through a known 16-entry BGRA table.
 
+    kind='decode:jpeg420' (round 7) — CHROMA-SUBSAMPLED color JPEG,
+    the web-dominant class the round-6 verdict ranked the #1 remaining
+    decode gap: real 4:2:0 files (Y 2×2, Cb/Cr 1×1) with
+    block-constant known content go through the full interleaved-MCU
+    decode — per-component DC prediction, IDCT, nearest-neighbor
+    chroma upsample — and the LUMA and combined UPSAMPLED-CHROMA sums
+    gate separately (a broken upsampler fails cbcr; misplaced MCU
+    blocks fail both).
+
     Scale shape: synthesis, probing and decoding are Arrow maps (no
-    shuffle); the rollups are small aggregates."""
+    shuffle); the rollups are small aggregates.  Round 7 also
+    de-duplicates the heaviest synthesis: ``synthesize_real_containers``
+    used to run THREE times (probe over all docs, png decode over
+    id%4==0, wav decode over id%4==2) — it now synthesizes once into a
+    tracked persist the three branches filter (the slot was at 1.94×
+    its r04 anchor; two of three Python synthesis passes were pure
+    waste)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        jpeg420_pixel_sums,
+        synthesize_420_jpegs,
+    )
+    from olist_ecommerce_data_warehouse_spark.plans.registry import track_persist
+
     docs = table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
     n_bytes = F.octet_length("payload")
@@ -313,7 +358,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_media', n_media, 'total_bytes', total_bytes, "
         "'min_bytes', min_bytes, 'max_bytes', max_bytes) AS (metric, value)",
     )
-    probed = probe_media_headers(synthesize_real_containers(docs))
+    # ONE synthesis pass for the three real-container consumers
+    containers = track_persist(synthesize_real_containers(docs))
+    probed = probe_media_headers(containers)
     probe_agg = probed.groupBy(
         F.concat(F.lit("probe:"), F.col("format")).alias("kind")
     ).agg(
@@ -339,9 +386,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixel sums compared against the oracle's closed-form double sum
     # — a defilter bug in any branch changes the pixels and fails the
     # driver hash.
-    png_sums = png_pixel_sums(
-        synthesize_real_containers(docs.filter(F.col("doc_id") % 4 == 0))
-    )
+    png_sums = png_pixel_sums(containers.filter(F.col("media_id") % 4 == 0))
     decode_agg = png_sums.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_media"),
         F.sum("pixel_sum").cast("bigint").alias("sum_pixels"),
@@ -355,9 +400,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kind='decode:wav' — the same device for the PCM path: WAV ids'
     # containers carry known int16 sample content; the real wave-module
     # decode must recover the exact interleaved sample sums.
-    wav_sums = wav_sample_sums(
-        synthesize_real_containers(docs.filter(F.col("doc_id") % 4 == 2))
-    )
+    wav_sums = wav_sample_sums(containers.filter(F.col("media_id") % 4 == 2))
     wavdec_agg = wav_sums.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_media"),
         F.sum("sample_sum").cast("bigint").alias("sum_samples"),
@@ -481,6 +524,23 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     adam7_long = _wsum_branch("decode:png-adam7", synthesize_adam7_pngs, 2)
     png16_long = _wsum_branch("decode:png16", synthesize_png16s, 3)
+    # kind='decode:jpeg420' (round 7) — see docstring
+    j420_agg = jpeg420_pixel_sums(
+        synthesize_420_jpegs(docs.filter(F.col("doc_id") % 4 == 3))
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("y_sum").cast("bigint").alias("sum_y"),
+        F.sum("cbcr_sum").cast("bigint").alias("sum_cbcr"),
+        F.sum("n_px").cast("bigint").alias("sum_npixels"),
+    ).select(
+        F.lit("decode:jpeg420").alias("kind"),
+        "n_media", "sum_y", "sum_cbcr", "sum_npixels",
+    )
+    j420_long = j420_agg.selectExpr(
+        "kind",
+        "stack(4, 'n_media', n_media, 'sum_y', sum_y, "
+        "'sum_cbcr', sum_cbcr, 'sum_npixels', sum_npixels) AS (metric, value)",
+    )
     return (
         bytes_long.unionByName(probe_long)
         .unionByName(decode_long)
@@ -492,6 +552,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpegdec_long)
         .unionByName(adam7_long)
         .unionByName(png16_long)
+        .unionByName(j420_long)
     )
 
 

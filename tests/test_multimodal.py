@@ -685,9 +685,18 @@ def test_jpeg_baseline_decode_roundtrip():
         _decode_jpeg_baseline(bytes(prog))
     sub = bytearray(base)
     i = sub.find(b"\xff\xc0")
+    # round 7: factors ≤ 2 DECODE (single-component scans are
+    # non-interleaved per spec, so a 0x22 factor on a grayscale file
+    # decodes to the same pixels); the honest raise moved to factors > 2
     sub[i + 2 + 2 + 6 + 1] = 0x22  # sampling factor 2x2
+    dw_s, dh_s, planes_s = _decode_jpeg_baseline(bytes(sub))
+    dw_b, dh_b, planes_b = _decode_jpeg_baseline(bytes(base))
+    assert (dw_s, dh_s) == (dw_b, dh_b)
+    assert (planes_s[0] == planes_b[0]).all()
+    sub3 = bytearray(base)
+    sub3[i + 2 + 2 + 6 + 1] = 0x33  # factor 3 stays an honest raise
     with pytest.raises(NotImplementedError):
-        _decode_jpeg_baseline(bytes(sub))
+        _decode_jpeg_baseline(bytes(sub3))
     qt16 = bytearray(base)
     qt16[qt16.find(b"\xff\xdb") + 4] = 0x10  # 16-bit quant precision
     with pytest.raises(NotImplementedError):
@@ -699,6 +708,38 @@ def test_jpeg_baseline_decode_roundtrip():
     )
     with pytest.raises(NotImplementedError):
         _decode_jpeg_baseline(dri)
+
+
+def test_jpeg_420_subsampled_decode_exact():
+    """Round 7: 4:2:0 chroma-subsampled color JPEGs decode for real —
+    the interleaved MCU walk must place all four Y blocks and both
+    chroma blocks correctly (per-component DC prediction across MCUs),
+    and nearest-neighbor upsampling must replicate each chroma block
+    over its 16×16 output footprint.  Block-constant known content
+    makes every decoded value exact."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg_420_bytes,
+    )
+
+    for mid in (0, 1, 2, 3, 7, 254):
+        w, h = 16 * (1 + mid % 2), 16 * (1 + mid % 3)
+        dw, dh, planes = _decode_jpeg_baseline(_synth_jpeg_420_bytes(w, h, mid))
+        assert (dw, dh) == (w, h) and len(planes) == 3
+        assert all(p.shape == (h, w) for p in planes)
+        y, cb, cr = (p.astype(np.int64) for p in planes)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == (bx * 7 + by * 13 + mid) % 256).all(), (mid, bx, by)
+        for cy in range(h // 16):
+            for cx in range(w // 16):
+                cbb = cb[cy * 16 : cy * 16 + 16, cx * 16 : cx * 16 + 16]
+                crb = cr[cy * 16 : cy * 16 + 16, cx * 16 : cx * 16 + 16]
+                assert (cbb == (cx * 11 + cy * 3 + mid) % 256).all(), (mid, cx, cy)
+                assert (crb == (cx * 5 + cy * 17 + 2 * mid) % 256).all(), (mid, cx, cy)
 
 
 def test_png_adam7_and_16bit_decode():
@@ -749,3 +790,132 @@ def test_png_adam7_and_16bit_decode():
     b[i] = 4
     with pytest.raises(NotImplementedError):
         _png_pixels(bytes(b))
+
+
+def test_adam7_geometry_matches_spec_fixture():
+    """Spec-conformance fixture for the Adam7 pass geometry (round-6
+    ADVICE: the encoder twin ``_synth_png_adam7_bytes`` and the
+    decoder share the ``_ADAM7`` constant, so a typo there would
+    cancel out of every round-trip test).  This test hardcodes the
+    PNG spec's 8×8 pass-number matrix and per-pass scan coordinates
+    LITERALLY — nothing here is computed from ``_ADAM7`` — builds an
+    8×8 grayscale Adam7 file whose stored samples are the sequential
+    counter 0..63 in interlaced transmission order, and asserts the
+    decoder places every counter at the spec's coordinates."""
+    import struct
+    import zlib
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    # PNG spec (ISO/IEC 15948 §8.2), the canonical 8×8 pass matrix:
+    #   1 6 4 6 2 6 4 6
+    #   7 7 7 7 7 7 7 7
+    #   5 6 5 6 5 6 5 6
+    #   7 7 7 7 7 7 7 7
+    #   3 6 4 6 3 6 4 6
+    #   7 7 7 7 7 7 7 7
+    #   5 6 5 6 5 6 5 6
+    #   7 7 7 7 7 7 7 7
+    spec_matrix = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    # per-pass scan order: row-major over that pass's cells
+    coords = {p: [] for p in range(1, 8)}
+    for y in range(8):
+        for x in range(8):
+            coords[spec_matrix[y][x]].append((x, y))
+    # transmission order: passes 1..7, each row-major; sample = counter
+    expected = {}
+    counter = 0
+    sub_images = []
+    for p in range(1, 8):
+        xs = sorted({x for x, _ in coords[p]})
+        ys = sorted({y for _, y in coords[p]})
+        rows = []
+        for y in ys:
+            row = bytearray([0])  # filter None
+            for x in xs:
+                expected[(x, y)] = counter
+                row.append(counter)
+                counter += 1
+            rows.append(bytes(row))
+        sub_images.append(b"".join(rows))
+    assert counter == 64
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"".join(sub_images)))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, ch, px = _png_pixels(png)
+    assert (dw, dh, ch) == (8, 8, 1)
+    for (x, y), want in expected.items():
+        assert px[y * 8 + x] == want, (x, y, px[y * 8 + x], want)
+
+
+def test_png_metadata_reports_source_depth(spark):
+    """real_decode_media must report the SOURCE bit depth from IHDR
+    (16 for 16-bit files, 8 for true 8-bit) while the mean stays on
+    the folded 8-bit pixel scale — round-6 ADVICE: the folded depth
+    made the two classes indistinguishable downstream."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _synth_png16_bytes,
+        _synth_png_adam7_bytes,
+        real_decode_media,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_synth_png16_bytes(4, 3)), "t"),
+            (2, "image", bytearray(_synth_png_adam7_bytes(4, 3)), "t"),
+        ],
+        "media_id long, kind string, payload binary, source string",
+    )
+    got = {r["media_id"]: r for r in real_decode_media(media).collect()}
+    assert got[1]["bit_depth"] == 16
+    assert got[2]["bit_depth"] == 8
+    want16 = sum(
+        ((x * 301 + y * 517) % 65536) >> 8 for x in range(4) for y in range(3)
+    ) / 12.0
+    assert abs(got[1]["sample_mean"] - want16) < 1e-9  # folded-scale mean
+
+
+def test_jpeg_marker_walk_fill_bytes_and_bare_eoi():
+    """Spec-legal marker-stream shapes must hit clean boundaries
+    (round-6 ADVICE): 0xFF fill bytes before a marker are skipped
+    (decode still exact), and a file that reaches EOI with no SOS
+    raises the intended ValueError instead of a struct.error from
+    reading absent length bytes."""
+    import pytest
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg_gray_bytes,
+    )
+
+    jb = _synth_jpeg_gray_bytes(16, 8, 7)
+    w0, h0, planes0 = _decode_jpeg_baseline(jb)
+    # inject fill bytes before the first post-SOI marker
+    padded = jb[:2] + b"\xff\xff\xff" + jb[2:]
+    w1, h1, planes1 = _decode_jpeg_baseline(padded)
+    assert (w0, h0) == (w1, h1)
+    assert all((a == b).all() for a, b in zip(planes0, planes1))
+
+    with pytest.raises(ValueError, match="no SOS"):
+        _decode_jpeg_baseline(b"\xff\xd8\xff\xd9")
