@@ -28,16 +28,20 @@ whole sessions 1.4-2× slow, proven by worktree A/B re-times of
 anchored commits) lifts every window and therefore the median.  The
 floor stops a lucky-cal session from inflating normalized times,
 since CAL_REF is the quiet-rig minimum.  The BINDING regression gate
-runs on ``raw_best / rig_factor`` against ``BASELINE_R05``
-(normalized anchors from the anchoring session); a rig slowdown moves
-raw and calibration together and cancels, while a genuine plan
-regression moves only its own query and still flags — verified by the
-injected-sleep tests in tests/test_bench_gate.py and one real
-injected-sleep bench run (BASELINE.md §"Calibration").  Raw diffs vs
-the frozen R01-R04 anchor dicts remain emitted for history.  EVERY
-timing sample and cal window (including confirmation re-runs) is
-emitted under "samples"/"calibration" so re-anchoring decisions are
-auditable from the BENCH_r{N}.json records alone.
+runs on ``median(samples) / rig_factor`` against ``BASELINE_R06``
+(round 7 — the first anchor set whose statistic matches the gate's
+median, closing the min-vs-median asymmetry ADVICE r06 flagged); a
+rig slowdown moves raw and calibration together and cancels, while a
+genuine plan regression moves only its own query and still flags —
+verified by the injected-sleep tests in tests/test_bench_gate.py and
+one real injected-sleep bench run (BASELINE.md §"Calibration").
+Diffs vs the frozen R01-R05 anchor dicts remain recorded for history.
+EVERY timing sample and cal window (including confirmation re-runs)
+is written to ``bench_ab/bench_full_latest.json`` so re-anchoring
+decisions stay auditable; STDOUT carries only the compact gate
+summary (``compact_line``) because the driver's BENCH_r{N}.json keeps
+just the last 2,000 chars of output — round 6 lost its total, rig
+factor and half the per-query map to that truncation.
 """
 
 from __future__ import annotations
@@ -282,6 +286,98 @@ BASELINE_R05 = {
 }
 
 
+# Round-6 NORMALIZED anchors — the BINDING gate since round 7, and the
+# first anchor set whose statistic MATCHES the gate statistic (ADVICE
+# r06: the gate moved to median-of-samples in round 6 while BASELINE_R05
+# stayed min-of-samples, systematically inflating ratios — the round-6
+# text_lang_id flag adjudicated as exactly this artifact plus rig noise,
+# see bench_ab/bench_ab.jsonl).  Each value is the MIN OF THE TWO
+# ANCHORING SESSIONS' MEDIANS (bench_ab/anchoring_r6_run{1,2}.json,
+# both rig-factor 1.0): the per-session median absorbs sample outliers,
+# and the min across sessions drops the session that started inside a
+# noise epoch (run1's first two cal windows read 2.23/1.91 s while its
+# later windows read 0.63-0.71 s).  Re-anchor an entry ONLY for a
+# capability change, with the measured normalized median and a comment.
+BASELINE_R06 = {
+    "ann_cosine_topk": 1.9025,
+    # re-anchored in round 7: the slot gained the persistent-index
+    # lifecycle as kind='ivf-loaded' (save partitionBy(centroid_id) →
+    # reload → partition-pruned search in-query) — capability change;
+    # min of the round-7 anchoring sessions' medians (rig 1.0,
+    # bench_ab/anchoring_r7_run{1,2}.json: 8.668 / 8.2794)
+    "ann_ivf_topk": 8.2794,
+    "approx_aggregates": 1.7775,
+    "asof_click_attribution": 1.281,
+    "cleanse_accent_fold_dedup": 0.4144,
+    "cleanse_decimal_comma": 2.0378,
+    "cleanse_trim_case_prefix": 0.3814,
+    "cleanse_try_timestamp": 0.6224,
+    "cleanse_validity_filter": 0.3512,
+    "contamination_check": 2.9556,
+    # re-anchored in round 7: the slot gained CCNet perplexity
+    # bucketing as kind='ccnet' (in-query bigram-LM training on the
+    # train split, fixed-point scoring, exact per-language tertiles)
+    # — capability change; min of the round-7 anchoring medians
+    # (12.1413 / 13.5655; an interleaved 4-round probe on a quiet rig
+    # confirmed 10.25-14.8, bench_ab/anchor_probe_r7_interleaved.json)
+    "corpus_mixing": 12.1413,
+    "csv_roundtrip_ingest": 1.1153,
+    "date_dimension": 0.2818,
+    "datetime_functions": 0.4502,
+    "dedup_cluster_cc": 4.9013,
+    "dedup_embedding_cosine": 2.2685,
+    "dedup_exact": 0.8931,
+    "dedup_keep_latest": 0.5159,
+    "dedup_minhash_lsh": 3.1492,
+    "dedup_ngram_jaccard": 4.3703,
+    "dedup_simhash": 2.0059,
+    "embedding_quantize": 2.1793,
+    "events_json_props": 0.7393,
+    "events_sessionization": 0.6638,
+    "events_windows": 0.8795,
+    "flagship_revenue_by_brand": 1.4032,
+    "gold_dim_customer": 0.5526,
+    "gold_fact_lineitem": 3.4678,
+    "gold_fact_orders": 1.5413,
+    "gold_revenue_by_region": 0.7874,
+    "left_enrich_broadcast": 0.4343,
+    "merge_upsert_incremental": 0.5707,
+    "multikey_left_distinct": 0.694,
+    "multimodal_decode_frames": 0.8485,
+    # re-anchored in round 7: the slot gained the 4:2:0 subsampled
+    # JPEG decode gate (kind='decode:jpeg420') while de-duplicating
+    # the triple container synthesis — capability change; min of the
+    # round-7 anchoring medians (2.1679 / 4.0561 — run2's value sat
+    # beside a 3.27 s cal-window spike; two late-evening sessions
+    # measured 3.5-4.4 with the same epoch signature, recorded in
+    # bench_ab/anchoring_r7_run3_late_epoch.json, so a slow-session
+    # flag here is the KNOWN bimodal rig mode: adjudicate via
+    # scripts/bench_ab.py before treating it as code)
+    "multimodal_metadata": 2.1679,
+    "orphan_check": 0.5284,
+    "per_order_rollup": 1.9933,
+    "pivot_event_types_daily": 0.4919,
+    "pricing_summary": 1.3167,
+    "rollup_region_segment": 1.2961,
+    "scalar_kpis": 1.2396,
+    "scd2_dim_customer": 1.0981,
+    "sequence_packing": 0.6977,
+    "sk_resolution_chain": 1.5366,
+    "skew_salted_join": 2.3593,
+    "surrogate_keys": 0.5363,
+    # re-anchored in round 7: the four-branch join fan-in collapsed to
+    # one fused head (plans/text.py — a pure SPEEDUP, so the anchor
+    # tightens from 11.42 to hold the win); min of the round-7
+    # anchoring medians (9.2145 / 9.5404), adjudicated faster than
+    # the pre-collapse code by worktree A/B (bench_ab.jsonl:
+    # head_over_ref 0.894)
+    "text_lang_id": 9.2145,
+    "text_metrics": 4.1987,
+    "text_repetition": 2.8746,
+    "volumetrics": 0.5653,
+}
+
+
 def median_of(xs: list[float]) -> float:
     """Standard median (mean of the middle pair for even n).  The GATE
     statistic since round 6: gating on min(samples) let one lucky
@@ -309,8 +405,10 @@ def rig_factor_of(cals: list[float]) -> float:
 def gate_normalized(name: str, norm_sec: float, anchors: dict[str, float] | None = None) -> bool:
     """Binding regression gate: normalized seconds > 1.5× anchor AND
     > 0.5 s absolute over it (sub-second queries swing ±0.4 s from
-    environment noise; a ratio-only gate false-flags them)."""
-    anchors = BASELINE_R05 if anchors is None else anchors
+    environment noise; a ratio-only gate false-flags them).  Binds to
+    BASELINE_R06 since round 7 — the first anchor set measured with
+    the gate's own median statistic."""
+    anchors = BASELINE_R06 if anchors is None else anchors
     base = anchors.get(name)
     return base is not None and norm_sec > 1.5 * base and norm_sec - base > 0.5
 
@@ -324,6 +422,43 @@ def diff_vs(anchors: dict[str, float], tag: str, timings: dict[str, float]) -> d
         if base is not None and sec > 1.5 * base and sec - base > 0.5:
             reg[name] = {tag: base, "now": sec, "ratio": round(sec / base, 2)}
     return reg
+
+
+def compact_line(full: dict) -> str:
+    """ONE ≤ ~1.6 kB JSON line from the full bench record: the driver
+    contract fields (metric/value/unit/queries/sf — query secs to 3
+    decimals), the session rig factor, the r01 raw diff and the
+    binding r06 normalized-median flags (ratios only), and a pointer
+    to the on-disk full record.  Everything else (samples, cal
+    windows, historical diffs) lives in that file — stdout must
+    survive the driver's 2,000-char tail capture intact.  Flag maps
+    cap at the 12 worst ratios (``n_flagged`` keeps the true count;
+    the full record has every entry) so even a pathological
+    every-plan-flagged session fits the tail budget."""
+
+    def top_flags(reg: dict) -> dict:
+        worst = sorted(reg.items(), key=lambda kv: -kv[1]["ratio"])[:12]
+        out = {n: d["ratio"] for n, d in worst}
+        if len(reg) > 12:
+            out["n_flagged"] = len(reg)
+        return out
+
+    return json.dumps(
+        {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": full["unit"],
+            "queries": {n: round(t, 3) for n, t in full["queries"].items()},
+            "sf": full["sf"],
+            "rig_factor": full["calibration"]["rig_factor"],
+            "regressions_vs_r01": top_flags(full["regressions_vs_r01"]),
+            "regressions_normalized_vs_r06": top_flags(
+                full["regressions_normalized_vs_r06"]
+            ),
+            "full_record": "bench_ab/bench_full_latest.json",
+        },
+        separators=(",", ":"),
+    )
 
 
 def run_plan(spark, name: str, sf_dir: str) -> float:
@@ -405,8 +540,8 @@ def main() -> None:
         name: round(t / rig_factor, 4) for name, t in medians.items()
     }
 
-    # regression diffs: normalized-vs-R05 is the binding gate; raw
-    # diffs vs the frozen R01-R04 dicts stay for history (sf0.1 only —
+    # regression diffs: normalized-vs-R06 is the binding gate; diffs
+    # vs the frozen R01-R05 dicts stay for history (sf0.1 only —
     # other SFs have no recorded anchor)
     at_sf01 = abs(sf - 0.1) < 1e-9
     out = {
@@ -431,8 +566,21 @@ def main() -> None:
         "regressions_normalized_vs_r05": (
             diff_vs(BASELINE_R05, "r05", normalized_median) if at_sf01 else {}
         ),
+        "regressions_normalized_vs_r06": (
+            diff_vs(BASELINE_R06, "r06", normalized_median) if at_sf01 else {}
+        ),
     }
-    print(json.dumps(out))
+    # full record to disk (auditable: every sample, cal window and
+    # historical diff), COMPACT gate summary to stdout — the driver
+    # keeps only the last 2,000 chars of output, which truncated the
+    # full record's head in BENCH_r06.json ("parsed": null, total and
+    # rig factor lost); the compact line carries the driver contract
+    # (metric/value/unit/queries/sf) plus the binding-gate verdict and
+    # fits the tail capture whole.
+    full_path = REPO / "bench_ab" / "bench_full_latest.json"
+    full_path.parent.mkdir(exist_ok=True)
+    full_path.write_text(json.dumps(out, indent=1))
+    print(compact_line(out))
     spark.stop()
 
 

@@ -22,7 +22,7 @@ def test_injected_2x_sleep_still_flags():
     slowdown in ONE plan must flag even after normalization, because
     the calibration plan is untouched and the rig factor stays 1.0."""
     name = "gold_fact_lineitem"
-    anchor = bench.BASELINE_R05[name]
+    anchor = bench.BASELINE_R06[name]
     cals = [bench.CAL_REF] * 7  # quiet rig, factor 1.0
     rf = bench.rig_factor_of(cals)
     assert rf == 1.0
@@ -36,7 +36,7 @@ def test_uniform_rig_slowdown_cancels():
     cals = [bench.CAL_REF * 1.8] * 7
     rf = bench.rig_factor_of(cals)
     assert abs(rf - 1.8) < 0.01
-    for name, anchor in bench.BASELINE_R05.items():
+    for name, anchor in bench.BASELINE_R06.items():
         assert not bench.gate_normalized(name, (1.8 * anchor) / rf), name
 
 
@@ -65,11 +65,45 @@ def test_absolute_floor_suppresses_subsecond_ratio_noise():
 
 
 def test_every_registered_plan_is_anchored():
-    """BASELINE_R05 must cover the whole registry — an unanchored plan
-    is invisible to the binding gate (the round-2 lesson)."""
+    """The binding anchor set (BASELINE_R06) must cover the whole
+    registry — an unanchored plan is invisible to the gate (the
+    round-2 lesson); R05 stays complete for the historical diff."""
     from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
 
+    assert set(bench.BASELINE_R06) == set(REGISTRY)
     assert set(bench.BASELINE_R05) == set(REGISTRY)
+
+
+def test_compact_line_survives_tail_capture():
+    """The driver records only the LAST 2,000 chars of bench stdout
+    (BENCH_r06.json lost its total and rig factor to this) — the
+    compact gate-summary line must fit whole, parse, and carry the
+    driver contract plus the binding verdict even with every plan
+    flagged (worst-case flags payload)."""
+    import json
+
+    full = {
+        "metric": "total_wall_sec_all_queries",
+        "value": 123.4567,
+        "unit": "sec",
+        "queries": {n: 12.3456 for n in bench.BASELINE_R06},
+        "sf": 0.1,
+        "calibration": {"rig_factor": 1.2345},
+        "regressions_vs_r01": {},
+        "regressions_normalized_vs_r06": {
+            n: {"r06": 1.0, "now": 9.9999, "ratio": 9.99}
+            for n in bench.BASELINE_R06
+        },
+    }
+    line = bench.compact_line(full)
+    assert len(line) < 2000, len(line)
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed  # the driver contract
+    assert parsed["rig_factor"] == 1.2345
+    flags = parsed["regressions_normalized_vs_r06"]
+    assert flags["n_flagged"] == len(bench.BASELINE_R06)  # true count kept
+    assert len(flags) == 13  # 12 worst ratios + the count
 
 
 def test_diff_vs_reports_ratio():
