@@ -2043,3 +2043,31 @@ def test_pq_adc_topk_tie_determinism(spark):
             .collect()
         ]
         assert got == [0, 1, 2, 3, 4], (parts, got)
+
+
+def test_adc_partial_prune_matches_lexsort_membership():
+    """The O(B) argpartition boundary-resolution prune (round 7) must
+    select EXACTLY the lexsort-by-(adc_dist, vec_id) membership for
+    every query — fuzzed across tie densities from all-distinct to
+    near-all-tied, the regimes where a naive argpartition keeps an
+    arbitrary boundary subset."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    keep = 5
+    for trial, vmax in enumerate((10**6, 500, 12, 2)):
+        nq, B = 13, 997
+        dist = rng.integers(0, vmax, (nq, B)).astype(np.int64)
+        ids = rng.permutation(10_000)[:B].astype(np.int64)
+        for qi in range(nq):
+            d = dist[qi]
+            want = set(ids[np.lexsort((ids, d))[:keep]])
+            cut = np.argpartition(d, keep - 1)[:keep]
+            bound = d[cut].max()
+            below = cut[d[cut] < bound]
+            need = keep - below.shape[0]
+            ties = np.nonzero(d == bound)[0]
+            if ties.shape[0] > need:
+                ties = ties[np.argpartition(ids[ties], need - 1)[:need]]
+            got = set(ids[np.concatenate([below, ties])])
+            assert got == want, (trial, qi, sorted(got), sorted(want))
