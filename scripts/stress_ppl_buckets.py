@@ -36,6 +36,7 @@ from olist_ecommerce_data_warehouse_spark.operators.ngram_lm import (  # noqa: E
     ngram_lm_score,
     ngram_lm_train,
     ppl_buckets,
+    ppl_tertiles_fp,
 )
 from olist_ecommerce_data_warehouse_spark.session import get_spark  # noqa: E402
 
@@ -139,6 +140,42 @@ def main() -> None:
     out["per_lang"] = per_lang
     out["worst_boundary_rel_err"] = round(worst_rel, 6)
     out["worst_bucket_size_dev"] = round(worst_size_dev, 4)
+
+    # EXACT integer tertiles (round 7 — the driver-gated twin inside
+    # corpus_mixing kind='ccnet'): claims under test at 500k docs —
+    # (a) the grid value-count table stays MODEL-sized (distinct
+    # avg_fp values ≪ corpus, so the cumulative-sum window is cheap),
+    # (b) realized buckets are exact thirds up to boundary-tie mass
+    # (ties all land in the higher bucket by contract), (c) wall is
+    # comparable to the sketch path (both are one agg + broadcast map)
+    t0 = time.perf_counter()
+    exact = ppl_tertiles_fp(scored, by_col="lang")
+    esizes = {
+        (r["lang"], r["ppl_bucket"]): r["n"]
+        for r in exact.groupBy("lang", "ppl_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out["exact_bucket_sec"] = round(time.perf_counter() - t0, 1)
+    out["grid_values"] = (
+        scored.filter(F.col("n_bigrams") > 0)
+        .select("lang", F.expr("logprob_fp div n_bigrams").alias("a"))
+        .groupBy("lang", "a")
+        .count()
+        .count()
+    )
+    exact_dev = 0.0
+    for lang in sorted(ex):
+        n_l = sum(
+            v for (lg, b), v in esizes.items() if lg == lang and b != "unscored"
+        )
+        devs = [
+            abs(esizes.get((lang, b), 0) - n_l / 3.0) / (n_l / 3.0)
+            for b in ("head", "middle", "tail")
+        ]
+        per_lang[lang]["exact_bucket_size_dev"] = [round(x, 4) for x in devs]
+        exact_dev = max(exact_dev, *devs)
+    out["worst_exact_bucket_size_dev"] = round(exact_dev, 4)
     print(json.dumps(out), flush=True)
     spark.stop()
 
