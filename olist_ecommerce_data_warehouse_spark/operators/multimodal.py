@@ -7,15 +7,18 @@ Decode tiers:
 - ``real_decode_media`` REALLY decodes the container-friendly formats
   with the Python stdlib alone — PNG (zlib inflate + full scanline
   defilter, all 5 filter types), BMP (DIB header), WAV (RIFF/fmt/data
-  chunks + PCM sample decode), GIF (LZW), and baseline-DCT JPEG since
-  round 6 (generic Huffman entropy decode + dequantize + IDCT) —
-  emitting true dimensions, channel counts, sample rates and a
-  pixel/sample mean computed from the actual decoded samples
-  (round-trip-tested against independently encoded fixtures).
-- formats that genuinely need PIL/ffmpeg (MP4, progressive or
-  chroma-subsampled JPEG, …) raise ``NotImplementedError`` at the
-  exact point those calls would go — that dependency is absent in
-  this container, honestly gated.
+  chunks + PCM sample decode), GIF (LZW), and JPEG — baseline-DCT
+  since round 6 (generic Huffman entropy decode + dequantize + IDCT)
+  and since round 7 chroma subsampling up to 2×2, DRI/RSTn restart
+  intervals and full PROGRESSIVE (SOF2 spectral-selection +
+  successive-approximation) scans — emitting true dimensions, channel
+  counts, sample rates and a pixel/sample mean computed from the
+  actual decoded samples (round-trip-tested against independently
+  encoded fixtures).
+- formats that genuinely need PIL/ffmpeg (MP4, arithmetic-coded or
+  12-bit JPEG, …) raise ``NotImplementedError`` at the exact point
+  those calls would go — that dependency is absent in this container,
+  honestly gated.
 - ``decode_media`` keeps the deterministic fake-decode default used by
   the oracle-gated plans (byte-derived metadata, engine-portable).
 
@@ -371,8 +374,9 @@ def _parse_wav(b: bytes):
 
 def real_decode_media(media: DataFrame) -> DataFrame:
     """REAL decode for stdlib-decodable payloads (PNG/BMP/WAV/GIF +
-    baseline JPEG since round 6), sniffing the container by magic
-    bytes.  Anything else — MP4, progressive/subsampled JPEG, … —
+    JPEG: baseline since round 6; subsampled, restart-interval and
+    progressive since round 7), sniffing the container by magic
+    bytes.  Anything else — MP4, arithmetic-coded/12-bit JPEG, … —
     raises ``NotImplementedError`` where the PIL/ffmpeg call would go
     (for JPEG the boundary now sits INSIDE ``_decode_jpeg_baseline``
     at the exact unsupported-process branch).  Same Arrow-batched
@@ -1444,9 +1448,11 @@ def synthesize_bmps(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # chroma subsampling up to 2×2 and DRI/RSTn restart intervals:
 # segment walk, DQT/DHT table parse, canonical-Huffman entropy decode
 # with byte-unstuffing, run/size AC coding, dequantize, de-zigzag,
-# float IDCT, level shift + clamp); progressive (SOF2), arithmetic
-# coding, 12-bit precision and sampling factors > 2
-# raise NotImplementedError at the exact branch point.  The GATE uses
+# float IDCT, level shift + clamp; since round 7 PROGRESSIVE SOF2
+# streams decode too, via _decode_jpeg_progressive's coefficient
+# accumulation); arithmetic coding, 12-bit precision and sampling
+# factors > 2 raise NotImplementedError at the exact branch point.
+# The GATE uses
 # the known-content closed-form device: the paired encoder writes
 # block-constant grayscale images (each 8×8 block one known value), a
 # unit quant table and its own minimal Huffman tables — for such
@@ -1520,6 +1526,14 @@ _ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = list(range(12))
 _ENC_AC_BITS = [1] + [0] * 15
 _ENC_AC_VALS = [0x00]  # EOB
+
+# Complete AC table for the coefficient-field encoders (progressive
+# scans emit arbitrary run/size, ZRL and EOBn symbols): canonical
+# codes for all 256 symbols — 0x00-0xFE at 8 bits, 0xFF at 9 bits
+# (the 8-bit all-ones word stays unused and the 9-bit code is
+# 111111110, so no all-1s codeword exists, per T.81 C.2).
+_ENC_AC_FULL_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_FULL_VALS = list(range(256))
 
 
 def _synth_jpeg_gray_bytes(w: int, h: int, mid: int) -> bytes:
@@ -1664,7 +1678,9 @@ def _decode_jpeg_baseline(b: bytes):
         (seglen,) = struct.unpack(">H", b[i : i + 2])
         payload = b[i + 2 : i + seglen]
         if marker == 0xC2:
-            raise NotImplementedError("progressive JPEG needs libjpeg/PIL")
+            # round 7: progressive decodes for real — restart the walk
+            # in the coefficient-accumulating decoder
+            return _decode_jpeg_progressive(b)
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG process")
         if marker == 0xDD:
@@ -1816,6 +1832,303 @@ def _decode_jpeg_baseline(b: bytes):
     raise ValueError("no SOS segment")
 
 
+def _decode_jpeg_progressive(b: bytes):
+    """(width, height, planes) — full PROGRESSIVE (SOF2) Huffman
+    decode, round 7: spectral selection + successive approximation per
+    ITU T.81 §G.  Coefficients accumulate across scans in
+    per-component zigzag buffers — DC first/refine scans (interleaved
+    MCU walk or a single component's own block grid), AC first scans
+    with EOB-run coding, AC refinement scans with zero-history skips
+    and correction bits (two's-complement ``coef & p1`` bit tests are
+    exact for the magnitudes refinement can produce) — then ONE
+    dequantize + de-zigzag + IDCT pass reconstructs pixels.  Restart
+    intervals byte-align, verify the mod-8 RSTn cycle and reset DC
+    prediction AND the EOB run.  Output contract (planes upsampled
+    nearest-neighbor to h × w) matches _decode_jpeg_baseline, so the
+    cross-codec test can demand bit-identical planes for the same
+    coefficient field.  12-bit precision, arithmetic coding and
+    sampling factors > 2 raise exactly like the baseline path."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps = None
+    coefs: list = []
+    w = h = 0
+    mx_n = my_n = 0
+    restart_interval = 0
+    pred = []
+    i = 2
+    while i + 1 < len(b):
+        if b[i] != 0xFF:
+            raise ValueError("expected marker")
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        marker = b[i + 1]
+        i += 2
+        if marker == 0xD9:
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", b[i : i + 2])
+        payload = b[i + 2 : i + seglen]
+        if marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+            i += seglen
+            continue
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = list(payload[p + 1 : p + 65])
+                p += 65
+            i += seglen
+            continue
+        if marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                fwd = _huff_canonical(bits, vals)
+                huff[(tc, th)] = {(l, c): s for s, (c, l) in fwd.items()}
+                p += 17 + n
+            i += seglen
+            continue
+        if marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2 need libjpeg"
+                    )
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            if nc == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+            my_n = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # true component dims (§A.1.1) and the NON-interleaved
+                # block grid AC scans walk; the coef buffers are padded
+                # to the interleaved grid DC scans cover
+                c["cw"] = -(-w * c["h"] // hmax)
+                c["ch"] = -(-h * c["v"] // vmax)
+                c["bw"] = -(-c["cw"] // 8)
+                c["bh"] = -(-c["ch"] // 8)
+            coefs = [
+                np.zeros((my_n * c["v"], mx_n * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+            pred = [0] * nc
+            i += seglen
+            continue
+        if marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("second SOF in a progressive stream")
+        if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG process")
+        if marker != 0xDA:
+            i += seglen
+            continue
+
+        # ---- one scan ----
+        if comps is None:
+            raise ValueError("SOS before SOF")
+        ns = payload[0]
+        scomps = []
+        for k in range(ns):
+            cid, tabs = payload[1 + 2 * k], payload[2 + 2 * k]
+            ci = next(j for j, c in enumerate(comps) if c["id"] == cid)
+            scomps.append((ci, tabs >> 4, tabs & 0xF))
+        ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+        ah, al = a >> 4, a & 0xF
+        reader = _BitReader(b, i + seglen)
+        eobrun = 0
+
+        def restart_check(unit: int) -> None:
+            nonlocal eobrun
+            if not (restart_interval and unit and unit % restart_interval == 0):
+                return
+            reader.nbits = 0
+            p = reader.pos
+            while b[p] == 0xFF and b[p + 1] == 0x00:
+                p += 2
+            while b[p] == 0xFF and b[p + 1] == 0xFF:
+                p += 1
+            expect = 0xD0 + ((unit // restart_interval - 1) % 8)
+            if b[p] != 0xFF or b[p + 1] != expect:
+                raise ValueError(f"expected RST{expect & 7} at restart boundary")
+            reader.pos = p + 2
+            for ci, _, _ in scomps:
+                pred[ci] = 0
+            eobrun = 0
+
+        def dc_unit(blk, ci: int, dct: int) -> None:
+            if ah == 0:
+                s = _huff_decode(reader, huff[(0, dct)])
+                diff = _extend(reader.bits(s), s) if s else 0
+                pred[ci] += diff
+                blk[0] = pred[ci] << al
+            elif reader.bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+        def ac_first(blk) -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, huff[(1, scomps[0][2])])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _extend(reader.bits(s), s) << al
+                k += 1
+
+        def ac_refine(blk) -> None:
+            nonlocal eobrun
+            p1 = 1 << al
+            m1 = -p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, huff[(1, scomps[0][2])])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement size must be 1")
+                        val = p1 if reader.bit() else m1
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if reader.bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c > 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0 and reader.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            if ns > 1:
+                unit = 0
+                for myi in range(my_n):
+                    for mxi in range(mx_n):
+                        restart_check(unit)
+                        for ci, dct, _ in scomps:
+                            c = comps[ci]
+                            for bv in range(c["v"]):
+                                for bh_ in range(c["h"]):
+                                    dc_unit(
+                                        coefs[ci][
+                                            myi * c["v"] + bv, mxi * c["h"] + bh_
+                                        ],
+                                        ci,
+                                        dct,
+                                    )
+                        unit += 1
+            else:
+                ci, dct, _ = scomps[0]
+                c = comps[ci]
+                unit = 0
+                for byi in range(c["bh"]):
+                    for bxi in range(c["bw"]):
+                        restart_check(unit)
+                        dc_unit(coefs[ci][byi, bxi], ci, dct)
+                        unit += 1
+        else:
+            if ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci = scomps[0][0]
+            c = comps[ci]
+            unit = 0
+            for byi in range(c["bh"]):
+                for bxi in range(c["bw"]):
+                    restart_check(unit)
+                    if ah == 0:
+                        ac_first(coefs[ci][byi, bxi])
+                    else:
+                        ac_refine(coefs[ci][byi, bxi])
+                    unit += 1
+        i = reader.pos  # resume the marker walk after the entropy data
+
+    if comps is None:
+        raise ValueError("no SOF2 segment")
+
+    # one reconstruction pass: dequantize + de-zigzag + IDCT per block
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for ci, comp in enumerate(comps):
+        q = np.asarray(qt[comp["tq"]], dtype=np.float64)
+        nby, nbx = coefs[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+        for byi in range(nby):
+            for bxi in range(nbx):
+                cvec = coefs[ci][byi, bxi].astype(np.float64) * q
+                F8 = np.zeros((8, 8))
+                for k in range(64):
+                    F8[_ZIGZAG[k] // 8, _ZIGZAG[k] % 8] = cvec[k]
+                block = A.T @ F8 @ A + 128.0
+                px = np.floor(np.abs(block) + 0.5) * np.sign(block)
+                plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = np.clip(
+                    px, 0, 255
+                ).astype(np.uint8)
+        p = plane[: comp["ch"], : comp["cw"]]
+        p = np.repeat(
+            np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
+        )
+        out.append(p[:h, :w])
+    return w, h, out
+
+
 JPEG_SUM_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -1953,6 +2266,412 @@ def _synth_jpeg_420_bytes(
         + bw.flush()
         + b"\xff\xd9"
     )
+
+
+def _synth_coef_field(w: int, h: int, mid: int, color: bool):
+    """Deterministic per-block zigzag coefficient field shared by the
+    baseline and progressive synthesizers (the cross-codec oracle
+    device: both encoders serialize THIS field, so the two decodes
+    must agree bit-for-bit).  Luma blocks carry a DC plus AC at zigzag
+    2 (|v| ≤ 7 — refined across all successive-approximation tiers)
+    and zigzag 40 (|v| ≤ 3 — dead until the refinement scans, forcing
+    newly-nonzero insertions after long zero-history skips/ZRL);
+    chroma carries DC plus one low AC each.  Returns (comps_spec,
+    fields) where fields[ci] is an int array (padded_bh, padded_bw,
+    64); padding blocks beyond the component's true block grid are
+    all-zero."""
+    import numpy as np
+
+    if color:
+        spec = [
+            {"id": 1, "h": 2, "v": 2, "tq": 0},
+            {"id": 2, "h": 1, "v": 1, "tq": 0},
+            {"id": 3, "h": 1, "v": 1, "tq": 0},
+        ]
+    else:
+        spec = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    hmax = max(c["h"] for c in spec)
+    vmax = max(c["v"] for c in spec)
+    mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+    my_n = (h + 8 * vmax - 1) // (8 * vmax)
+    fields = []
+    for ci, c in enumerate(spec):
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        pbw, pbh = mx_n * c["h"], my_n * c["v"]
+        f = np.zeros((pbh, pbw, 64), dtype=np.int64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                if ci == 0:
+                    v = (bx * 7 + by * 13 + mid) % 256
+                    # +parity makes half the DCs odd, so the DC
+                    # refinement scan carries genuine 1-bits
+                    f[by, bx, 0] = 8 * (v - 128) + ((bx + by + mid) % 2)
+                    f[by, bx, 2] = ((bx + 2 * by + mid) % 15) - 7
+                    f[by, bx, 40] = ((3 * bx + by + 2 * mid) % 7) - 3
+                elif ci == 1:
+                    v = (bx * 11 + by * 3 + mid) % 256
+                    f[by, bx, 0] = 8 * (v - 128)
+                    f[by, bx, 2] = ((bx + by + mid) % 7) - 3
+                else:
+                    v = (bx * 5 + by * 17 + 2 * mid) % 256
+                    f[by, bx, 0] = 8 * (v - 128)
+                    f[by, bx, 5] = ((2 * bx + by + mid) % 5) - 2
+        fields.append(f)
+    return spec, fields
+
+
+def _jpeg_headers_from_field(w, h, spec, sof_marker, restart_interval):
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(
+        sof_marker,
+        struct.pack(">BHHB", 8, h, w, len(spec))
+        + b"".join(
+            bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in spec
+        ),
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    dht_ac = seg(
+        0xC4, b"\x10" + bytes(_ENC_AC_FULL_BITS) + bytes(_ENC_AC_FULL_VALS)
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    return seg, dqt, sof, dht_dc, dht_ac, dri
+
+
+def _synth_jpeg_baseline_from_field(
+    w: int, h: int, mid: int, color: bool, restart_interval: int = 0
+) -> bytes:
+    """Baseline serialization of :func:`_synth_coef_field` — the
+    trusted side of the cross-codec oracle (its decode path is
+    closed-form driver-gated).  Interleaved MCU walk for color,
+    raster block walk for grayscale; arbitrary run/size AC coding with
+    ZRL via the full 256-symbol table."""
+    spec, fields = _synth_coef_field(w, h, mid, color)
+    seg, dqt, sof, dht_dc, dht_ac, dri = _jpeg_headers_from_field(
+        w, h, spec, 0xC0, restart_interval
+    )
+    dc_tab = _huff_canonical(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_tab = _huff_canonical(_ENC_AC_FULL_BITS, _ENC_AC_FULL_VALS)
+    sos = seg(
+        0xDA,
+        bytes([len(spec)])
+        + b"".join(bytes([c["id"], 0x00]) for c in spec)
+        + bytes([0, 63, 0]),
+    )
+    bw = _BitWriter()
+    pred = [0] * len(spec)
+
+    def put_block(ci: int, blk) -> None:
+        diff = int(blk[0]) - pred[ci]
+        pred[ci] = int(blk[0])
+        s = abs(diff).bit_length()
+        code, length = dc_tab[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = [k for k in range(1, 64) if blk[k]]
+        run = 0
+        for k in range(1, (max(nz) + 1) if nz else 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tab[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = abs(v).bit_length()
+            code, length = ac_tab[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if not nz or max(nz) < 63:
+            code, length = ac_tab[0x00]
+            bw.write(code, length)
+
+    if color:
+        mcu = 0
+        for myi in range(fields[1].shape[0]):
+            for mxi in range(fields[1].shape[1]):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.marker(0xD0 + ((mcu // restart_interval - 1) % 8))
+                    pred = [0] * len(spec)
+                for ci, c in enumerate(spec):
+                    for bv in range(c["v"]):
+                        for bh_ in range(c["h"]):
+                            put_block(
+                                ci, fields[ci][myi * c["v"] + bv, mxi * c["h"] + bh_]
+                            )
+                mcu += 1
+    else:
+        unit = 0
+        for byi in range(fields[0].shape[0]):
+            for bxi in range(fields[0].shape[1]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    bw.marker(0xD0 + ((unit // restart_interval - 1) % 8))
+                    pred = [0]
+                put_block(0, fields[0][byi, bxi])
+                unit += 1
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _synth_jpeg_progressive_bytes(
+    w: int, h: int, mid: int, color: bool = False, restart_interval: int = 0
+) -> bytes:
+    """PROGRESSIVE (SOF2) serialization of the same coefficient field
+    — a realistic successive-approximation scan script (DC first at
+    Al=1 then refined; per-component AC bands first-coded at Al=2 (Y)
+    / Al=1 (chroma) then refined tier by tier), exercising EOB runs
+    across blocks, ZRL-in-refinement zero-history skips, correction
+    bits, and newly-nonzero insertions at EVERY precision tier.
+    Restart intervals, when set, apply per scan with the mod-8 RSTn
+    cycle and flush the pending EOB run."""
+    spec, fields = _synth_coef_field(w, h, mid, color)
+    seg, dqt, sof, dht_dc, dht_ac, dri = _jpeg_headers_from_field(
+        w, h, spec, 0xC2, restart_interval
+    )
+    dc_tab = _huff_canonical(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_tab = _huff_canonical(_ENC_AC_FULL_BITS, _ENC_AC_FULL_VALS)
+
+    def sos_hdr(comp_ids, ss, se, ah, al):
+        return seg(
+            0xDA,
+            bytes([len(comp_ids)])
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    def comp_blocks(ci):
+        """Blocks of the NON-interleaved grid (what AC scans cover)."""
+        c = spec[ci]
+        hmax = max(x["h"] for x in spec)
+        vmax = max(x["v"] for x in spec)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        for byi in range(-(-ch // 8)):
+            for bxi in range(-(-cw // 8)):
+                yield fields[ci][byi, bxi]
+
+    out = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri
+
+    def dc_scan(al):
+        bw = _BitWriter()
+        pred = [0] * len(spec)
+        unit = 0
+
+        def one(ci, blk):
+            d = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
+            diff = d - pred[ci]
+            pred[ci] = d
+            s = abs(diff).bit_length()
+            code, length = dc_tab[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+        if len(spec) > 1:
+            for myi in range(fields[1].shape[0]):
+                for mxi in range(fields[1].shape[1]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        bw.marker(0xD0 + ((unit // restart_interval - 1) % 8))
+                        pred = [0] * len(spec)
+                    for ci, c in enumerate(spec):
+                        for bv in range(c["v"]):
+                            for bh_ in range(c["h"]):
+                                one(
+                                    ci,
+                                    fields[ci][
+                                        myi * c["v"] + bv, mxi * c["h"] + bh_
+                                    ],
+                                )
+                    unit += 1
+        else:
+            for byi in range(fields[0].shape[0]):
+                for bxi in range(fields[0].shape[1]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        bw.marker(0xD0 + ((unit // restart_interval - 1) % 8))
+                        pred = [0]
+                    one(0, fields[0][byi, bxi])
+                    unit += 1
+        return sos_hdr([c["id"] for c in spec], 0, 0, 0, al) + bw.flush()
+
+    def dc_refine_scan(ah, al):
+        bw = _BitWriter()
+        unit = 0
+        if len(spec) > 1:
+            for myi in range(fields[1].shape[0]):
+                for mxi in range(fields[1].shape[1]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        bw.marker(0xD0 + ((unit // restart_interval - 1) % 8))
+                    for ci, c in enumerate(spec):
+                        for bv in range(c["v"]):
+                            for bh_ in range(c["h"]):
+                                blk = fields[ci][
+                                    myi * c["v"] + bv, mxi * c["h"] + bh_
+                                ]
+                                bw.write((int(blk[0]) >> al) & 1, 1)
+                    unit += 1
+        else:
+            for byi in range(fields[0].shape[0]):
+                for bxi in range(fields[0].shape[1]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        bw.marker(0xD0 + ((unit // restart_interval - 1) % 8))
+                    bw.write((int(fields[0][byi, bxi][0]) >> al) & 1, 1)
+                    unit += 1
+        return sos_hdr([c["id"] for c in spec], 0, 0, ah, al) + bw.flush()
+
+    def write_eobrun(bw, run):
+        while run > 0:
+            r = run.bit_length() - 1
+            r = min(r, 14)
+            take = min(run, (1 << (r + 1)) - 1)
+            code, length = ac_tab[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(take - (1 << r), r)
+            run -= take
+
+    def ac_first_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        eob = 0
+        unit = 0
+        for blk in comp_blocks(ci):
+            if restart_interval and unit and unit % restart_interval == 0:
+                write_eobrun(bw, eob)
+                eob = 0
+                bw.marker(0xD0 + ((unit // restart_interval - 1) % 8))
+            unit += 1
+            vals = [
+                (abs(int(blk[k])) >> al) * (1 if blk[k] >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            nz = [j for j, v in enumerate(vals) if v]
+            if not nz:
+                eob += 1
+                continue
+            write_eobrun(bw, eob)
+            eob = 0
+            run = 0
+            for j in range(max(nz) + 1):
+                v = vals[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tab[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, length = ac_tab[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if max(nz) < se - ss:
+                eob += 1
+        write_eobrun(bw, eob)
+        return sos_hdr([spec[ci]["id"]], ss, se, 0, al) + bw.flush()
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        bw = _BitWriter()
+        eob = 0
+        eob_bits: list[int] = []
+        unit = 0
+
+        def flush():
+            nonlocal eob, eob_bits
+            write_eobrun(bw, eob)
+            for bit in eob_bits:
+                bw.write(bit, 1)
+            eob = 0
+            eob_bits = []
+
+        for blk in comp_blocks(ci):
+            if restart_interval and unit and unit % restart_interval == 0:
+                flush()
+                bw.marker(0xD0 + ((unit // restart_interval - 1) % 8))
+            unit += 1
+            # classify band positions: history-nonzero (correction
+            # bit), newly-nonzero at this tier (symbol), zero
+            cls = []
+            for k in range(ss, se + 1):
+                a = abs(int(blk[k]))
+                if a >> ah:
+                    cls.append(("hist", (a >> al) & 1))
+                elif a >> al:
+                    cls.append(("new", 1 if blk[k] > 0 else 0))
+                else:
+                    cls.append(("zero", 0))
+            new_idx = [j for j, (t, _) in enumerate(cls) if t == "new"]
+            if not new_idx:
+                eob += 1
+                eob_bits.extend(bit for t, bit in cls if t == "hist")
+                continue
+            flush()
+            j = 0
+            for nj in new_idx:
+                # zero-history zeros strictly before the new coef
+                zeros = sum(1 for t, _ in cls[j:nj] if t == "zero")
+                while zeros > 15:
+                    # ZRL consumes 16 zero-history positions plus the
+                    # corrections of history coeffs passed on the way
+                    code, length = ac_tab[0xF0]
+                    bw.write(code, length)
+                    consumed = 0
+                    while consumed < 16:
+                        t, bit = cls[j]
+                        if t == "hist":
+                            bw.write(bit, 1)
+                        else:
+                            consumed += 1
+                        j += 1
+                    zeros -= 16
+                code, length = ac_tab[(zeros << 4) | 1]
+                bw.write(code, length)
+                bw.write(cls[nj][1], 1)  # sign: 1 = +(1<<al)
+                for t, bit in cls[j:nj]:
+                    if t == "hist":
+                        bw.write(bit, 1)
+                j = nj + 1
+            if j <= se - ss:
+                eob += 1
+                eob_bits.extend(bit for t, bit in cls[j:] if t == "hist")
+        flush()
+        return sos_hdr([spec[ci]["id"]], ss, se, ah, al) + bw.flush()
+
+    if color:
+        out += dc_scan(1)
+        out += ac_first_scan(0, 1, 5, 2)
+        out += ac_first_scan(1, 1, 63, 1)
+        out += ac_first_scan(2, 1, 63, 1)
+        out += ac_first_scan(0, 6, 63, 2)
+        out += dc_refine_scan(1, 0)
+        out += ac_refine_scan(0, 1, 5, 2, 1)
+        out += ac_refine_scan(0, 6, 63, 2, 1)
+        out += ac_refine_scan(0, 1, 5, 1, 0)
+        out += ac_refine_scan(0, 6, 63, 1, 0)
+        out += ac_refine_scan(1, 1, 63, 1, 0)
+        out += ac_refine_scan(2, 1, 63, 1, 0)
+    else:
+        out += dc_scan(1)
+        out += ac_first_scan(0, 1, 5, 2)
+        out += ac_first_scan(0, 6, 63, 2)
+        out += dc_refine_scan(1, 0)
+        out += ac_refine_scan(0, 1, 5, 2, 1)
+        out += ac_refine_scan(0, 6, 63, 2, 1)
+        out += ac_refine_scan(0, 1, 5, 1, 0)
+        out += ac_refine_scan(0, 6, 63, 1, 0)
+    return out + b"\xff\xd9"
 
 
 JPEG420_SUM_SCHEMA = T.StructType(

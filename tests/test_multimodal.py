@@ -679,9 +679,14 @@ def test_jpeg_baseline_decode_roundtrip():
     import pytest
 
     base = bytearray(_synth_jpeg_gray_bytes(8, 8, 3))
+    # round 7: SOF2 dispatches to the REAL progressive decoder
+    # (test_jpeg_progressive_decode_matches_baseline), so a baseline
+    # file with its SOF marker flipped to 0xC2 is now a MALFORMED
+    # progressive stream — its full-band Ss=0/Se=63 scan header must
+    # be rejected loudly, not decoded as if sequential
     prog = bytearray(base)
     prog[prog.find(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="DC scan"):
         _decode_jpeg_baseline(bytes(prog))
     sub = bytearray(base)
     i = sub.find(b"\xff\xc0")
@@ -1000,3 +1005,59 @@ def test_jpeg_restart_intervals_decode_exact():
 
     with _pytest.raises(ValueError, match="restart boundary"):
         _decode_jpeg_baseline(bytes(b))
+
+
+def test_jpeg_progressive_decode_matches_baseline():
+    """Round 7: progressive (SOF2) JPEG decodes for REAL — spectral
+    selection + successive approximation per T.81 §G.  Oracle device:
+    the SAME deterministic coefficient field is serialized twice, as a
+    baseline stream (whose decode path is closed-form driver-gated)
+    and as a 8/12-scan progressive script; the decoded planes must be
+    BIT-IDENTICAL.  The field is built so every progressive mechanism
+    carries real data: odd DCs put 1-bits in the DC refinement scan,
+    the zigzag-2 coefficient (|v| ≤ 7) refines across every tier, the
+    zigzag-40 coefficient (|v| ≤ 3) is invisible to the Al=2 first
+    scan — its band is a pure cross-block EOB run — and then appears
+    via newly-nonzero insertions after ZRL zero-history skips in the
+    refinement scans; chroma refines 1→0 with correction bits.  Color
+    covers 4:2:0 with interleaved DC scans over the PADDED grid vs
+    single-component AC scans over the unpadded grid (40×32 forces
+    them to differ), and restart intervals exercise per-scan RSTn
+    cycles with EOB-run flushes."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg_baseline_from_field,
+        _synth_jpeg_progressive_bytes,
+    )
+
+    for color in (False, True):
+        sizes = (
+            [(16, 16), (40, 32), (32, 48)] if color else [(8, 8), (24, 16), (40, 32)]
+        )
+        for (w, h) in sizes:
+            for mid in (0, 3, 255):
+                for ri in (0, 2):
+                    bb = _synth_jpeg_baseline_from_field(
+                        w, h, mid, color, restart_interval=ri
+                    )
+                    pb = _synth_jpeg_progressive_bytes(
+                        w, h, mid, color=color, restart_interval=ri
+                    )
+                    assert b"\xff\xc0" in bb and b"\xff\xc2" in pb  # SOF0 vs SOF2
+                    w0, h0, p0 = _decode_jpeg_baseline(bb)
+                    w1, h1, p1 = _decode_jpeg_baseline(pb)  # dispatches
+                    assert (w0, h0) == (w1, h1) == (w, h)
+                    assert len(p0) == len(p1) == (3 if color else 1)
+                    for a, b in zip(p0, p1):
+                        assert a.dtype == np.uint8 and (a == b).all(), (
+                            color, w, h, mid, ri,
+                        )
+
+    # truncation inside a scan must fail loudly, not return garbage
+    import pytest
+
+    pb = _synth_jpeg_progressive_bytes(24, 16, 3)
+    with pytest.raises((ValueError, IndexError)):
+        _decode_jpeg_baseline(pb[: len(pb) // 2])
