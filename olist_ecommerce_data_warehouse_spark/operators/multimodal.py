@@ -2427,7 +2427,12 @@ def _synth_jpeg_baseline_from_field(
 
 
 def _synth_jpeg_progressive_bytes(
-    w: int, h: int, mid: int, color: bool = False, restart_interval: int = 0
+    w: int,
+    h: int,
+    mid: int,
+    color: bool = False,
+    restart_interval: int = 0,
+    dc_only: bool = False,
 ) -> bytes:
     """PROGRESSIVE (SOF2) serialization of the same coefficient field
     — a realistic successive-approximation scan script (DC first at
@@ -2436,8 +2441,19 @@ def _synth_jpeg_progressive_bytes(
     across blocks, ZRL-in-refinement zero-history skips, correction
     bits, and newly-nonzero insertions at EVERY precision tier.
     Restart intervals, when set, apply per scan with the mod-8 RSTn
-    cycle and flush the pending EOB run."""
+    cycle and flush the pending EOB run.  ``dc_only`` zeroes the AC
+    part of the field — the DRIVER-GATE variant: with block-constant
+    content the decoded pixel sums stay closed-form (the DC parity
+    offsets round away: v + 1/8 → v), while the scan script still
+    runs the full progressive machinery (multi-scan walk, DC
+    successive approximation with real refinement bits, cross-block
+    EOB runs through every AC band); AC insertions/corrections are
+    pinned by the cross-codec equality pytest instead, where the
+    oracle burden is a bit-identical baseline decode rather than SQL."""
     spec, fields = _synth_coef_field(w, h, mid, color)
+    if dc_only:
+        for f in fields:
+            f[:, :, 1:] = 0
     seg, dqt, sof, dht_dc, dht_ac, dri = _jpeg_headers_from_field(
         w, h, spec, 0xC2, restart_interval
     )
@@ -2672,6 +2688,42 @@ def _synth_jpeg_progressive_bytes(
         out += ac_refine_scan(0, 1, 5, 1, 0)
         out += ac_refine_scan(0, 6, 63, 1, 0)
     return out + b"\xff\xd9"
+
+
+def synthesize_progressive_jpegs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content PROGRESSIVE 4:2:0 color
+    JPEG per document, the driver-gate family for the SOF2 decoder:
+    w = 16·(1 + id % 3), h = 16·(1 + id % 2), DC-only block values
+    shared with the decode:jpeg420 closed form (luma parity bits keep
+    the DC refinement scan real; they round away in the pixels), and
+    restart_interval = id % 3 so a third of the corpus gates each of
+    {none, every-MCU, every-other-MCU} restart layouts."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _synth_jpeg_progressive_bytes(
+                        16 * (1 + mid % 3),
+                        16 * (1 + mid % 2),
+                        mid,
+                        color=True,
+                        restart_interval=mid % 3,
+                        dc_only=True,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
 
 
 JPEG420_SUM_SCHEMA = T.StructType(

@@ -226,6 +226,26 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(csum) AS BIGINT) AS sum_cbcr,
                CAST(SUM(npx) AS BIGINT) AS sum_npixels
         FROM jpeg420_sums
+    ),
+    jpegprog_sums AS (
+        SELECT doc_id, 256 * cw * ch AS npx,
+               64 * list_sum(flatten(list_transform(generate_series(0, 2 * ch - 1), by ->
+                   list_transform(generate_series(0, 2 * cw - 1), bx ->
+                       (bx * 7 + by * 13 + doc_id) % 256)))) AS ysum,
+               256 * list_sum(flatten(list_transform(generate_series(0, ch - 1), cy ->
+                   list_transform(generate_series(0, cw - 1), cx ->
+                       (cx * 11 + cy * 3 + doc_id) % 256
+                       + (cx * 5 + cy * 17 + 2 * doc_id) % 256)))) AS csum
+        FROM (SELECT doc_id, 1 + doc_id % 3 AS cw, 1 + doc_id % 2 AS ch
+              FROM documents WHERE doc_id % 4 = 1)
+    ),
+    jpegprog_agg AS (
+        SELECT 'decode:jpegprog' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ysum) AS BIGINT) AS sum_y,
+               CAST(SUM(csum) AS BIGINT) AS sum_cbcr,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM jpegprog_sums
     )
     SELECT kind, metric, value FROM (
         SELECT kind, 'n_media' AS metric, n_media AS value FROM bytes_agg
@@ -270,6 +290,10 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'sum_y', sum_y FROM jpeg420_agg
         UNION ALL SELECT kind, 'sum_cbcr', sum_cbcr FROM jpeg420_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM jpeg420_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM jpegprog_agg
+        UNION ALL SELECT kind, 'sum_y', sum_y FROM jpegprog_agg
+        UNION ALL SELECT kind, 'sum_cbcr', sum_cbcr FROM jpegprog_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM jpegprog_agg
     )
     """,
 )
@@ -321,6 +345,15 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind='decode:bmp8' (round 5) — indexed BMPs: known index bytes in
     stride-padded rows resolved through a known 16-entry BGRA table.
 
+    kind='decode:jpegprog' (round 7) — PROGRESSIVE (SOF2) color JPEG
+    under the driver hash: DC-only 4:2:0 files with the closed-form
+    block values run the full multi-scan decode (DC first + refine
+    with real parity bits, cross-block EOB runs through every AC
+    band, per-file restart layouts id%3); the AC insertion /
+    correction machinery is pinned by the cross-codec equality
+    pytest (progressive ≡ baseline decode of the same coefficient
+    field, bit-for-bit).
+
     kind='decode:jpeg420' (round 7) — CHROMA-SUBSAMPLED color JPEG,
     the web-dominant class the round-6 verdict ranked the #1 remaining
     decode gap: real 4:2:0 files (Y 2×2, Cb/Cr 1×1) with
@@ -341,6 +374,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
         jpeg420_pixel_sums,
         synthesize_420_jpegs,
+        synthesize_progressive_jpegs,
     )
     from olist_ecommerce_data_warehouse_spark.plans.registry import track_persist
 
@@ -541,6 +575,35 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_media', n_media, 'sum_y', sum_y, "
         "'sum_cbcr', sum_cbcr, 'sum_npixels', sum_npixels) AS (metric, value)",
     )
+    # kind='decode:jpegprog' (round 7) — PROGRESSIVE SOF2 under the
+    # driver hash: DC-only 4:2:0 files (closed-form sums shared with
+    # the jpeg420 device; luma DC parity keeps the refinement scan
+    # real and rounds away in the pixels) run the full multi-scan
+    # decode — DC first+refine, cross-block EOB runs through every AC
+    # band, and per-file restart layouts (id % 3 ∈ {none, every MCU,
+    # every other MCU}); AC insertion/correction machinery is pinned
+    # by the cross-codec equality pytest, where the oracle burden is a
+    # bit-identical baseline decode rather than SQL.
+    jprog_long = (
+        jpeg420_pixel_sums(
+            synthesize_progressive_jpegs(docs.filter(F.col("doc_id") % 4 == 1))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("y_sum").cast("bigint").alias("sum_y"),
+            F.sum("cbcr_sum").cast("bigint").alias("sum_cbcr"),
+            F.sum("n_px").cast("bigint").alias("sum_npixels"),
+        )
+        .select(
+            F.lit("decode:jpegprog").alias("kind"),
+            "n_media", "sum_y", "sum_cbcr", "sum_npixels",
+        )
+        .selectExpr(
+            "kind",
+            "stack(4, 'n_media', n_media, 'sum_y', sum_y, "
+            "'sum_cbcr', sum_cbcr, 'sum_npixels', sum_npixels) AS (metric, value)",
+        )
+    )
     return (
         bytes_long.unionByName(probe_long)
         .unionByName(decode_long)
@@ -553,6 +616,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(adam7_long)
         .unionByName(png16_long)
         .unionByName(j420_long)
+        .unionByName(jprog_long)
     )
 
 
