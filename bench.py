@@ -434,12 +434,19 @@ def compact_line(full: dict) -> str:
     survive the driver's 2,000-char tail capture intact.  Flag maps
     cap at the 12 worst ratios (``n_flagged`` keeps the true count;
     the full record has every entry) so even a pathological
-    every-plan-flagged session fits the tail budget."""
+    every-plan-flagged session fits the tail budget.
+
+    Since round 8 the ``queries`` map carries the MEDIAN of samples —
+    the gate statistic — so the number a flag reports is the number in
+    the map (VERDICT r07: the r07 line showed min 4.498 for a query
+    flagged at median 5.53, inviting misreads).  ``stat`` labels it;
+    ``value`` stays the min-of-samples total for continuity with the
+    R01-R07 recorded totals, and ``value_median`` is the median total."""
 
     def top_flags(reg: dict) -> dict:
-        worst = sorted(reg.items(), key=lambda kv: -kv[1]["ratio"])[:12]
+        worst = sorted(reg.items(), key=lambda kv: -kv[1]["ratio"])[:10]
         out = {n: d["ratio"] for n, d in worst}
-        if len(reg) > 12:
+        if len(reg) > 10:
             out["n_flagged"] = len(reg)
         return out
 
@@ -448,14 +455,16 @@ def compact_line(full: dict) -> str:
             "metric": full["metric"],
             "value": full["value"],
             "unit": full["unit"],
-            "queries": {n: round(t, 3) for n, t in full["queries"].items()},
+            "stat": "median",
+            "value_median": round(sum(full["queries_median"].values()), 3),
+            "queries": {n: round(t, 3) for n, t in full["queries_median"].items()},
             "sf": full["sf"],
             "rig_factor": full["calibration"]["rig_factor"],
             "regressions_vs_r01": top_flags(full["regressions_vs_r01"]),
             "regressions_normalized_vs_r06": top_flags(
                 full["regressions_normalized_vs_r06"]
             ),
-            "full_record": "bench_ab/bench_full_latest.json",
+            "full_record": full["full_record"],
         },
         separators=(",", ":"),
     )
@@ -576,10 +585,19 @@ def main() -> None:
     # full record's head in BENCH_r06.json ("parsed": null, total and
     # rig factor lost); the compact line carries the driver contract
     # (metric/value/unit/queries/sf) plus the binding-gate verdict and
-    # fits the tail capture whole.
-    full_path = REPO / "bench_ab" / "bench_full_latest.json"
-    full_path.parent.mkdir(exist_ok=True)
-    full_path.write_text(json.dumps(out, indent=1))
+    # fits the tail capture whole.  The record is ROUND-STAMPED by UTC
+    # timestamp (ADVICE r07: overwriting one gitignored "latest" file
+    # destroyed each previous round's audit trail) — the stamped file
+    # is committable evidence; "latest" remains a gitignored pointer
+    # copy for tooling that hard-coded the old name.
+    ab_dir = REPO / "bench_ab"
+    ab_dir.mkdir(exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    full_path = ab_dir / f"bench_full_{stamp}.json"
+    out["full_record"] = f"bench_ab/{full_path.name}"
+    payload = json.dumps(out, indent=1)
+    full_path.write_text(payload)
+    (ab_dir / "bench_full_latest.json").write_text(payload)
     print(compact_line(out))
     spark.stop()
 

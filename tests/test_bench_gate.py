@@ -87,6 +87,7 @@ def test_compact_line_survives_tail_capture():
         "value": 123.4567,
         "unit": "sec",
         "queries": {n: 12.3456 for n in bench.BASELINE_R06},
+        "queries_median": {n: 13.5456 for n in bench.BASELINE_R06},
         "sf": 0.1,
         "calibration": {"rig_factor": 1.2345},
         "regressions_vs_r01": {},
@@ -94,6 +95,7 @@ def test_compact_line_survives_tail_capture():
             n: {"r06": 1.0, "now": 9.9999, "ratio": 9.99}
             for n in bench.BASELINE_R06
         },
+        "full_record": "bench_ab/bench_full_20260101T000000Z.json",
     }
     line = bench.compact_line(full)
     assert len(line) < 2000, len(line)
@@ -101,9 +103,14 @@ def test_compact_line_survives_tail_capture():
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed  # the driver contract
     assert parsed["rig_factor"] == 1.2345
+    # since round 8 the map carries the GATE statistic (median), labeled,
+    # so the number a flag reports is the number in the map (VERDICT r07)
+    assert parsed["stat"] == "median"
+    assert all(v == 13.546 for v in parsed["queries"].values())
+    assert parsed["value_median"] == round(13.5456 * len(bench.BASELINE_R06), 3)
     flags = parsed["regressions_normalized_vs_r06"]
     assert flags["n_flagged"] == len(bench.BASELINE_R06)  # true count kept
-    assert len(flags) == 13  # 12 worst ratios + the count
+    assert len(flags) == 11  # 10 worst ratios + the count
 
 
 def test_diff_vs_reports_ratio():
