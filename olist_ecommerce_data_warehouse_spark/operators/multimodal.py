@@ -498,8 +498,14 @@ def _png_pixels(b: bytes):
     catch a pass-mapping bug), and 16-BIT images decode with the
     filter unit at 2 bytes/sample, each big-endian sample folded to
     its high byte on output (the standard 16→8 precision fold; the
-    flat-bytes contract stays 8-bit).  Bit depths below 8 and
-    interlace values beyond {0,1} still raise."""
+    flat-bytes contract stays 8-bit).
+
+    Round 8 closes the SUB-8-BIT raise (the last stdlib-feasible PNG
+    variant): 1/2/4-bit grayscale and palette images defilter at the
+    spec's 1-byte filter unit over the packed rows, then unpack
+    MSB-first; grayscale scales by the exact integer 255/(2^d - 1),
+    palette indices resolve through PLTE unscaled.  Sub-8 + interlace
+    and sub-8 multi-channel color types still raise (PIL territory)."""
     import struct
     import zlib
 
@@ -524,23 +530,50 @@ def _png_pixels(b: bytes):
             break
         pos += 12 + length
     if (
-        bit_depth not in (8, 16)
+        bit_depth not in (1, 2, 4, 8, 16)
         or interlace not in (0, 1)
         or color_type not in (0, 2, 3, 4, 6)
         or (bit_depth == 16 and color_type == 3)
+        or (bit_depth < 8 and color_type not in (0, 3))
+        or (bit_depth < 8 and interlace != 0)
     ):
         raise NotImplementedError(
-            "PNG variant beyond the stdlib decoder (sub-8-bit depth) "
-            "— PIL territory"
+            "PNG variant beyond the stdlib decoder (sub-8-bit with "
+            "interlace or multi-channel color) — PIL territory"
         )
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
-    bpp = ch * (bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
-    if interlace == 1:
+    if bit_depth < 8:
+        # Round 8 closes the last stdlib-feasible PNG raise: 1/2/4-bit
+        # images pack samples MSB-first into bytes (§7.2), each
+        # scanline byte-aligned with trailing pad bits, and the FILTER
+        # UNIT is one byte (bpp = ceil(bits/8) = 1, §9.2) — so the
+        # existing defilter path runs unchanged over the packed rows
+        # (w = row bytes, bpp = 1) and only the unpack is new.
+        # Grayscale samples scale to 8-bit by the spec's exact factor
+        # 255/(2^d - 1) ∈ {255, 85, 17} — an integer, so no fp hazard
+        # in the closed-form gates; palette indices are NEVER scaled
+        # (they resolve through PLTE below, same as 8-bit type 3).
+        row_bytes = (w * bit_depth + 7) // 8
+        packed, _ = _defilter_image(raw, 0, row_bytes, h, 1)
+        mask = (1 << bit_depth) - 1
+        scale = 255 // mask
+        out = bytearray(w * h)
+        for y in range(h):
+            base = y * row_bytes
+            for x in range(w):
+                bitpos = x * bit_depth
+                v = (
+                    packed[base + (bitpos >> 3)]
+                    >> (8 - bit_depth - (bitpos & 7))
+                ) & mask
+                out[y * w + x] = v if color_type == 3 else v * scale
+    elif interlace == 1:
         # Adam7: seven sub-images in sequence, each filtered
         # independently; scatter each pass's pixels to its lattice
+        bpp = ch * (bit_depth // 8)
         out = bytearray(w * h * bpp)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -556,7 +589,7 @@ def _png_pixels(b: bytes):
                     dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
                     out[dst : dst + bpp] = sub[src : src + bpp]
     else:
-        out, _ = _defilter_image(raw, 0, w, h, bpp)
+        out, _ = _defilter_image(raw, 0, w, h, ch * (bit_depth // 8))
     if bit_depth == 16:
         # fold each big-endian 16-bit sample to its high byte — the
         # standard precision reduction; the output contract stays
@@ -956,6 +989,213 @@ def _synth_mp4_bytes(w: int, h: int) -> bytes:
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
         b"moov", box(b"trak", box(b"tkhd", tkhd))
     )
+
+
+def _mp4_stbl_fields(mid: int):
+    """The per-id KNOWN sample-table layout shared by the synthesizer
+    and (arithmetically re-derived) by the oracle: n_samples, per-
+    sample sizes, samples-per-chunk, chunk count, two stts runs, and
+    chunk offsets — every quantity an exact integer function of id."""
+    n = 3 + mid % 13
+    sizes = [100 + (mid + 7 * j) % 64 for j in range(n)]
+    spc = 1 + mid % 4
+    n_chunks = -(-n // spc)
+    n1 = n // 2
+    d1, d2 = 10 + mid % 5, 20 + mid % 7
+    offsets = [1024 + 37 * k + mid % 17 for k in range(n_chunks)]
+    return n, sizes, spc, n_chunks, n1, d1, d2, offsets
+
+
+def _synth_mp4_stbl_bytes(mid: int) -> bytes:
+    """ISO-BMFF container with a REAL sample table: moov → trak →
+    mdia → minf → stbl carrying spec-shaped stsd/stts/stsc/stsz/stco
+    full boxes whose contents are the known functions of id in
+    ``_mp4_stbl_fields``.  stts has TWO runs (a single-run table can't
+    catch a walker that reads only the first entry), and stsc has two
+    entries whenever the last chunk is partial (the spec's run-length
+    encoding — first_chunk anchors each run), so the sample-to-chunk
+    resolution is exercised, not just entry counting."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    n, sizes, spc, n_chunks, n1, d1, d2, offsets = _mp4_stbl_fields(mid)
+    full = b"\x00\x00\x00\x00"  # version 0, flags 0
+    stsd = full + struct.pack(">I", 1) + box(b"mp4v", bytes(8))
+    stts = full + struct.pack(">IIIII", 2, n1, d1, n - n1, d2)
+    if n % spc:
+        stsc = full + struct.pack(
+            ">IIIIIII", 2, 1, spc, 1, n_chunks, n % spc, 1
+        )
+    else:
+        stsc = full + struct.pack(">IIII", 1, 1, spc, 1)
+    stsz = (
+        full
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes)
+    )
+    stco = (
+        full
+        + struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">I", o) for o in offsets)
+    )
+    stbl = (
+        box(b"stsd", stsd) + box(b"stts", stts) + box(b"stsc", stsc)
+        + box(b"stsz", stsz) + box(b"stco", stco)
+    )
+    mdhd = full + struct.pack(">IIIIHH", 0, 0, 1000, n1 * d1 + (n - n1) * d2, 0x55C4, 0)
+    w, h = 320 + (mid % 8) * 40, 240 + (mid % 6) * 40
+    tkhd = (
+        b"\x00\x00\x00\x07" + bytes(16) + bytes(4) + bytes(8)
+        + bytes(8) + bytes(36) + struct.pack(">II", w << 16, h << 16)
+    )
+    trak = box(b"tkhd", tkhd) + box(
+        b"mdia", box(b"mdhd", mdhd) + box(b"minf", box(b"stbl", stbl))
+    )
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", box(b"trak", trak))
+        + box(b"mdat", bytes(8))
+    )
+
+
+def synthesize_mp4_stbls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-sample-table MP4 per document."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_mp4_stbl_bytes(mid))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+MP4_STBL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sample_bytes", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("sum_offsets", T.LongType()),
+        T.StructField("stsc_samples", T.LongType()),
+    ]
+)
+
+
+def mp4_sample_tables(media: DataFrame) -> DataFrame:
+    """REAL ISO-BMFF sample-table walk (the round-7 verdict's stretch:
+    make the MP4 raise narrower by parsing everything short of pixel
+    decode): moov → trak → mdia → minf → stbl, then
+
+    - stsz → sample count + exact sum of per-sample sizes (uniform
+      sample_size handled per spec: the size field, not the list);
+    - stco → chunk count + exact sum of chunk offsets;
+    - stts → total duration as Σ run_count · run_delta over ALL runs;
+    - stsc → samples RESOLVED through the run-length sample-to-chunk
+      map (each entry anchors at first_chunk; the next entry — or the
+      stco chunk count — closes the run), cross-checkable against the
+      stsz count.
+
+    Everything is structural byte walking — no sample data is decoded,
+    so the ffmpeg boundary is untouched.  One Arrow map, no shuffle."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                body = i + 16
+            if size < 8 or i + size > end:
+                break
+            yield btype, body, i + size
+            i += size
+
+    def descend(b: bytes, start: int, end: int, path: list[bytes]):
+        if not path:
+            yield start, end
+            return
+        for btype, body, bend in walk(b, start, end):
+            if btype == path[0]:
+                yield from descend(b, body, bend, path[1:])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["payload"])
+                n_s = sum_sz = n_c = dur = sum_off = stsc_n = 0
+                for s0, e0 in descend(
+                    b, 0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
+                ):
+                    stsc_runs: list[tuple[int, int]] = []
+                    for btype, body, bend in walk(b, s0, e0):
+                        p = body + 4  # skip version+flags
+                        if btype == b"stsz":
+                            uniform, cnt = struct.unpack(">II", b[p : p + 8])
+                            n_s += cnt
+                            if uniform:
+                                sum_sz += uniform * cnt
+                            else:
+                                sum_sz += sum(
+                                    struct.unpack(
+                                        f">{cnt}I", b[p + 8 : p + 8 + 4 * cnt]
+                                    )
+                                )
+                        elif btype == b"stco":
+                            (cnt,) = struct.unpack(">I", b[p : p + 4])
+                            n_c += cnt
+                            sum_off += sum(
+                                struct.unpack(
+                                    f">{cnt}I", b[p + 4 : p + 4 + 4 * cnt]
+                                )
+                            )
+                        elif btype == b"stts":
+                            (cnt,) = struct.unpack(">I", b[p : p + 4])
+                            for k in range(cnt):
+                                c, d = struct.unpack(
+                                    ">II", b[p + 4 + 8 * k : p + 12 + 8 * k]
+                                )
+                                dur += c * d
+                        elif btype == b"stsc":
+                            (cnt,) = struct.unpack(">I", b[p : p + 4])
+                            for k in range(cnt):
+                                fc, spc, _ = struct.unpack(
+                                    ">III", b[p + 4 + 12 * k : p + 16 + 12 * k]
+                                )
+                                stsc_runs.append((fc, spc))
+                    # resolve sample-to-chunk runs against the chunk
+                    # count: entry k covers chunks [first_k, first_{k+1})
+                    for k, (fc, spc) in enumerate(stsc_runs):
+                        last = (
+                            stsc_runs[k + 1][0]
+                            if k + 1 < len(stsc_runs)
+                            else n_c + 1
+                        )
+                        stsc_n += (last - fc) * spc
+                rows.append(
+                    (int(r["media_id"]), n_s, sum_sz, n_c, dur, sum_off, stsc_n)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_STBL_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, MP4_STBL_SCHEMA)
 
 
 def synthesize_real_containers(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1730,6 +1970,19 @@ def _decode_jpeg_baseline(b: bytes):
             continue
         if marker == 0xDA:
             ns = payload[0]
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if ns != len(comps):
+                # spec-legal non-interleaved layout: a sequential file
+                # MAY split components across several SOS segments
+                # (§B.2.3 allows ns < nf).  The MCU walk below assumes
+                # one interleaved scan covering every SOF component —
+                # raise the documented honest-gate boundary instead of
+                # KeyError-ing on the missing selectors (ADVICE r07)
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG (SOS covers a subset "
+                    "of SOF components) — libjpeg territory"
+                )
             sel = {}
             for ci in range(ns):
                 cid, tabs = payload[1 + 2 * ci], payload[2 + 2 * ci]
@@ -1794,10 +2047,16 @@ def _decode_jpeg_baseline(b: bytes):
                     ):
                         reader.nbits = 0
                         p = reader.pos
-                        while b[p] == 0xFF and b[p + 1] == 0x00:
+                        while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0x00:
                             p += 2  # stuffed 1-fill pad byte (B.1.1.5)
-                        while b[p] == 0xFF and b[p + 1] == 0xFF:
+                        while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0xFF:
                             p += 1  # fill bytes before the marker
+                        if p + 1 >= len(b):
+                            # loud AND typed: truncation is malformed
+                            # input (ValueError), not an index bug
+                            # (ADVICE r07: these scans walked past the
+                            # buffer on streams cut at a boundary)
+                            raise ValueError("truncated at restart boundary")
                         expect = 0xD0 + ((mcu_done // restart_interval - 1) % 8)
                         if b[p] != 0xFF or b[p + 1] != expect:
                             raise ValueError(
@@ -1964,10 +2223,12 @@ def _decode_jpeg_progressive(b: bytes):
                 return
             reader.nbits = 0
             p = reader.pos
-            while b[p] == 0xFF and b[p + 1] == 0x00:
+            while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0x00:
                 p += 2
-            while b[p] == 0xFF and b[p + 1] == 0xFF:
+            while p + 1 < len(b) and b[p] == 0xFF and b[p + 1] == 0xFF:
                 p += 1
+            if p + 1 >= len(b):
+                raise ValueError("truncated at restart boundary")
             expect = 0xD0 + ((unit // restart_interval - 1) % 8)
             if b[p] != 0xFF or b[p + 1] != expect:
                 raise ValueError(f"expected RST{expect & 7} at restart boundary")
@@ -2958,6 +3219,83 @@ def synthesize_png16s(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 mid = int(mid)
                 ids.append(mid)
                 payloads.append(_synth_png16_bytes(2 + mid % 7, 1 + mid % 5))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+def _synth_png_sub8_bytes(w: int, h: int, depth: int, mid: int) -> bytes:
+    """Sub-8-bit grayscale PNG (depth ∈ {1, 2, 4}) whose sample at
+    (x, y) is the known function ``(x*3 + y*5 + mid) % 2^depth``,
+    packed MSB-first into byte-aligned rows (§7.2) with filters 0/1/2
+    cycling by row AT THE PACKED-BYTE UNIT (bpp = 1 per §9.2 — the
+    exact path a decoder gets wrong if it filters at sample
+    granularity).  Dims are chosen by the caller to straddle byte
+    boundaries so trailing pad bits exist in most rows; the decoder
+    must ignore them or the position-weighted gate sum diverges."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    row_bytes = (w * depth + 7) // 8
+    raw = bytearray()
+    prev = bytearray(row_bytes)
+    for y in range(h):
+        line = bytearray(row_bytes)
+        for x in range(w):
+            v = (x * 3 + y * 5 + mid) % (1 << depth)
+            bitpos = x * depth
+            line[bitpos >> 3] |= v << (8 - depth - (bitpos & 7))
+        f = y % 3
+        raw.append(f)
+        if f == 0:
+            raw.extend(line)
+        elif f == 1:  # Sub at bpp=1: left neighbor is the previous BYTE
+            raw.extend(
+                (line[i] - (line[i - 1] if i else 0)) & 0xFF
+                for i in range(row_bytes)
+            )
+        else:  # Up
+            raw.extend((line[i] - prev[i]) & 0xFF for i in range(row_bytes))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_sub8_pngs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content sub-8-bit grayscale PNG per
+    document: depth = (1, 2, 4)[id % 3], w = 2 + id % 9, h = 1 + id % 6
+    (widths straddle byte alignment at every depth, so rows carry
+    trailing pad bits the decoder must not read)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _synth_png_sub8_bytes(
+                        2 + mid % 9, 1 + mid % 6, (1, 2, 4)[mid % 3], mid
+                    )
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     schema = T.StructType(

@@ -454,12 +454,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persistent-index lifecycle: save the SAME trained index in its
     # centroid-partitioned layout, reload, search — partition pruning
-    # (not a recompute) must reproduce the in-query rows exactly
+    # (not a recompute) must reproduce the in-query rows exactly.
+    # The path is keyed by (sf basename, Spark applicationId): two
+    # CONCURRENT sessions at the same scale factor write disjoint
+    # directories instead of clobbering each other's index mid-read
+    # (ADVICE r07), while re-builds within one session still reuse one
+    # path (overwrite mode).  The save is an eager side effect at plan
+    # construction by design — the read side's PartitionFilters prune
+    # against files that must exist before the plan is built; callers
+    # that only want to .explain() the search pay one tiny index write
+    # (documented trade-off, same posture as the surrogate-key
+    # min/max stats jobs).  Session-keyed dirs accumulate in the
+    # gitignored .scratch across sessions; they are tiny (nlist
+    # parquet partitions of bigint arrays).
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
     )
     idx_path = os.path.join(
-        scratch, "ivf_index_" + os.path.basename(sf_dir.rstrip("/"))
+        scratch,
+        "ivf_index_{}_{}".format(
+            os.path.basename(sf_dir.rstrip("/")),
+            spark.sparkContext.applicationId,
+        ),
     )
     IVFIndex(spark, trained, assigned).save(idx_path)
     loaded = IVFIndex.load(spark, idx_path).search(q, k=5, nprobe=2).select(

@@ -806,10 +806,11 @@ def test_png_adam7_and_16bit_decode():
             for x in range(w):
                 assert px[y * w + x] == ((x * 301 + y * 517) % 65536) >> 8
 
-    # sub-8-bit depth stays an honest raise
+    # sub-8-bit grayscale decodes since round 8 (test_png_sub8_decode_
+    # exact) — the honest raise here is now a spec-ILLEGAL depth
     b = bytearray(_synth_png16_bytes(4, 3))
     i = b.find(b"IHDR") + 4 + 8  # depth byte inside IHDR payload
-    b[i] = 4
+    b[i] = 3
     with pytest.raises(NotImplementedError):
         _png_pixels(bytes(b))
 
@@ -1061,3 +1062,280 @@ def test_jpeg_progressive_decode_matches_baseline():
     pb = _synth_jpeg_progressive_bytes(24, 16, 3)
     with pytest.raises((ValueError, IndexError)):
         _decode_jpeg_baseline(pb[: len(pb) // 2])
+
+
+def test_png_sub8_decode_exact():
+    """Round 8: 1/2/4-bit PNGs decode for real — packed MSB-first rows
+    defilter at the spec's 1-byte filter unit, unpack, and (grayscale)
+    scale by the exact integer 255/(2^d - 1).  Widths are chosen to
+    leave trailing pad bits in most rows; a decoder that reads them, or
+    unpacks LSB-first, gets different pixels."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _png_pixels,
+        _synth_png_sub8_bytes,
+    )
+
+    for mid in (0, 1, 2, 5, 13, 21, 29, 37, 101):
+        w, h, d = 2 + mid % 9, 1 + mid % 6, (1, 2, 4)[mid % 3]
+        ww, hh, ch, px = _png_pixels(_synth_png_sub8_bytes(w, h, d, mid))
+        assert (ww, hh, ch) == (w, h, 1)
+        scale = 255 // ((1 << d) - 1)
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == ((x * 3 + y * 5 + mid) % (1 << d)) * scale
+
+
+def test_png_sub8_palette_decode_exact():
+    """Sub-8-bit PALETTE PNGs resolve indices through PLTE unscaled —
+    the index is an identifier, not an intensity (same policy as the
+    8-bit type-3 path and the GIF color table)."""
+    import struct
+    import zlib
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    plte = bytes((i * 7) % 256 for i in range(48))  # 16 RGB entries
+    w, h, d = 5, 3, 4  # 5 nibbles/row -> 3 bytes with a pad nibble
+    raw = bytearray()
+    for y in range(h):
+        line = bytearray((w * d + 7) // 8)
+        for x in range(w):
+            v = (x + 2 * y) % 16
+            bp = x * d
+            line[bp >> 3] |= v << (8 - d - (bp & 7))
+        raw.append(0)
+        raw.extend(line)
+    b = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, d, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    ww, hh, ch, px = _png_pixels(b)
+    assert (ww, hh, ch) == (w, h, 3)
+    want = bytes(
+        plte[3 * ((x + 2 * y) % 16) + c]
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    assert px == want
+
+
+def test_png_sub8_interlace_still_raises():
+    """Sub-8 + Adam7 stays an honest boundary (pass rows are packed
+    per sub-image — PIL territory)."""
+    import struct
+    import zlib
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(16)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        _png_pixels(b)
+
+
+def test_mp4_stbl_walk_exact(spark):
+    """Round 8: the sample-table walk recovers every known quantity —
+    stsz count + size sum, stco count + offset sum, ALL stts runs, and
+    the run-length stsc resolution (which must agree with the stsz
+    count on a consistent file)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _mp4_stbl_fields,
+        _synth_mp4_stbl_bytes,
+        mp4_sample_tables,
+        synthesize_mp4_stbls,
+    )
+
+    ids = [7, 15, 23, 31, 39, 55, 103]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["media_id"]: r
+        for r in mp4_sample_tables(synthesize_mp4_stbls(docs)).collect()
+    }
+    assert set(got) == set(ids)
+    for mid in ids:
+        n, sizes, spc, nc, n1, d1, d2, offsets = _mp4_stbl_fields(mid)
+        r = got[mid]
+        assert r["n_samples"] == n
+        assert r["sum_sample_bytes"] == sum(sizes)
+        assert r["n_chunks"] == nc
+        assert r["duration"] == n1 * d1 + (n - n1) * d2
+        assert r["sum_offsets"] == sum(offsets)
+        assert r["stsc_samples"] == n  # run-length resolution closes
+
+
+def test_mp4_stbl_uniform_stsz(spark):
+    """The uniform-size stsz form (sample_size != 0, NO size list) is
+    a distinct spec path — the walk must multiply, not read absent
+    entries."""
+    import struct
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        mp4_sample_tables,
+    )
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    full = b"\x00\x00\x00\x00"
+    stsz = full + struct.pack(">II", 48, 5)  # uniform 48 bytes x 5
+    stco = full + struct.pack(">IIII", 3, 100, 200, 300)
+    stts = full + struct.pack(">III", 1, 5, 10)
+    stsc = full + struct.pack(">IIII", 1, 1, 2, 1)
+    stbl = box(b"stsz", stsz) + box(b"stco", stco) + box(b"stts", stts) + box(
+        b"stsc", stsc
+    )
+    b = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(
+        b"moov",
+        box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stbl)))),
+    )
+    media = spark.createDataFrame([(1, bytearray(b))], "media_id bigint, payload binary")
+    r = mp4_sample_tables(media).collect()[0]
+    assert r["n_samples"] == 5
+    assert r["sum_sample_bytes"] == 240
+    assert r["n_chunks"] == 3
+    assert r["sum_offsets"] == 600
+    assert r["duration"] == 50
+    assert r["stsc_samples"] == 6  # 3 chunks x 2 — a real (padded) resolution
+
+
+def test_jpeg_multiscan_sequential_raises():
+    """Spec-legal non-interleaved layout (SOS covering a SUBSET of SOF
+    components) raises the documented NotImplementedError instead of a
+    KeyError from the MCU walk (ADVICE r07)."""
+    import struct
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg_420_bytes,
+    )
+
+    b = _synth_jpeg_420_bytes(32, 16, 9)
+    sos = b.find(b"\xff\xda")
+    assert sos > 0
+    (seglen,) = struct.unpack(">H", b[sos + 2 : sos + 4])
+    payload = b[sos + 4 : sos + 2 + seglen]
+    assert payload[0] == 3
+    # rewrite the SOS to cover only the first component
+    new_payload = bytes([1]) + payload[1:3] + payload[7:10]
+    rewritten = (
+        b[: sos + 2]
+        + struct.pack(">H", 2 + len(new_payload))
+        + new_payload
+        + b[sos + 2 + seglen :]
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        _decode_jpeg_baseline(rewritten)
+
+
+def test_jpeg_truncated_at_restart_boundary_raises():
+    """A stream cut exactly at a restart boundary raises the typed
+    ValueError, not IndexError from scanning past the buffer
+    (ADVICE r07)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg_420_bytes,
+    )
+
+    b = _synth_jpeg_420_bytes(32, 32, 5, restart_interval=1)
+    first_rst = next(
+        i for i in range(len(b) - 1) if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+    )
+    with pytest.raises(ValueError, match="truncated at restart boundary"):
+        _decode_jpeg_baseline(b[:first_rst])
+
+
+def test_jpeg_zigzag_and_huffman_spec_fixture():
+    """Spec-conformance fixture (round-7 verdict task): the synthesizer
+    and decoder SHARE the _ZIGZAG and canonical-Huffman code, so a typo
+    there cancels in every roundtrip test.  This fixture computes
+    NOTHING from the shared constants:
+
+    - _ZIGZAG is pinned against the T.81 Figure A.6 scan order typed
+      here as raster indices, literally;
+    - _huff_canonical is pinned against the Annex K Table K.3
+      luminance-DC table, whose canonical codes are written out
+      literally from the spec;
+    - a complete 8x8 grayscale JPEG is assembled BYTE BY BYTE from
+      spec literals (unit DQT, SOF0, the K.3 DC table, a one-entry AC
+      table, hand-computed entropy bits '110'+'10000'+'0' padded with
+      1s = 0xD07F) and must decode to the hand-computed constant plane
+      128 + (16-diff DC) / 8 = 130."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _ZIGZAG,
+        _decode_jpeg_baseline,
+        _huff_canonical,
+    )
+
+    # ITU T.81 Figure A.6 zigzag order, as raster (row*8 + col) indices
+    spec_zigzag = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(_ZIGZAG) == spec_zigzag
+
+    # Annex K Table K.3 (luminance DC): bits + vals from the spec,
+    # expected canonical codes written literally
+    k3_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    k3_vals = list(range(12))
+    want = {
+        0: (0b00, 2), 1: (0b010, 3), 2: (0b011, 3), 3: (0b100, 3),
+        4: (0b101, 3), 5: (0b110, 3), 6: (0b1110, 4), 7: (0b11110, 5),
+        8: (0b111110, 6), 9: (0b1111110, 7), 10: (0b11111110, 8),
+        11: (0b111111110, 9),
+    }
+    assert _huff_canonical(k3_bits, k3_vals) == want
+
+    # hand-assembled single-block grayscale JPEG
+    jpeg = bytes(
+        [0xFF, 0xD8]  # SOI
+        + [0xFF, 0xDB, 0x00, 0x43, 0x00] + [1] * 64  # DQT 0, all ones
+        + [0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08,
+           0x01, 0x01, 0x11, 0x00]  # SOF0 8x8, 1 comp, 1x1, q0
+        + [0xFF, 0xC4, 0x00, 0x1F, 0x00] + k3_bits + k3_vals  # DHT DC 0
+        + [0xFF, 0xC4, 0x00, 0x14, 0x10, 1] + [0] * 15 + [0x00]
+        # DHT AC 0: one 1-bit code -> EOB is '0'
+        + [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00]  # SOS
+        + [0xD0, 0x7F]  # '110' (DC cat 5) + '10000' (diff 16) + '0' (EOB) + 1-pad
+        + [0xFF, 0xD9]  # EOI
+    )
+    w, h, planes = _decode_jpeg_baseline(jpeg)
+    assert (w, h) == (8, 8)
+    assert planes[0].shape == (8, 8)
+    assert (planes[0] == np.full((8, 8), 130, dtype=np.uint8)).all()
