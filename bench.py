@@ -314,13 +314,15 @@ BASELINE_R06 = {
     "cleanse_try_timestamp": 0.6224,
     "cleanse_validity_filter": 0.3512,
     "contamination_check": 2.9556,
-    # re-anchored in round 7: the slot gained CCNet perplexity
-    # bucketing as kind='ccnet' (in-query bigram-LM training on the
-    # train split, fixed-point scoring, exact per-language tertiles)
-    # — capability change; min of the round-7 anchoring medians
-    # (12.1413 / 13.5655; an interleaved 4-round probe on a quiet rig
-    # confirmed 10.25-14.8, bench_ab/anchor_probe_r7_interleaved.json)
-    "corpus_mixing": 12.1413,
+    # re-anchored in round 8: the slot's kind='ccnet' gained the
+    # sketch_ok in-bounds indicator — the PRODUCTION percentile_approx
+    # bucketing path (ppl_buckets) now runs in-query beside the exact
+    # tertiles and their per-language agreement goes under the driver
+    # hash (capability change); min of the round-8 anchoring medians
+    # (16.2117 / 14.0624, both rig 1.0,
+    # bench_ab/anchoring_r8_run{1,2}.json).  Round-7 anchor was
+    # 12.1413 (ccnet exact tertiles, anchoring_r7_run{1,2}.json).
+    "corpus_mixing": 14.0624,
     "csv_roundtrip_ingest": 1.1153,
     "date_dimension": 0.2818,
     "datetime_functions": 0.4502,
@@ -344,16 +346,22 @@ BASELINE_R06 = {
     "merge_upsert_incremental": 0.5707,
     "multikey_left_distinct": 0.694,
     "multimodal_decode_frames": 0.8485,
-    # re-anchored in round 7: the slot gained the 4:2:0 subsampled
-    # JPEG decode gate (kind='decode:jpeg420') while de-duplicating
-    # the triple container synthesis — capability change; min of the
-    # round-7 anchoring medians (2.1679 / 4.0561 — run2's value sat
-    # beside a 3.27 s cal-window spike; two late-evening sessions
-    # measured 3.5-4.4 with the same epoch signature, recorded in
-    # bench_ab/anchoring_r7_run3_late_epoch.json, so a slow-session
-    # flag here is the KNOWN bimodal rig mode: adjudicate via
-    # scripts/bench_ab.py before treating it as code)
-    "multimodal_metadata": 2.1679,
+    # re-anchored in round 8, closing the round-7 2.55x flag by the
+    # documented process: (1) worktree A/B vs the BASELINE_R06 freeze
+    # commit adjudicated head_over_ref 1.346 — REAL capability cost
+    # from the restart-interval + progressive-JPEG gates that landed
+    # after the freeze (bench_ab.jsonl 2026-08-15T22:13Z) — and the
+    # freeze commit itself re-timed 3.58-3.68 s vs its 2.1679 anchor
+    # at cal rig 1.0, proving the old anchor sat in the fast mode of
+    # the documented bimodality and that the JVM-shuffle calibration
+    # plan does not track the pure-Python decode mode; (2) round 8
+    # further widened the slot (kind='decode:png-sub8' sub-8-bit PNG,
+    # kind='probe:mp4-stbl' sample-table walk); (3) anchor frozen as
+    # the min of the round-8 anchoring medians AT the post-widening
+    # HEAD (4.8012 / 4.9775, both rig 1.0,
+    # bench_ab/anchoring_r8_run{1,2}.json).  Round-7 anchor was
+    # 2.1679 (jpeg420-era, anchoring_r7_run{1,2}.json).
+    "multimodal_metadata": 4.8012,
     "orphan_check": 0.5284,
     "per_order_rollup": 1.9933,
     "pivot_event_types_daily": 0.4919,
