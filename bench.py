@@ -521,7 +521,7 @@ def main() -> None:
             samples[name].append(round(run_plan(spark, name, sf_dir), 4))
 
     # confirmation re-runs against the NORMALIZED gate: a query whose
-    # MEDIAN-so-far still flags gets up to THREE more samples at a
+    # MEDIAN-so-far still flags gets up to FIVE more samples at a
     # later moment (both of this box's noise modes rotate between
     # queries run-to-run, so a flag must survive extra samples to be
     # reported; a genuine plan regression reproduces on every attempt
@@ -530,15 +530,19 @@ def main() -> None:
     # statistic is the MEDIAN of all samples (round 6 — see
     # median_of): a single lucky confirmation sample can no longer
     # un-flag a bimodal-slow query, while a one-off outlier is
-    # outvoted by the clean majority.  THREE rounds (not two) because
-    # a session-start noise EPOCH can poison both initial samples
-    # (measured: first two samples 5-20× inflated across many plans
-    # while cal windows read 2.2/1.9 s); with only two confirmations
-    # the 4-sample median sits between the modes and spuriously
-    # flags — the 5th sample lets the clean majority decide.  All
-    # confirmation samples land in "samples".
+    # outvoted by the clean majority.  Round 6 set THREE rounds
+    # because a session-start noise EPOCH can poison both initial
+    # samples (measured: first two samples 5-20× inflated across many
+    # plans while cal windows read 2.2/1.9 s).  Round 8 measured an
+    # epoch that poisoned THREE samples (sequence_packing 1.33/1.32/
+    # 1.20 s then 0.62/0.55 — every neighboring session 0.55-0.75,
+    # bench_full_20260815T234417Z.json): with a 5-sample median the
+    # three poisoned samples still outvote, so confirmations now run
+    # to FIVE rounds — a 7-sample median lets 4 clean samples decide,
+    # while a genuinely slow plan flags on every sample and exits the
+    # loop still flagged.  All confirmation samples land in "samples".
     if abs(sf - 0.1) < 1e-9:
-        for _ in range(3):
+        for _ in range(5):
             rf = rig_factor_of(cals)
             flagged = [
                 n for n in names if gate_normalized(n, median_of(samples[n]) / rf)

@@ -1869,20 +1869,21 @@ def _extend(v: int, s: int) -> int:
 
 def _decode_jpeg_baseline(b: bytes):
     """(width, height, planes) — full baseline/extended-sequential
-    Huffman decode including CHROMA-SUBSAMPLED files (round 7: any
-    per-component sampling factors in {1, 2} — 4:4:4, 4:2:2 and the
-    web-dominant 4:2:0 all decode; the interleaved scan walks real
-    MCUs).  planes is a list of numpy uint8 arrays, one per component,
-    each upsampled to the FULL h × w by nearest-neighbor replication
-    (the documented contract — libjpeg's default fancy upsampler
-    interpolates instead, so byte parity with libjpeg is not claimed;
-    the closed-form gates use block-constant fixtures where both
-    upsamplers agree exactly).  DRI/RSTn restart intervals decode for
-    real (round 7): byte-align at each boundary, verify the mod-8
-    marker cycle, reset DC prediction.  Progressive (SOF2), arithmetic
-    coding (SOF9+), hierarchical, 12-bit precision and sampling
-    factors > 2 raise NotImplementedError — the PIL/libjpeg boundary,
-    honestly gated."""
+    Huffman decode including CHROMA-SUBSAMPLED files (round 7 for
+    factors ≤ 2; round 8 widens to the full spec-legal 1..4 range
+    under the divisor constraint — 4:4:4, 4:2:2, 4:2:0 and 4:1:1 all
+    decode; the interleaved scan walks real MCUs).  planes is a list
+    of numpy uint8 arrays, one per component, each upsampled to the
+    FULL h × w by nearest-neighbor replication (the documented
+    contract — libjpeg's default fancy upsampler interpolates instead,
+    so byte parity with libjpeg is not claimed; the closed-form gates
+    use block-constant fixtures where both upsamplers agree exactly).
+    DRI/RSTn restart intervals decode for real (round 7): byte-align
+    at each boundary, verify the mod-8 marker cycle, reset DC
+    prediction.  Progressive (SOF2), arithmetic coding (SOF9+),
+    hierarchical, 12-bit precision and NON-DIVISOR sampling-factor
+    combinations (fractional upsampling) raise NotImplementedError —
+    the PIL/libjpeg boundary, honestly gated."""
     import struct
 
     import numpy as np
@@ -1957,15 +1958,26 @@ def _decode_jpeg_baseline(b: bytes):
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 sh, sv = samp >> 4, samp & 0xF
-                if not (1 <= sh <= 2 and 1 <= sv <= 2):
-                    raise NotImplementedError(
-                        "sampling factors beyond 2 need libjpeg"
-                    )
+                # round 8: the full spec-legal factor range (§A.1.1
+                # allows 1..4); the MCU walk and np.repeat upsample
+                # below are generic in the factors, so the old ≤2
+                # raise was stricter than the code required
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError("JPEG sampling factor outside 1..4")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             if nc == 1:
                 # single-component scans are non-interleaved by spec:
                 # the MCU is one data unit whatever the factors say
                 comps[0]["h"] = comps[0]["v"] = 1
+            hmax_ = max(c["h"] for c in comps)
+            vmax_ = max(c["v"] for c in comps)
+            if any(hmax_ % c["h"] or vmax_ % c["v"] for c in comps):
+                # e.g. 3:2 ratios — integer-replication upsampling
+                # can't express them; libjpeg interpolates
+                raise NotImplementedError(
+                    "fractional chroma upsampling (non-divisor "
+                    "sampling factors) needs libjpeg"
+                )
             i += seglen
             continue
         if marker == 0xDA:
@@ -2106,7 +2118,9 @@ def _decode_jpeg_progressive(b: bytes):
     nearest-neighbor to h × w) matches _decode_jpeg_baseline, so the
     cross-codec test can demand bit-identical planes for the same
     coefficient field.  12-bit precision, arithmetic coding and
-    sampling factors > 2 raise exactly like the baseline path."""
+    non-divisor sampling-factor combinations raise exactly like the
+    baseline path (round 8: divisor-consistent factors up to 4
+    decode)."""
     import struct
 
     import numpy as np
@@ -2169,15 +2183,20 @@ def _decode_jpeg_progressive(b: bytes):
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 sh, sv = samp >> 4, samp & 0xF
-                if not (1 <= sh <= 2 and 1 <= sv <= 2):
-                    raise NotImplementedError(
-                        "sampling factors beyond 2 need libjpeg"
-                    )
+                # round 8: full spec-legal 1..4 factor range, with the
+                # same divisor constraint as the baseline decoder
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError("JPEG sampling factor outside 1..4")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             if nc == 1:
                 comps[0]["h"] = comps[0]["v"] = 1
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                raise NotImplementedError(
+                    "fractional chroma upsampling (non-divisor "
+                    "sampling factors) needs libjpeg"
+                )
             mx_n = (w + 8 * hmax - 1) // (8 * hmax)
             my_n = (h + 8 * vmax - 1) // (8 * vmax)
             for c in comps:
@@ -2527,6 +2546,66 @@ def _synth_jpeg_420_bytes(
         + bw.flush()
         + b"\xff\xd9"
     )
+
+
+def _synth_jpeg_sampled_bytes(w: int, h: int, mid: int, factors) -> bytes:
+    """Baseline color JPEG with ARBITRARY per-component sampling
+    factors (``factors`` = [(h1,v1), (h2,v2), (h3,v3)]) and
+    block-constant known content: component ci's block (bx, by) =
+    (bx·7 + by·13 + mid + 37·ci) % 256.  The generalization of
+    ``_synth_jpeg_420_bytes`` that lets the decoder's round-8 factor
+    widening (1..4 under the divisor constraint — 4:1:1, 4:4:0, …) be
+    pinned against closed-form plane sums.  ``w``/``h`` must be
+    multiples of 8·hmax / 8·vmax so every component grid is whole
+    blocks and the closed form needs no edge model."""
+    import struct
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    assert w % (8 * hmax) == 0 and h % (8 * vmax) == 0
+    dc_tab = _huff_canonical(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_tab = _huff_canonical(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes(
+            byte
+            for ci, (fh, fv) in enumerate(factors)
+            for byte in (ci + 1, (fh << 4) | fv, 0)
+        ),
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]))
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(ci: int, v: int) -> None:
+        dc = 8 * (v - 128)
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        s = abs(diff).bit_length()
+        code, length = dc_tab[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, length = ac_tab[0x00]
+        bw.write(code, length)
+
+    for myi in range(h // (8 * vmax)):
+        for mxi in range(w // (8 * hmax)):
+            for ci, (fh, fv) in enumerate(factors):
+                for bv in range(fv):
+                    for bh_ in range(fh):
+                        bx, by = fh * mxi + bh_, fv * myi + bv
+                        put_block(ci, (bx * 7 + by * 13 + mid + 37 * ci) % 256)
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bw.flush() + b"\xff\xd9"
 
 
 def _synth_coef_field(w: int, h: int, mid: int, color: bool):

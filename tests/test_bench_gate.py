@@ -199,3 +199,22 @@ def test_epoch_poisoned_initial_samples_resolve_with_third_confirmation():
     )
     genuine = [4.4, 6.3, 4.1, 4.3, 4.2]
     assert bench.gate_normalized("x", bench.median_of(genuine), {"x": anchor})
+
+
+def test_three_sample_epoch_resolves_within_five_confirmations():
+    """The round-8 observation (sequence_packing, bench_full_
+    20260815T234417Z.json): an epoch can poison THREE samples — the
+    two initial passes AND the first confirmation — leaving 3-of-5
+    slow, which a 5-sample median cannot outvote.  With five
+    confirmation rounds the 7-sample median lets the 4 clean samples
+    decide, while a genuine regression (slow on every sample) still
+    flags after all five."""
+    anchor = 0.6977  # the real sequence_packing anchor
+    epoch = [1.3304, 1.3157, 1.2047, 0.6222, 0.5468]  # the real session
+    assert bench.gate_normalized(
+        "x", bench.median_of(epoch), {"x": anchor}
+    )  # 3 rounds were not enough -> rounds 4 and 5 fire
+    resolved = epoch + [0.62, 0.58]
+    assert not bench.gate_normalized("x", bench.median_of(resolved), {"x": anchor})
+    genuine = [1.33, 1.31, 1.25, 1.28, 1.3, 1.27, 1.29]
+    assert bench.gate_normalized("x", bench.median_of(genuine), {"x": anchor})

@@ -1191,3 +1191,56 @@ def test_gopher_flags_cross_engine_parity(spark, ddb, parts, sep):
     ).fetchdf().iloc[0].to_dict()
     for k in got:
         assert int(got[k]) == int(want[k]), (k, text)
+
+
+@_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=12),
+    depth=st.sampled_from([1, 2, 4]),
+    mid=st.integers(min_value=0, max_value=10**6),
+)
+def test_png_sub8_roundtrip_any_dims(w, h, depth, mid):
+    """Round 8 fuzz: sub-8-bit grayscale PNGs round-trip exactly at
+    arbitrary dims (every byte-alignment/pad-bit case), depths and
+    content offsets — the pure-python synth+decode pair, no Spark."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _png_pixels,
+        _synth_png_sub8_bytes,
+    )
+
+    ww, hh, ch, px = _png_pixels(_synth_png_sub8_bytes(w, h, depth, mid))
+    assert (ww, hh, ch) == (w, h, 1)
+    scale = 255 // ((1 << depth) - 1)
+    assert all(
+        px[y * w + x] == ((x * 3 + y * 5 + mid) % (1 << depth)) * scale
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+@_SETTINGS
+@given(mid=st.integers(min_value=0, max_value=10**9))
+def test_mp4_stbl_closed_forms_any_id(mid):
+    """Round 8 fuzz: the sample-table field arithmetic stays
+    internally consistent at any id — chunk count covers all samples,
+    the stsc run-length encoding resolves to exactly n samples, and
+    the synthesized container parses (non-Spark twin of the walker's
+    resolution logic)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _mp4_stbl_fields,
+        _synth_mp4_stbl_bytes,
+    )
+
+    n, sizes, spc, nc, n1, d1, d2, offsets = _mp4_stbl_fields(mid)
+    assert len(sizes) == n and len(offsets) == nc
+    assert (nc - 1) * spc < n <= nc * spc
+    # resolve the runs the synthesizer writes, the way the walker does
+    runs = [(1, spc)] if n % spc == 0 else [(1, spc), (nc, n % spc)]
+    got = sum(
+        ((runs[k + 1][0] if k + 1 < len(runs) else nc + 1) - fc) * s
+        for k, (fc, s) in enumerate(runs)
+    )
+    assert got == n
+    b = _synth_mp4_stbl_bytes(mid)
+    assert b[4:8] == b"ftyp" and b"stbl" in b and b"stsz" in b
