@@ -11,14 +11,16 @@ Decode tiers:
   since round 6 (generic Huffman entropy decode + dequantize + IDCT)
   and since round 7 chroma subsampling up to 2×2, DRI/RSTn restart
   intervals and full PROGRESSIVE (SOF2 spectral-selection +
-  successive-approximation) scans — emitting true dimensions, channel
-  counts, sample rates and a pixel/sample mean computed from the
-  actual decoded samples (round-trip-tested against independently
-  encoded fixtures).
-- formats that genuinely need PIL/ffmpeg (MP4, arithmetic-coded or
-  12-bit JPEG, …) raise ``NotImplementedError`` at the exact point
-  those calls would go — that dependency is absent in this container,
-  honestly gated.
+  successive-approximation) scans; round 8 widens sampling factors to
+  the full spec-legal 1..4 divisor-consistent range and adds 12-BIT
+  PRECISION (SOF1 extended sequential with Pq=1 16-bit quant tables)
+  — emitting true dimensions, channel counts, sample rates and a
+  pixel/sample mean computed from the actual decoded samples
+  (round-trip-tested against independently encoded fixtures).
+- formats that genuinely need PIL/ffmpeg (MP4 pixel data,
+  arithmetic-coded JPEG, fractional chroma upsampling, …) raise
+  ``NotImplementedError`` at the exact point those calls would go —
+  that dependency is absent in this container, honestly gated.
 - ``decode_media`` keeps the deterministic fake-decode default used by
   the oracle-gated plans (byte-derived metadata, engine-portable).
 
@@ -1775,6 +1777,12 @@ _ENC_AC_VALS = [0x00]  # EOB
 _ENC_AC_FULL_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
 _ENC_AC_FULL_VALS = list(range(256))
 
+# 12-bit DC table: differences span ±32767 → SSSS categories 0..15
+# (T.81 Table F.1 note for P=12).  15 codes at 4 bits (0..14) and one
+# at 5 bits (11110) — the 5-bit code is not all-ones, per C.2.
+_ENC_DC12_BITS = [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC12_VALS = list(range(16))
+
 
 def _synth_jpeg_gray_bytes(w: int, h: int, mid: int) -> bytes:
     """Real baseline grayscale JFIF whose 8×8 blocks are each CONSTANT
@@ -1880,10 +1888,14 @@ def _decode_jpeg_baseline(b: bytes):
     use block-constant fixtures where both upsamplers agree exactly).
     DRI/RSTn restart intervals decode for real (round 7): byte-align
     at each boundary, verify the mod-8 marker cycle, reset DC
-    prediction.  Progressive (SOF2), arithmetic coding (SOF9+),
-    hierarchical, 12-bit precision and NON-DIVISOR sampling-factor
-    combinations (fractional upsampling) raise NotImplementedError —
-    the PIL/libjpeg boundary, honestly gated."""
+    prediction.  12-BIT PRECISION decodes for real (round 8) through
+    the extended-sequential process — SOF1 with P=12, Pq=1 16-bit
+    quant tables, level shift 2048, clip to 0..4095, uint16 planes
+    (12-bit under SOF0 is malformed per Table B.2 and raises
+    ValueError).  Progressive (SOF2), arithmetic coding (SOF9+),
+    hierarchical, and NON-DIVISOR sampling-factor combinations
+    (fractional upsampling) raise NotImplementedError — the
+    PIL/libjpeg boundary, honestly gated."""
     import struct
 
     import numpy as np
@@ -1894,6 +1906,7 @@ def _decode_jpeg_baseline(b: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps = None
     w = h = 0
+    prec = 8
     restart_interval = 0
     i = 2
     # IDCT basis: A[u, x] = C(u)/2 · cos((2x+1)uπ/16)
@@ -1933,9 +1946,18 @@ def _decode_jpeg_baseline(b: bytes):
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
                 if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                qt[tq] = list(payload[p + 1 : p + 65])
-                p += 65
+                    # round 8: Pq=1 — 16-bit big-endian quant entries
+                    # (§B.2.4.1; required whenever any value exceeds
+                    # 255, mandatory territory for 12-bit precision)
+                    if p + 129 > len(payload):
+                        raise ValueError("DQT truncated for 16-bit table")
+                    qt[tq] = list(
+                        struct.unpack(">64H", payload[p + 1 : p + 129])
+                    )
+                    p += 129
+                else:
+                    qt[tq] = list(payload[p + 1 : p + 65])
+                    p += 65
             i += seglen
             continue
         if marker == 0xC4:
@@ -1952,8 +1974,14 @@ def _decode_jpeg_baseline(b: bytes):
             continue
         if marker in (0xC0, 0xC1):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
-                raise NotImplementedError("12-bit precision")
+            # round 8: 12-bit precision decodes for real through the
+            # extended-sequential process (SOF1, §B.2.2 — baseline
+            # SOF0 is 8-bit-only by Table B.2, so 12-bit under 0xC0 is
+            # malformed input, not a capability gap)
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("12-bit precision is illegal in baseline SOF0")
+            if prec not in (8, 12):
+                raise ValueError("JPEG sample precision must be 8 or 12")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
@@ -2007,8 +2035,9 @@ def _decode_jpeg_baseline(b: bytes):
             vmax = max(c["v"] for c in comps)
             mx_n = (w + 8 * hmax - 1) // (8 * hmax)
             my_n = (h + 8 * vmax - 1) // (8 * vmax)
+            dtype = np.uint8 if prec == 8 else np.uint16
             planes = [
-                np.zeros((my_n * 8 * c["v"], mx_n * 8 * c["h"]), dtype=np.uint8)
+                np.zeros((my_n * 8 * c["v"], mx_n * 8 * c["h"]), dtype=dtype)
                 for c in comps
             ]
             pred = [0] * len(comps)
@@ -2040,9 +2069,10 @@ def _decode_jpeg_baseline(b: bytes):
                 F8 = np.zeros((8, 8))
                 for k in range(64):
                     F8[_ZIGZAG[k] // 8, _ZIGZAG[k] % 8] = coef[k]
-                block = A.T @ F8 @ A + 128.0
+                # level shift 2^(P-1) and clip to [0, 2^P - 1] (§A.3.1)
+                block = A.T @ F8 @ A + float(1 << (prec - 1))
                 px = np.floor(np.abs(block) + 0.5) * np.sign(block)
-                return np.clip(px, 0, 255).astype(np.uint8)
+                return np.clip(px, 0, (1 << prec) - 1).astype(dtype)
 
             mcu_done = 0
             for myi in range(my_n):
@@ -2158,9 +2188,18 @@ def _decode_jpeg_progressive(b: bytes):
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
                 if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                qt[tq] = list(payload[p + 1 : p + 65])
-                p += 65
+                    # round 8: Pq=1 — 16-bit big-endian quant entries
+                    # (§B.2.4.1; required whenever any value exceeds
+                    # 255, mandatory territory for 12-bit precision)
+                    if p + 129 > len(payload):
+                        raise ValueError("DQT truncated for 16-bit table")
+                    qt[tq] = list(
+                        struct.unpack(">64H", payload[p + 1 : p + 129])
+                    )
+                    p += 129
+                else:
+                    qt[tq] = list(payload[p + 1 : p + 65])
+                    p += 65
             i += seglen
             continue
         if marker == 0xC4:
@@ -2452,6 +2491,92 @@ def synthesize_gray_jpegs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(mid)
                 payloads.append(
                     _synth_jpeg_gray_bytes(
+                        8 * (1 + mid % 3), 8 * (1 + mid % 2), mid
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+def _synth_jpeg12_gray_bytes(w: int, h: int, mid: int) -> bytes:
+    """Real 12-BIT extended-sequential grayscale JPEG (SOF1 P=12,
+    Pq=1 16-bit quant table — §B.2.2/§B.2.4.1) whose 8×8 blocks are
+    each CONSTANT with known 12-bit content.  Two regimes alternate by
+    id parity so each new decode surface carries its own weight:
+
+    even ``mid // 8`` — quant q0=256, a value REQUIRING the two-byte
+    table format: v = 2048 + 32·(((bx·7 + by·13 + mid) % 64) − 32).
+    The stored DC (v−2048)·8/256 is exact by construction, so a
+    decoder that misparses 16-bit quant entries (or still
+    level-shifts by 128, or clips at 255) diverges from the closed
+    form.  (The selector is ``(mid // 8) % 2``, not ``mid % 2`` — the
+    driver gate feeds ids from one mod-8 residue class, which pins
+    the raw parity.)
+
+    odd ``mid // 8`` — q0=1 (still serialized 16-bit), full-range
+    v = (709·bx + 1301·by + 37·mid) % 4096: DC magnitudes reach
+    ±16376 and successive diffs span the DEEP SSSS categories (up to
+    15) that only exist at 12-bit precision."""
+    import struct
+
+    assert w % 8 == 0 and h % 8 == 0
+    q0 = 256 if (mid // 8) % 2 == 0 else 1
+    dc_tab = _huff_canonical(_ENC_DC12_BITS, _ENC_DC12_VALS)
+    ac_tab = _huff_canonical(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x10" + struct.pack(">64H", q0, *([1] * 63)))
+    sof = seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, b"\x00" + bytes(_ENC_DC12_BITS) + bytes(_ENC_DC12_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 63, 0]))
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if (mid // 8) % 2 == 0:
+                v = 2048 + 32 * (((bx * 7 + by * 13 + mid) % 64) - 32)
+            else:
+                v = (709 * bx + 1301 * by + 37 * mid) % 4096
+            dc = 8 * (v - 2048) // q0  # exact: v−2048 ≡ 0 (mod 32) when q0=256
+            diff = dc - prev_dc
+            prev_dc = dc
+            s = abs(diff).bit_length()
+            code, length = dc_tab[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            code, length = ac_tab[0x00]
+            bw.write(code, length)
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+def synthesize_jpeg12s(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content 12-bit grayscale JPEG per
+    document: w = 8·(1 + id % 3), h = 8·(1 + id % 2), block content per
+    :func:`_synth_jpeg12_gray_bytes` (shared with the decode:jpeg12
+    oracle's closed form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _synth_jpeg12_gray_bytes(
                         8 * (1 + mid % 3), 8 * (1 + mid % 2), mid
                     )
                 )
@@ -3374,6 +3499,290 @@ def synthesize_sub8_pngs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     _synth_png_sub8_bytes(
                         2 + mid % 9, 1 + mid % 6, (1, 2, 4)[mid % 3], mid
                     )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (round 8): a fifth real image container — baseline grayscale
+# TIFF 6.0 in BOTH byte orders, multi-strip, uncompressed and PackBits.
+# The IFD walk is the load-bearing part (TIFF is the only format here
+# whose metadata is a typed tag directory rather than fixed headers),
+# so the gate content pins strip arithmetic (RowsPerStrip=2 with a
+# ragged last strip), external LONG arrays for offsets/bytecounts, and
+# per-row PackBits runs/literals.  LZW (compression 5) and JPEG-in-TIFF
+# (6/7) raise the honest NotImplementedError boundary.
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """Reference PackBits (TIFF 6.0 §9): maximal runs of 2..128 equal
+    bytes as (257-n, byte); literal spans of 1..128 as (n-1, bytes).
+    Each row is compressed independently per the spec note."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+            continue
+        # literal span: extend until a run of >=3 starts (a 2-run is
+        # cheaper inside the literal than breaking it)
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 2 < n and row[j] == row[j + 1] == row[j + 2])
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits inflate until ``expect`` bytes are produced: n in
+    0..127 → copy n+1 literals, n in 129..255 → repeat next byte
+    257-n times, n == 128 → no-op."""
+    out = bytearray()
+    i = 0
+    while len(out) < expect:
+        if i >= len(data):
+            raise ValueError("truncated PackBits strip")
+        n = data[i]
+        i += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal span")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expect:
+        raise ValueError("PackBits strip overruns its byte count")
+    return bytes(out)
+
+
+def _synth_tiff_bytes(w: int, h: int, mid: int) -> bytes:
+    """Real baseline grayscale TIFF with known content
+    ``((x // 3)·5 + y·7 + mid) % 256`` (the x//3 plateaus give
+    PackBits genuine 3-runs; row remainders force literal spans).
+    Variants cycle on id so the driver family covers the matrix:
+    ``(mid // 8) % 2`` picks the byte order (II little / MM big) and
+    ``(mid // 16) % 2`` the compression (1 none / 32773 PackBits).
+    RowsPerStrip=2 → ceil(h/2) strips with a ragged tail, and
+    StripOffsets/StripByteCounts are external LONG arrays — the IFD
+    shapes real scanners must resolve."""
+    import struct
+
+    little = (mid // 8) % 2 == 0
+    packbits = (mid // 16) % 2 == 1
+    e = "<" if little else ">"
+    rps = 2
+    nstrips = -(-h // rps)
+    rows = [
+        bytes(((x // 3) * 5 + y * 7 + mid) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    strips = []
+    for s in range(nstrips):
+        raw = b"".join(rows[s * rps : min((s + 1) * rps, h)])
+        strips.append(
+            b"".join(
+                _packbits_encode_row(r) for r in rows[s * rps : min((s + 1) * rps, h)]
+            )
+            if packbits
+            else raw
+        )
+    # layout: header(8) | strip data | offsets[] | bytecounts[] | IFD
+    pos = 8
+    offsets = []
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    off_array = pos
+    pos += 4 * nstrips
+    cnt_array = pos
+    pos += 4 * nstrips
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # inline values are left-justified in the 4-byte field (§2)
+        if typ == 3:  # SHORT
+            return struct.pack(e + "HHI", tag, typ, count) + struct.pack(
+                e + "HH", value, 0
+            )
+        return struct.pack(e + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, w),                       # ImageWidth
+        entry(257, 3, 1, h),                       # ImageLength
+        entry(258, 3, 1, 8),                       # BitsPerSample
+        entry(259, 3, 1, 32773 if packbits else 1),  # Compression
+        entry(262, 3, 1, 1),                       # Photometric: BlackIsZero
+        # count-1 LONG values are INLINE per the 4-byte rule — only
+        # multi-strip files get external arrays
+        entry(273, 4, nstrips, offsets[0] if nstrips == 1 else off_array),
+        entry(277, 3, 1, 1),                       # SamplesPerPixel
+        entry(278, 3, 1, rps),                     # RowsPerStrip
+        entry(279, 4, nstrips,
+              len(strips[0]) if nstrips == 1 else cnt_array),
+    ]
+    ifd = (
+        struct.pack(e + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)
+    )
+    hdr = (b"II" if little else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    return (
+        hdr
+        + b"".join(strips)
+        + struct.pack(e + f"{nstrips}I", *offsets)
+        + struct.pack(e + f"{nstrips}I", *(len(s) for s in strips))
+        + ifd
+    )
+
+
+def _parse_tiff(b: bytes):
+    """(width, height, samples_per_pixel, pixel bytes) from a baseline
+    TIFF — real IFD walk in either byte order (typed SHORT/LONG
+    entries, inline vs external values per the 4-byte rule), strip
+    assembly under RowsPerStrip (ragged tail strip), and per-strip
+    decompression (1 = none, 32773 = PackBits).  LZW / JPEG-in-TIFF
+    compression raises NotImplementedError (the libtiff boundary);
+    structural violations raise ValueError."""
+    import struct
+
+    if b[:2] == b"II":
+        e = "<"
+    elif b[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, ifd_off = struct.unpack(e + "HI", b[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset past EOF")
+    (n_entries,) = struct.unpack(e + "H", b[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    _SZ = {1: 1, 3: 2, 4: 4}
+    for k in range(n_entries):
+        p = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack(e + "HHI", b[p : p + 8])
+        if typ not in _SZ:
+            continue  # RATIONAL etc. — not load-bearing for baseline
+        size = _SZ[typ] * count
+        if size <= 4:
+            raw = b[p + 8 : p + 8 + size]
+        else:
+            (off,) = struct.unpack(e + "I", b[p + 8 : p + 12])
+            if off + size > len(b):
+                raise ValueError("TIFF value array past EOF")
+            raw = b[off : off + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + f"{count}{fmt}", raw))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    bits = tags.get(258, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    rps = tags.get(278, [2**32 - 1])[0]
+    if comp in (5, 6, 7):
+        raise NotImplementedError(
+            "TIFF LZW/JPEG compression needs libtiff/PIL"
+        )
+    if comp not in (1, 32773):
+        raise ValueError(f"unknown TIFF compression {comp}")
+    if bits != 8:
+        raise NotImplementedError("non-8-bit TIFF samples")
+    if photo not in (0, 1):
+        raise NotImplementedError("non-grayscale TIFF photometric")
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    out = bytearray()
+    row_bytes = w * spp
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip past EOF")
+        nrows = min(rps, h - s * rps)
+        if nrows <= 0:
+            raise ValueError("more strips than image rows")
+        data = b[off : off + cnt]
+        out += (
+            _packbits_decode(data, nrows * row_bytes)
+            if comp == 32773
+            else data[: nrows * row_bytes]
+        )
+    if len(out) != h * row_bytes:
+        raise ValueError("TIFF strips do not cover the image")
+    return w, h, spp, bytes(out)
+
+
+TIFF_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def tiff_pixel_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_px, px_sum) via the REAL TIFF decode — IFD walk,
+    strip assembly, PackBits inflate — summed over the pixel bytes.
+    One Arrow map, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for _, r in pdf.iterrows():
+                w, h, spp, px = _parse_tiff(bytes(r["payload"]))
+                ids.append(r["media_id"])
+                ns.append(w * h * spp)
+                ss.append(sum(px))
+            yield pd.DataFrame({"media_id": ids, "n_px": ns, "px_sum": ss})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, TIFF_SUM_SCHEMA)
+
+
+def synthesize_tiffs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content baseline TIFF per document:
+    w = 3 + id % 6, h = 2 + id % 5, content and variant matrix per
+    :func:`_synth_tiff_bytes` (shared with the decode:tiff oracle's
+    closed form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(
+                    _synth_tiff_bytes(3 + mid % 6, 2 + mid % 5, mid)
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 

@@ -265,6 +265,39 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(npx) AS BIGINT) AS sum_npixels
         FROM sub8_sums
     ),
+    jpeg12_sums AS (
+        SELECT doc_id, 64 * bw * bh AS npx,
+               64 * list_sum(flatten(list_transform(generate_series(0, bh - 1), by ->
+                   list_transform(generate_series(0, bw - 1), bx ->
+                       CASE WHEN (doc_id // 8) % 2 = 0
+                            THEN 2048 + 32 * (((bx * 7 + by * 13 + doc_id) % 64) - 32)
+                            ELSE (709 * bx + 1301 * by + 37 * doc_id) % 4096
+                       END)))) AS ps
+        FROM (SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+              FROM documents WHERE doc_id % 8 = 3)
+    ),
+    jpeg12_agg AS (
+        SELECT 'decode:jpeg12' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ps) AS BIGINT) AS sum_pixels,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM jpeg12_sums
+    ),
+    tiff_sums AS (
+        SELECT doc_id, w * h AS npx,
+               list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                   list_transform(generate_series(0, w - 1), x ->
+                       ((x // 3) * 5 + y * 7 + doc_id) % 256)))) AS ps
+        FROM (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+              FROM documents WHERE doc_id % 8 = 6)
+    ),
+    tiff_agg AS (
+        SELECT 'decode:tiff' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ps) AS BIGINT) AS sum_pixels,
+               CAST(SUM(npx) AS BIGINT) AS sum_npixels
+        FROM tiff_sums
+    ),
     stbl_fields AS (
         SELECT doc_id, 3 + doc_id % 13 AS n, 1 + doc_id % 4 AS spc,
                10 + doc_id % 5 AS d1, 20 + doc_id % 7 AS d2,
@@ -343,6 +376,12 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM sub8_agg
         UNION ALL SELECT kind, 'sum_wpx', sum_wpx FROM sub8_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM sub8_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM tiff_agg
+        UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM tiff_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM tiff_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM jpeg12_agg
+        UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM jpeg12_agg
+        UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM jpeg12_agg
         UNION ALL SELECT kind, 'n_media', n_media FROM stbl_agg
         UNION ALL SELECT kind, 'sum_samples', sum_samples FROM stbl_agg
         UNION ALL SELECT kind, 'sum_sample_bytes', sum_sample_bytes FROM stbl_agg
@@ -416,6 +455,24 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     the position-weighted sum (pad-bit reads or LSB-first unpacking
     diverge).  Closes the last stdlib-feasible PNG raise.
 
+    kind='decode:jpeg12' (round 8) — 12-BIT PRECISION JPEG decodes
+    for real through the extended-sequential process (SOF1 P=12, Pq=1
+    16-bit quant tables, level shift 2048, clip 0..4095, uint16
+    planes): two closed-form regimes alternate by (id // 8) parity —
+    q0=256 block content that the two-byte quant format must be
+    parsed to reconstruct, and q0=1 full-range content whose DC
+    diffs exercise the deep SSSS categories (up to 15) unique to
+    12-bit files.
+
+    kind='decode:tiff' (round 8) — a fifth real image container:
+    baseline grayscale TIFF 6.0 decodes through a real typed-IFD walk
+    in BOTH byte orders (II/MM), strip assembly under RowsPerStrip=2
+    with a ragged tail strip, external LONG offset/bytecount arrays
+    (inline when the 4-byte rule says so), and real PackBits
+    inflate — the id-parity matrix cycles endianness × compression so
+    every variant is under the driver hash.  LZW and JPEG-in-TIFF
+    raise the honest NotImplementedError boundary.
+
     kind='probe:mp4-stbl' (round 8) — the MP4 honesty boundary
     narrowed to pixel decode only: a real moov→trak→mdia→minf→stbl
     walk over spec-shaped sample tables — stsz sizes, stco offsets,
@@ -443,9 +500,12 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg420_pixel_sums,
         mp4_sample_tables,
         synthesize_420_jpegs,
+        synthesize_jpeg12s,
         synthesize_mp4_stbls,
         synthesize_progressive_jpegs,
         synthesize_sub8_pngs,
+        synthesize_tiffs,
+        tiff_pixel_sums,
     )
     from olist_ecommerce_data_warehouse_spark.plans.registry import track_persist
 
@@ -693,6 +753,60 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub8_long = _wsum_branch(
         "decode:png-sub8", synthesize_sub8_pngs, 5, modulus=8
     )
+    # kind='decode:jpeg12' (round 8) — 12-BIT PRECISION JPEG through
+    # the extended-sequential process: SOF1 P=12 with Pq=1 16-bit
+    # quant tables, level shift 2048, clip at 4095, uint16 planes.
+    # Two regimes alternate by (id // 8) parity: q0=256 content (the
+    # two-byte quant format is load-bearing) and q0=1 full-range
+    # content whose DC diffs span the deep SSSS categories (up to 15)
+    # that only exist at 12-bit precision.  id % 8 family, ≤6 blocks
+    # per file — the decode reuses jpeg_pixel_sums unchanged (int64
+    # accumulation holds 12-bit planes).
+    jpeg12_long = (
+        jpeg_pixel_sums(
+            synthesize_jpeg12s(docs.filter(F.col("doc_id") % 8 == 3))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("px_sum").cast("bigint").alias("sum_pixels"),
+            F.sum("n_px").cast("bigint").alias("sum_npixels"),
+        )
+        .select(
+            F.lit("decode:jpeg12").alias("kind"),
+            "n_media", "sum_pixels", "sum_npixels",
+        )
+        .selectExpr(
+            "kind",
+            "stack(3, 'n_media', n_media, 'sum_pixels', sum_pixels, "
+            "'sum_npixels', sum_npixels) AS (metric, value)",
+        )
+    )
+    # kind='decode:tiff' (round 8) — a FIFTH real image container:
+    # baseline grayscale TIFF 6.0 through a real typed-IFD walk in
+    # BOTH byte orders, strip assembly under RowsPerStrip=2 (ragged
+    # tail), external LONG offset/bytecount arrays, and per-row
+    # PackBits runs/literals — the (id//8, id//16) parity matrix
+    # cycles endianness × compression across the family.  id % 8,
+    # tiny images; LZW/JPEG-in-TIFF stay honest raises.
+    tiff_long = (
+        tiff_pixel_sums(
+            synthesize_tiffs(docs.filter(F.col("doc_id") % 8 == 6))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("px_sum").cast("bigint").alias("sum_pixels"),
+            F.sum("n_px").cast("bigint").alias("sum_npixels"),
+        )
+        .select(
+            F.lit("decode:tiff").alias("kind"),
+            "n_media", "sum_pixels", "sum_npixels",
+        )
+        .selectExpr(
+            "kind",
+            "stack(3, 'n_media', n_media, 'sum_pixels', sum_pixels, "
+            "'sum_npixels', sum_npixels) AS (metric, value)",
+        )
+    )
     # kind='probe:mp4-stbl' (round 8) — the MP4 raise narrowed to
     # pixel decode only: real ISO-BMFF sample-table walk (stsz sizes,
     # stco offsets, ALL stts runs, run-length stsc resolution against
@@ -733,6 +847,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(j420_long)
         .unionByName(jprog_long)
         .unionByName(sub8_long)
+        .unionByName(jpeg12_long)
+        .unionByName(tiff_long)
         .unionByName(stbl_long)
     )
 

@@ -709,9 +709,13 @@ def test_jpeg_baseline_decode_roundtrip():
     sub5[i + 2 + 2 + 6 + 1] = 0x55
     with pytest.raises(ValueError, match="sampling factor"):
         _decode_jpeg_baseline(bytes(sub5))
+    # round 8: Pq=1 16-bit quant tables DECODE for real (pinned in
+    # test_jpeg12_extended_sequential_decode_exact) — but flipping the
+    # Pq flag on an 8-bit-sized table leaves a 65-byte payload where
+    # 129 bytes are declared, which is malformed input, typed loud
     qt16 = bytearray(base)
-    qt16[qt16.find(b"\xff\xdb") + 4] = 0x10  # 16-bit quant precision
-    with pytest.raises(NotImplementedError):
+    qt16[qt16.find(b"\xff\xdb") + 4] = 0x10  # Pq=1 on an 8-bit table
+    with pytest.raises(ValueError, match="DQT truncated"):
         _decode_jpeg_baseline(bytes(qt16))
     # round 7: DRI no longer raises — an interval longer than the scan
     # (4 > this file's 2 MCUs) decodes identically to the plain file,
@@ -1394,3 +1398,131 @@ def test_jpeg_sampling_factors_up_to_4_decode_exact():
     b[sof + 14] = 0x21
     with pytest.raises(NotImplementedError, match="fractional"):
         _decode_jpeg_baseline(bytes(b))
+
+
+def test_jpeg12_extended_sequential_decode_exact():
+    """Round 8: 12-BIT PRECISION decodes for real through the
+    extended-sequential process (SOF1 P=12, Pq=1 16-bit quant tables,
+    level shift 2048, clip at 4095, uint16 planes).  Both synthesizer
+    regimes are pinned against the closed form: q0=256 content (the
+    two-byte quant parse is load-bearing — an 8-bit misread desyncs or
+    rescales) and q0=1 full-range content whose DC diffs span SSSS
+    categories up to 15.  Malformed typings hold: 12-bit under SOF0 is
+    ValueError (Table B.2), as is any precision outside {8, 12}."""
+    import struct
+
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg12_gray_bytes,
+    )
+
+    # ids from the driver's own residue class (%8==3, both //8
+    # parities) plus loose ids covering every size class
+    for mid in (3, 11, 19, 27, 83, 91, 0, 1, 2, 4, 5, 13):
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        b = _synth_jpeg12_gray_bytes(w, h, mid)
+        dw, dh, planes = _decode_jpeg_baseline(b)
+        assert (dw, dh) == (w, h)
+        p = planes[0]
+        assert p.dtype == np.uint16
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                if (mid // 8) % 2 == 0:
+                    v = 2048 + 32 * (((bx * 7 + by * 13 + mid) % 64) - 32)
+                else:
+                    v = (709 * bx + 1301 * by + 37 * mid) % 4096
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == v).all(), (mid, bx, by, v, int(blk[0, 0]))
+        # 12-bit values actually exceed the 8-bit range somewhere in
+        # the full-range regime, so a uint8 clip could not fake this
+        if (mid // 8) % 2 == 1 and w * h >= 128:
+            assert int(p.max()) > 255
+
+    # 12-bit under baseline SOF0 is malformed input, typed ValueError
+    b = bytearray(_synth_jpeg12_gray_bytes(8, 8, 3))
+    i = bytes(b).find(b"\xff\xc1")
+    b[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0"):
+        _decode_jpeg_baseline(bytes(b))
+
+    # precision outside {8, 12} is malformed, not a capability gap
+    b = bytearray(_synth_jpeg12_gray_bytes(8, 8, 3))
+    i = bytes(b).find(b"\xff\xc1")
+    b[i + 4] = 10
+    with pytest.raises(ValueError, match="8 or 12"):
+        _decode_jpeg_baseline(bytes(b))
+
+    # the 16-bit quant values are genuinely load-bearing: halve q0 in
+    # the serialized table and the decoded pixels must change
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline as dec,
+    )
+
+    b = bytearray(_synth_jpeg12_gray_bytes(16, 8, 4))  # q0=256 regime
+    i = bytes(b).find(b"\xff\xdb")
+    # DQT payload: len(2) + Pq/Tq(1) + 64 u16 — q0 hi byte at i+5
+    assert b[i + 5] == 1 and b[i + 6] == 0  # 256 big-endian
+    b[i + 5], b[i + 6] = 0, 128  # q0 = 128
+    _, _, planes_q = dec(bytes(b))
+    _, _, planes_o = dec(_synth_jpeg12_gray_bytes(16, 8, 4))
+    assert int(planes_q[0].astype("int64").sum()) != int(
+        planes_o[0].astype("int64").sum()
+    )
+
+
+def test_tiff_decode_exact_and_boundaries():
+    """Round 8: baseline grayscale TIFF decodes for real — typed IFD
+    walk in BOTH byte orders, inline-vs-external value resolution per
+    the 4-byte rule, RowsPerStrip strip assembly with a ragged tail,
+    and PackBits inflate.  Pinned against the closed form across the
+    (endianness × compression) matrix; LZW raises the honest
+    NotImplementedError; structural violations are typed ValueError."""
+    import struct
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode_row,
+        _parse_tiff,
+        _synth_tiff_bytes,
+    )
+
+    # one id per (endianness, compression) cell, plus single-strip
+    # (h=2 → inline count-1 LONG) and ragged-tail cases
+    for mid in (6, 14, 22, 30, 38, 46, 54, 62, 5, 16, 48):
+        w, h = 3 + mid % 6, 2 + mid % 5
+        ww, hh, spp, px = _parse_tiff(_synth_tiff_bytes(w, h, mid))
+        assert (ww, hh, spp) == (w, h, 1)
+        assert px == bytes(
+            ((x // 3) * 5 + y * 7 + mid) % 256 for y in range(h) for x in range(w)
+        ), mid
+
+    # PackBits reference pairs from the TIFF 6.0 spec's worked example
+    data = bytes.fromhex("fe aa 02 80 00 2a fd aa 03 80 00 2a 22 f7 aa".replace(" ", ""))
+    expect = bytes.fromhex(
+        "aa aa aa 80 00 2a aa aa aa aa 80 00 2a 22 aa aa aa aa aa aa aa aa aa aa".replace(" ", "")
+    )
+    assert _packbits_decode(data, len(expect)) == expect
+    # and the encoder's output round-trips through the decoder
+    row = bytes([7] * 5 + [1, 2, 3] + [9] * 130 + [4])
+    assert _packbits_decode(_packbits_encode_row(row), len(row)) == row
+
+    # LZW compression is the honest libtiff boundary
+    b = bytearray(_synth_tiff_bytes(6, 4, 6))
+    e = "<" if bytes(b[:2]) == b"II" else ">"
+    ifd = struct.unpack(e + "I", b[4:8])[0]
+    n = struct.unpack(e + "H", b[ifd : ifd + 2])[0]
+    for k in range(n):
+        p = ifd + 2 + 12 * k
+        if struct.unpack(e + "H", b[p : p + 2])[0] == 259:
+            b[p + 8 : p + 10] = struct.pack(e + "H", 5)
+    with pytest.raises(NotImplementedError, match="LZW"):
+        _parse_tiff(bytes(b))
+
+    # malformed input is typed ValueError, not an index crash
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _parse_tiff(b"XX\x2a\x00")
+    good = _synth_tiff_bytes(6, 4, 6)
+    with pytest.raises(ValueError):
+        _parse_tiff(good[:20])  # IFD offset past EOF / missing tags

@@ -1244,3 +1244,58 @@ def test_mp4_stbl_closed_forms_any_id(mid):
     assert got == n
     b = _synth_mp4_stbl_bytes(mid)
     assert b[4:8] == b"ftyp" and b"stbl" in b and b"stsz" in b
+
+
+@_SETTINGS
+@given(
+    bw=st.integers(min_value=1, max_value=6),
+    bh=st.integers(min_value=1, max_value=4),
+    mid=st.integers(min_value=0, max_value=10**6),
+)
+def test_jpeg12_roundtrip_any_dims(bw, bh, mid):
+    """Round 8 fuzz: 12-bit extended-sequential JPEGs round-trip
+    exactly at arbitrary block grids, ids and both quant regimes —
+    the pure-python synth+decode pair (16-bit DQT parse, SOF1 P=12,
+    2048 level shift, deep DC categories), no Spark."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _decode_jpeg_baseline,
+        _synth_jpeg12_gray_bytes,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    dw, dh, planes = _decode_jpeg_baseline(_synth_jpeg12_gray_bytes(w, h, mid))
+    assert (dw, dh) == (w, h)
+    p = planes[0]
+    assert p.dtype == np.uint16
+    for by in range(bh):
+        for bx in range(bw):
+            if (mid // 8) % 2 == 0:
+                v = 2048 + 32 * (((bx * 7 + by * 13 + mid) % 64) - 32)
+            else:
+                v = (709 * bx + 1301 * by + 37 * mid) % 4096
+            assert (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+
+
+@_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=11),
+    mid=st.integers(min_value=0, max_value=10**6),
+)
+def test_tiff_roundtrip_any_dims(w, h, mid):
+    """Round 8 fuzz: TIFFs round-trip exactly at arbitrary dims and
+    ids across the endianness × compression matrix — strip layout,
+    inline/external value resolution and PackBits row coding hold for
+    every shape (pure-python pair, no Spark)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _parse_tiff,
+        _synth_tiff_bytes,
+    )
+
+    ww, hh, spp, px = _parse_tiff(_synth_tiff_bytes(w, h, mid))
+    assert (ww, hh, spp) == (w, h, 1)
+    assert px == bytes(
+        ((x // 3) * 5 + y * 7 + mid) % 256 for y in range(h) for x in range(w)
+    )
