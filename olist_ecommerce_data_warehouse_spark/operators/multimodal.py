@@ -3580,20 +3580,131 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode_tiff(raw: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13) — MSB-first code packing,
+    Clear=256 / EOI=257, codes start at 9 bits, and the EARLY-CHANGE
+    rule: the code width bumps when the table reaches 2^width − 1
+    (one code earlier than GIF — the notorious libtiff off-by-one).
+    The table resets via Clear at 4094 entries, per the spec."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    CLEAR, EOI = 256, 257
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    size, width = 258, 9
+    emit(CLEAR, width)
+    omega = b""
+    for byte in raw:
+        cand = omega + bytes([byte])
+        if cand in table:
+            omega = cand
+            continue
+        emit(table[omega], width)
+        table[cand] = size
+        size += 1
+        # the encoder's table runs ONE add ahead of the decoder's (the
+        # decoder learns entry n only from code n+1), so the decoder's
+        # early-change at len == 2^w − 1 is size == 2^w here — both
+        # sides widen before the same code crosses the wire
+        if size == (1 << width) and width < 12:
+            width += 1
+        omega = bytes([byte])
+        if size >= 4094:
+            emit(table[omega], width)
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            size, width = 258, 9
+            omega = b""
+    if omega:
+        emit(table[omega], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
+    """Inverse of :func:`_lzw_encode_tiff`: MSB-first variable-width
+    codes, Clear/EOI handling, KwKwK self-reference, and the
+    early-change width bump at table size 2^width − 1."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos = 0
+    nbits_total = 8 * len(data)
+    table: list[bytes] = []
+    width = 9
+    prev = b""
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits_total:
+            raise ValueError("truncated TIFF LZW strip")
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    started = False
+    while len(out) < expect:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            started = True
+            continue
+        if not started:
+            raise ValueError("TIFF LZW stream must start with Clear")
+        if prev == b"":
+            if code >= 256:
+                raise ValueError("bad TIFF LZW stream: first code not literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("bad TIFF LZW stream: code beyond table")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+        if len(table) >= 4094:
+            # encoder resets here; mirror it (next code will be Clear)
+            prev = b""
+    if len(out) != expect:
+        raise ValueError("TIFF LZW strip does not cover its rows")
+    return bytes(out)
+
+
 def _synth_tiff_bytes(w: int, h: int, mid: int) -> bytes:
     """Real baseline grayscale TIFF with known content
     ``((x // 3)·5 + y·7 + mid) % 256`` (the x//3 plateaus give
     PackBits genuine 3-runs; row remainders force literal spans).
     Variants cycle on id so the driver family covers the matrix:
     ``(mid // 8) % 2`` picks the byte order (II little / MM big) and
-    ``(mid // 16) % 2`` the compression (1 none / 32773 PackBits).
-    RowsPerStrip=2 → ceil(h/2) strips with a ragged tail, and
-    StripOffsets/StripByteCounts are external LONG arrays — the IFD
-    shapes real scanners must resolve."""
+    ``(mid // 16) % 3`` the compression (1 none / 32773 PackBits /
+    5 LZW — per-strip streams for LZW, per-row for PackBits, as the
+    spec assigns).  RowsPerStrip=2 → ceil(h/2) strips with a ragged
+    tail, and StripOffsets/StripByteCounts are external LONG arrays —
+    the IFD shapes real scanners must resolve."""
     import struct
 
     little = (mid // 8) % 2 == 0
-    packbits = (mid // 16) % 2 == 1
+    comp = [1, 32773, 5][(mid // 16) % 3]
     e = "<" if little else ">"
     rps = 2
     nstrips = -(-h // rps)
@@ -3603,14 +3714,14 @@ def _synth_tiff_bytes(w: int, h: int, mid: int) -> bytes:
     ]
     strips = []
     for s in range(nstrips):
-        raw = b"".join(rows[s * rps : min((s + 1) * rps, h)])
-        strips.append(
-            b"".join(
-                _packbits_encode_row(r) for r in rows[s * rps : min((s + 1) * rps, h)]
-            )
-            if packbits
-            else raw
-        )
+        srows = rows[s * rps : min((s + 1) * rps, h)]
+        raw = b"".join(srows)
+        if comp == 32773:
+            strips.append(b"".join(_packbits_encode_row(r) for r in srows))
+        elif comp == 5:
+            strips.append(_lzw_encode_tiff(raw))
+        else:
+            strips.append(raw)
     # layout: header(8) | strip data | offsets[] | bytecounts[] | IFD
     pos = 8
     offsets = []
@@ -3635,7 +3746,7 @@ def _synth_tiff_bytes(w: int, h: int, mid: int) -> bytes:
         entry(256, 3, 1, w),                       # ImageWidth
         entry(257, 3, 1, h),                       # ImageLength
         entry(258, 3, 1, 8),                       # BitsPerSample
-        entry(259, 3, 1, 32773 if packbits else 1),  # Compression
+        entry(259, 3, 1, comp),                    # Compression
         entry(262, 3, 1, 1),                       # Photometric: BlackIsZero
         # count-1 LONG values are INLINE per the 4-byte rule — only
         # multi-strip files get external arrays
@@ -3665,9 +3776,10 @@ def _parse_tiff(b: bytes):
     TIFF — real IFD walk in either byte order (typed SHORT/LONG
     entries, inline vs external values per the 4-byte rule), strip
     assembly under RowsPerStrip (ragged tail strip), and per-strip
-    decompression (1 = none, 32773 = PackBits).  LZW / JPEG-in-TIFF
-    compression raises NotImplementedError (the libtiff boundary);
-    structural violations raise ValueError."""
+    decompression (1 = none, 32773 = PackBits, 5 = LZW with the
+    early-change width rule).  JPEG-in-TIFF compression raises
+    NotImplementedError (the libtiff boundary); structural violations
+    raise ValueError."""
     import struct
 
     if b[:2] == b"II":
@@ -3711,11 +3823,9 @@ def _parse_tiff(b: bytes):
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     rps = tags.get(278, [2**32 - 1])[0]
-    if comp in (5, 6, 7):
-        raise NotImplementedError(
-            "TIFF LZW/JPEG compression needs libtiff/PIL"
-        )
-    if comp not in (1, 32773):
+    if comp in (6, 7):
+        raise NotImplementedError("JPEG-in-TIFF compression needs libtiff/PIL")
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unknown TIFF compression {comp}")
     if bits != 8:
         raise NotImplementedError("non-8-bit TIFF samples")
@@ -3732,11 +3842,12 @@ def _parse_tiff(b: bytes):
         if nrows <= 0:
             raise ValueError("more strips than image rows")
         data = b[off : off + cnt]
-        out += (
-            _packbits_decode(data, nrows * row_bytes)
-            if comp == 32773
-            else data[: nrows * row_bytes]
-        )
+        if comp == 32773:
+            out += _packbits_decode(data, nrows * row_bytes)
+        elif comp == 5:
+            out += _lzw_decode_tiff(data, nrows * row_bytes)
+        else:
+            out += data[: nrows * row_bytes]
     if len(out) != h * row_bytes:
         raise ValueError("TIFF strips do not cover the image")
     return w, h, spp, bytes(out)

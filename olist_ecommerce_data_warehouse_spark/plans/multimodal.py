@@ -784,10 +784,11 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kind='decode:tiff' (round 8) — a FIFTH real image container:
     # baseline grayscale TIFF 6.0 through a real typed-IFD walk in
     # BOTH byte orders, strip assembly under RowsPerStrip=2 (ragged
-    # tail), external LONG offset/bytecount arrays, and per-row
-    # PackBits runs/literals — the (id//8, id//16) parity matrix
-    # cycles endianness × compression across the family.  id % 8,
-    # tiny images; LZW/JPEG-in-TIFF stay honest raises.
+    # tail), external LONG offset/bytecount arrays, per-row PackBits
+    # runs/literals and per-strip LZW — the (id//8, id//16) parity
+    # matrix cycles endianness × {none, PackBits, LZW} across the
+    # family.  id % 8, tiny images; JPEG-in-TIFF stays an honest
+    # raise.
     tiff_long = (
         tiff_pixel_sums(
             synthesize_tiffs(docs.filter(F.col("doc_id") % 8 == 6))

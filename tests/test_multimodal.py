@@ -1476,8 +1476,9 @@ def test_tiff_decode_exact_and_boundaries():
     """Round 8: baseline grayscale TIFF decodes for real — typed IFD
     walk in BOTH byte orders, inline-vs-external value resolution per
     the 4-byte rule, RowsPerStrip strip assembly with a ragged tail,
-    and PackBits inflate.  Pinned against the closed form across the
-    (endianness × compression) matrix; LZW raises the honest
+    PackBits inflate, and TIFF-flavor LZW (early-change width rule,
+    Clear/EOI, KwKwK).  Pinned against the closed form across the
+    (endianness × compression) matrix; JPEG-in-TIFF raises the honest
     NotImplementedError; structural violations are typed ValueError."""
     import struct
 
@@ -1488,9 +1489,9 @@ def test_tiff_decode_exact_and_boundaries():
         _synth_tiff_bytes,
     )
 
-    # one id per (endianness, compression) cell, plus single-strip
-    # (h=2 → inline count-1 LONG) and ragged-tail cases
-    for mid in (6, 14, 22, 30, 38, 46, 54, 62, 5, 16, 48):
+    # ids covering the (endianness × none/PackBits/LZW) matrix, plus
+    # single-strip (h=2 → inline count-1 LONG) and ragged-tail cases
+    for mid in (6, 14, 22, 30, 38, 46, 54, 62, 70, 78, 86, 94, 5, 16, 33, 48):
         w, h = 3 + mid % 6, 2 + mid % 5
         ww, hh, spp, px = _parse_tiff(_synth_tiff_bytes(w, h, mid))
         assert (ww, hh, spp) == (w, h, 1)
@@ -1508,7 +1509,33 @@ def test_tiff_decode_exact_and_boundaries():
     row = bytes([7] * 5 + [1, 2, 3] + [9] * 130 + [4])
     assert _packbits_decode(_packbits_encode_row(row), len(row)) == row
 
-    # LZW compression is the honest libtiff boundary
+    # TIFF LZW decodes for real (variant cells above include comp=5);
+    # a hand-computed 9-bit code sequence pins the early-change
+    # convention at the wire level: Clear,'a',258,'b',260,EOI packed
+    # MSB-first must decode to 'aaabbb' and re-encode byte-identically
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    codes, acc, nb, buf = [256, 97, 258, 98, 260, 257], 0, 0, bytearray()
+    for c in codes:
+        acc, nb = (acc << 9) | c, nb + 9
+        while nb >= 8:
+            nb -= 8
+            buf.append((acc >> nb) & 0xFF)
+    if nb:
+        buf.append((acc << (8 - nb)) & 0xFF)
+    assert _lzw_decode_tiff(bytes(buf), 6) == b"aaabbb"
+    assert _lzw_encode_tiff(b"aaabbb") == bytes(buf)
+    # a stream long enough to cross the 9->10-bit early change and the
+    # 4094-entry reset round-trips
+    import random as _random
+
+    long_raw = bytes(_random.Random(3).randrange(256) for _ in range(30000))
+    assert _lzw_decode_tiff(_lzw_encode_tiff(long_raw), len(long_raw)) == long_raw
+
+    # JPEG-in-TIFF is the honest libtiff boundary now
     b = bytearray(_synth_tiff_bytes(6, 4, 6))
     e = "<" if bytes(b[:2]) == b"II" else ">"
     ifd = struct.unpack(e + "I", b[4:8])[0]
@@ -1516,8 +1543,8 @@ def test_tiff_decode_exact_and_boundaries():
     for k in range(n):
         p = ifd + 2 + 12 * k
         if struct.unpack(e + "H", b[p : p + 2])[0] == 259:
-            b[p + 8 : p + 10] = struct.pack(e + "H", 5)
-    with pytest.raises(NotImplementedError, match="LZW"):
+            b[p + 8 : p + 10] = struct.pack(e + "H", 7)
+    with pytest.raises(NotImplementedError, match="JPEG-in-TIFF"):
         _parse_tiff(bytes(b))
 
     # malformed input is typed ValueError, not an index crash
