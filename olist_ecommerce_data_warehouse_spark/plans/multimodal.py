@@ -298,6 +298,28 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(npx) AS BIGINT) AS sum_npixels
         FROM tiff_sums
     ),
+    flac_sums AS (
+        SELECT doc_id, n * ch AS nsmp,
+               CASE WHEN (doc_id // 8) % 4 = 3
+                    THEN n * list_sum(list_transform(generate_series(0, ch - 1), c ->
+                         ((doc_id * 37 + 100 * c) % 2048) - 1024))
+                    ELSE list_sum(list_transform(generate_series(0, n - 1), j ->
+                         ((j * 37) % 2048) - 1024))
+                         + CASE WHEN ch = 2
+                                THEN list_sum(list_transform(generate_series(0, n - 1), j ->
+                                     ((j * 53) % 1024) - 512))
+                                ELSE 0 END
+               END AS ss
+        FROM (SELECT doc_id, 16 + doc_id % 32 AS n, 1 + doc_id % 2 AS ch
+              FROM documents WHERE doc_id % 8 = 2)
+    ),
+    flac_agg AS (
+        SELECT 'decode:flac' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ss) AS BIGINT) AS sum_samples,
+               CAST(SUM(nsmp) AS BIGINT) AS sum_nsamples
+        FROM flac_sums
+    ),
     stbl_fields AS (
         SELECT doc_id, 3 + doc_id % 13 AS n, 1 + doc_id % 4 AS spc,
                10 + doc_id % 5 AS d1, 20 + doc_id % 7 AS d2,
@@ -376,6 +398,9 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM sub8_agg
         UNION ALL SELECT kind, 'sum_wpx', sum_wpx FROM sub8_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM sub8_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM flac_agg
+        UNION ALL SELECT kind, 'sum_samples', sum_samples FROM flac_agg
+        UNION ALL SELECT kind, 'sum_nsamples', sum_nsamples FROM flac_agg
         UNION ALL SELECT kind, 'n_media', n_media FROM tiff_agg
         UNION ALL SELECT kind, 'sum_pixels', sum_pixels FROM tiff_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM tiff_agg
@@ -473,6 +498,17 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     every variant is under the driver hash.  LZW and JPEG-in-TIFF
     raise the honest NotImplementedError boundary.
 
+    kind='decode:flac' (round 8) — real COMPRESSED audio: the FLAC
+    format decodes end-to-end (STREAMINFO, fixed-blocksize frames with
+    UTF-8-coded numbers, CRC-8 header + CRC-16 frame verification,
+    constant/verbatim/fixed-order/LPC subframes, Rice residuals with
+    partition orders and raw escapes, wasted-bits shifts, and
+    left/side / right/side / mid/side stereo reconstruction).  The id
+    matrix cycles subframe kind × channels × decorrelation ×
+    partition order under one WAV-style closed-form sample sum, so a
+    predictor, Rice, CRC or decorrelation bug in any variant fails
+    the driver hash.
+
     kind='probe:mp4-stbl' (round 8) — the MP4 honesty boundary
     narrowed to pixel decode only: a real moov→trak→mdia→minf→stbl
     walk over spec-shaped sample tables — stsz sizes, stco offsets,
@@ -503,6 +539,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg12s,
         synthesize_mp4_stbls,
         synthesize_progressive_jpegs,
+        flac_sample_sums,
+        synthesize_flacs,
         synthesize_sub8_pngs,
         synthesize_tiffs,
         tiff_pixel_sums,
@@ -808,6 +846,33 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'sum_npixels', sum_npixels) AS (metric, value)",
         )
     )
+    # kind='decode:flac' (round 8) — a real COMPRESSED audio codec
+    # beyond PCM WAV: full FLAC decode (STREAMINFO, multi-frame walk
+    # with UTF-8 frame numbers and a short tail frame, CRC-8-verified
+    # headers + CRC-16-verified frames, constant/verbatim/fixed/LPC
+    # subframes, Rice residuals with partition orders, and all three
+    # stereo decorrelation modes).  The id matrix cycles subframe kind
+    # × channels × decorrelation × partition order; the closed form is
+    # the WAV device over the per-channel sample arithmetic.
+    flac_long = (
+        flac_sample_sums(
+            synthesize_flacs(docs.filter(F.col("doc_id") % 8 == 2))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("sample_sum").cast("bigint").alias("sum_samples"),
+            F.sum("n_samples").cast("bigint").alias("sum_nsamples"),
+        )
+        .select(
+            F.lit("decode:flac").alias("kind"),
+            "n_media", "sum_samples", "sum_nsamples",
+        )
+        .selectExpr(
+            "kind",
+            "stack(3, 'n_media', n_media, 'sum_samples', sum_samples, "
+            "'sum_nsamples', sum_nsamples) AS (metric, value)",
+        )
+    )
     # kind='probe:mp4-stbl' (round 8) — the MP4 raise narrowed to
     # pixel decode only: real ISO-BMFF sample-table walk (stsz sizes,
     # stco offsets, ALL stts runs, run-length stsc resolution against
@@ -850,6 +915,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sub8_long)
         .unionByName(jpeg12_long)
         .unionByName(tiff_long)
+        .unionByName(flac_long)
         .unionByName(stbl_long)
     )
 

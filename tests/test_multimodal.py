@@ -1553,3 +1553,88 @@ def test_tiff_decode_exact_and_boundaries():
     good = _synth_tiff_bytes(6, 4, 6)
     with pytest.raises(ValueError):
         _parse_tiff(good[:20])  # IFD offset past EOF / missing tags
+
+
+def test_flac_decode_exact_and_boundaries():
+    """Round 8: FLAC decodes for real.  The synthesizer matrix
+    (subframe kind × channels × decorrelation × partition order ×
+    multi-frame) is pinned against exact per-channel samples; the
+    decode paths the gate matrix does not emit — right/side stereo
+    and wasted-bits shifts — are exercised by hand-built frames; CRC
+    tampering and structural violations are typed ValueError."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _FlacBitWriter,
+        _crc8_flac,
+        _crc16_flac,
+        _flac_utf8_code,
+        _parse_flac,
+        _synth_flac_bytes,
+        _write_subframe,
+    )
+
+    # driver-residue ids (%8==2) covering every (kind, ch, decor) cell
+    for mid in (2, 10, 18, 26, 34, 42, 50, 58, 66, 74, 82, 90, 98, 3, 17):
+        sr, ch, bps, chans = _parse_flac(_synth_flac_bytes(mid))
+        n = 16 + mid % 32
+        kind = ["verbatim", "fixed2", "lpc2", "constant"][(mid // 8) % 4]
+        assert (sr, ch, bps) == (8000, 1 + mid % 2, 16)
+        for c in range(ch):
+            if kind == "constant":
+                exp = [((mid * 37 + 100 * c) % 2048) - 1024] * n
+            else:
+                exp = [((j * (37 if c == 0 else 53)) % (2048 if c == 0 else 1024))
+                       - (1024 if c == 0 else 512) for j in range(n)]
+            assert chans[c] == exp, (mid, c)
+
+    # a hand-built RIGHT/SIDE stereo frame (assignment 0b1001), plus a
+    # verbatim subframe carrying a real WASTED-BITS shift
+    left = [4 * j - 30 for j in range(8)]
+    right = [2 * j - 10 for j in range(8)]
+    side = [left[j] - right[j] for j in range(8)]
+    si = _FlacBitWriter()
+    si.w(8, 16); si.w(8, 16); si.w(0, 24); si.w(0, 24)
+    si.w(8000, 20); si.w(1, 3); si.w(15, 5); si.w(8, 36)
+    stream = bytearray(b"fLaC")
+    info = bytes(si.out) + bytes(16)
+    stream += bytes([0x80, 0, 0, len(info)]) + info
+    bw = _FlacBitWriter()
+    bw.w(0b11111111111110, 14); bw.w(0, 1); bw.w(0, 1)
+    bw.w(0b0110, 4); bw.w(0b0000, 4)
+    bw.w(0b1001, 4)  # right/side
+    bw.w(0b100, 3); bw.w(0, 1)
+    bw.w(_flac_utf8_code(0)[0], 8)
+    bw.w(7, 8)  # blocksize-1
+    bw.w(_crc8_flac(bytes(bw.out)), 8)
+    # subframe 1: side at bps+1, all values EVEN -> encode with one
+    # wasted bit (type verbatim, wasted flag set, unary count 1,
+    # samples pre-shifted right by 1)
+    assert all(v % 2 == 0 for v in side)
+    bw.w(0, 1); bw.w(0b000001, 6)
+    bw.w(1, 1)          # wasted-bits flag
+    bw.w(1, 1)          # unary 0 -> wasted = 1 (a single 1-bit)
+    for v in side:
+        bw.w(v >> 1, 17 - 1)
+    # subframe 2: right, plain verbatim
+    _write_subframe(bw, right, 16, "verbatim")
+    bw.align()
+    bw.w(_crc16_flac(bytes(bw.out)), 16)
+    stream += bytes(bw.out)
+    sr, ch, bps, chans = _parse_flac(bytes(stream))
+    assert (ch, bps) == (2, 16)
+    assert chans[0] == left and chans[1] == right
+
+    # CRC tampering is typed loud: flip one payload byte near the end
+    good = bytearray(_synth_flac_bytes(10))
+    good[-3] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_flac(bytes(good))
+
+    # variable-blocksize streams are the honest boundary
+    vb = bytearray(_synth_flac_bytes(10))
+    # STREAMINFO min/max blocksize live right after the 4+4 byte heads
+    vb[8:10] = (15).to_bytes(2, "big")  # min != max
+    with pytest.raises(NotImplementedError, match="variable-blocksize"):
+        _parse_flac(bytes(vb))
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        _parse_flac(b"fLaX" + bytes(40))

@@ -1299,3 +1299,29 @@ def test_tiff_roundtrip_any_dims(w, h, mid):
     assert px == bytes(
         ((x // 3) * 5 + y * 7 + mid) % 256 for y in range(h) for x in range(w)
     )
+
+
+@_SETTINGS
+@given(mid=st.integers(min_value=0, max_value=10**6))
+def test_flac_roundtrip_any_id(mid):
+    """Round 8 fuzz: FLAC streams round-trip exactly at any id — the
+    full variant matrix (subframe kinds, mono/stereo, decorrelation
+    modes, partition orders, multi-frame with short tails) recovers
+    the per-channel sample arithmetic bit-exactly (pure-python pair,
+    no Spark)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _parse_flac,
+        _synth_flac_bytes,
+    )
+
+    sr, ch, bps, chans = _parse_flac(_synth_flac_bytes(mid))
+    n = 16 + mid % 32
+    kind = ["verbatim", "fixed2", "lpc2", "constant"][(mid // 8) % 4]
+    assert (sr, ch, bps) == (8000, 1 + mid % 2, 16)
+    for c in range(ch):
+        if kind == "constant":
+            exp = [((mid * 37 + 100 * c) % 2048) - 1024] * n
+        else:
+            exp = [((j * (37 if c == 0 else 53)) % (2048 if c == 0 else 1024))
+                   - (1024 if c == 0 else 512) for j in range(n)]
+        assert chans[c] == exp
