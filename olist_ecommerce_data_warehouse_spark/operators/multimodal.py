@@ -21,9 +21,9 @@ Decode tiers:
   pixel/sample mean computed from the actual decoded samples
   (round-trip-tested against independently encoded fixtures).
 - formats that genuinely need PIL/ffmpeg (MP4 pixel data,
-  arithmetic-coded JPEG, fractional chroma upsampling, …) raise
-  ``NotImplementedError`` at the exact point those calls would go —
-  that dependency is absent in this container, honestly gated.
+  arithmetic-coded JPEG, …) raise ``NotImplementedError`` at the
+  exact point those calls would go — that dependency is absent in
+  this container, honestly gated.
 - ``decode_media`` keeps the deterministic fake-decode default used by
   the oracle-gated plans (byte-derived metadata, engine-portable).
 
@@ -1895,10 +1895,13 @@ def _decode_jpeg_baseline(b: bytes):
     the extended-sequential process — SOF1 with P=12, Pq=1 16-bit
     quant tables, level shift 2048, clip to 0..4095, uint16 planes
     (12-bit under SOF0 is malformed per Table B.2 and raises
-    ValueError).  Progressive (SOF2), arithmetic coding (SOF9+),
-    hierarchical, and NON-DIVISOR sampling-factor combinations
-    (fractional upsampling) raise NotImplementedError — the
-    PIL/libjpeg boundary, honestly gated."""
+    ValueError).  NON-DIVISOR sampling factors (e.g. 3:2) upsample
+    through the generic nearest-neighbor index map src = x·Hi // Hmax
+    (round 8; identical to replication when the ratio is integral).
+    Progressive (SOF2) dispatches to the real progressive decoder;
+    arithmetic coding (SOF9+) and hierarchical raise
+    NotImplementedError — the PIL/libjpeg boundary, honestly
+    gated."""
     import struct
 
     import numpy as np
@@ -2000,15 +2003,6 @@ def _decode_jpeg_baseline(b: bytes):
                 # single-component scans are non-interleaved by spec:
                 # the MCU is one data unit whatever the factors say
                 comps[0]["h"] = comps[0]["v"] = 1
-            hmax_ = max(c["h"] for c in comps)
-            vmax_ = max(c["v"] for c in comps)
-            if any(hmax_ % c["h"] or vmax_ % c["v"] for c in comps):
-                # e.g. 3:2 ratios — integer-replication upsampling
-                # can't express them; libjpeg interpolates
-                raise NotImplementedError(
-                    "fractional chroma upsampling (non-divisor "
-                    "sampling factors) needs libjpeg"
-                )
             i += seglen
             continue
         if marker == 0xDA:
@@ -2125,12 +2119,22 @@ def _decode_jpeg_baseline(b: bytes):
                 cw = -(-w * comp["h"] // hmax)
                 chh = -(-h * comp["v"] // vmax)
                 p = planes[ci][:chh, :cw]
-                p = np.repeat(
-                    np.repeat(p, vmax // comp["v"], axis=0),
-                    hmax // comp["h"],
-                    axis=1,
-                )
-                out.append(p[:h, :w])
+                if hmax % comp["h"] == 0 and vmax % comp["v"] == 0:
+                    p = np.repeat(
+                        np.repeat(p, vmax // comp["v"], axis=0),
+                        hmax // comp["h"],
+                        axis=1,
+                    )
+                    out.append(p[:h, :w])
+                else:
+                    # round 8: NON-DIVISOR factors (e.g. 3:2) — the
+                    # generic nearest-neighbor index map src = x·Hi
+                    # // Hmax (identical to replication whenever the
+                    # ratio IS integral, so the divisor path keeps
+                    # its bit-pinned np.repeat contract)
+                    ys = (np.arange(h) * comp["v"]) // vmax
+                    xs = (np.arange(w) * comp["h"]) // hmax
+                    out.append(p[ys][:, xs])
             return w, h, out
         i += seglen
     raise ValueError("no SOS segment")
@@ -2150,10 +2154,10 @@ def _decode_jpeg_progressive(b: bytes):
     prediction AND the EOB run.  Output contract (planes upsampled
     nearest-neighbor to h × w) matches _decode_jpeg_baseline, so the
     cross-codec test can demand bit-identical planes for the same
-    coefficient field.  12-bit precision, arithmetic coding and
-    non-divisor sampling-factor combinations raise exactly like the
-    baseline path (round 8: divisor-consistent factors up to 4
-    decode)."""
+    coefficient field.  Factors 1..4 decode including non-divisor
+    combinations (the baseline decoder's generic index-map upsample);
+    12-bit precision and arithmetic coding raise exactly like the
+    baseline path."""
     import struct
 
     import numpy as np
@@ -2234,11 +2238,6 @@ def _decode_jpeg_progressive(b: bytes):
                 comps[0]["h"] = comps[0]["v"] = 1
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
-            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
-                raise NotImplementedError(
-                    "fractional chroma upsampling (non-divisor "
-                    "sampling factors) needs libjpeg"
-                )
             mx_n = (w + 8 * hmax - 1) // (8 * hmax)
             my_n = (h + 8 * vmax - 1) // (8 * vmax)
             for c in comps:
@@ -2444,10 +2443,18 @@ def _decode_jpeg_progressive(b: bytes):
                     px, 0, 255
                 ).astype(np.uint8)
         p = plane[: comp["ch"], : comp["cw"]]
-        p = np.repeat(
-            np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
-        )
-        out.append(p[:h, :w])
+        if hmax % comp["h"] == 0 and vmax % comp["v"] == 0:
+            p = np.repeat(
+                np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
+            )
+            out.append(p[:h, :w])
+        else:
+            # round 8: non-divisor factors — same generic index map as
+            # the baseline decoder, so the cross-codec bit-identity
+            # contract holds for every legal factor combination
+            ys = (np.arange(h) * comp["v"]) // vmax
+            xs = (np.arange(w) * comp["h"]) // hmax
+            out.append(p[ys][:, xs])
     return w, h, out
 
 

@@ -1389,15 +1389,29 @@ def test_jpeg_sampling_factors_up_to_4_decode_exact():
             got = int(planes[ci].astype("int64").sum())
             assert got == want, (factors, ci, got, want)
 
-    # non-divisor combination: Y 3x1 with hmax 3 over a 2x1 sibling
-    b = bytearray(_synth_jpeg_sampled_bytes(64, 16, 3, [(4, 1), (1, 1), (1, 1)]))
-    sof = bytes(b).find(b"\xff\xc0")
-    assert sof > 0
-    b[sof + 11] = 0x31  # Y h=3,v=1 -> hmax 3; sibling h=4 gone, now 3 vs 1 ok...
-    # rewrite instead: Y 3x1, Cb 2x1 -> hmax 3, 3 % 2 != 0
-    b[sof + 14] = 0x21
-    with pytest.raises(NotImplementedError, match="fractional"):
-        _decode_jpeg_baseline(bytes(b))
+    # round 8 (late): NON-DIVISOR combinations decode too, through the
+    # generic nearest-neighbor index map src = x·Hi // Hmax — pinned
+    # against an independent pure-python resample of the block-constant
+    # content (3:2 horizontal, and a 3:2 × 2:1 mixed case)
+    for factors, w, h, mid in [
+        ([(3, 1), (2, 1), (1, 1)], 48, 16, 9),
+        ([(3, 2), (2, 1), (1, 1)], 24, 16, 4),
+        ([(4, 3), (3, 2), (1, 1)], 96, 48, 7),
+    ]:
+        b = _synth_jpeg_sampled_bytes(w, h, mid, factors)
+        ww, hh, planes = _decode_jpeg_baseline(b)
+        assert (ww, hh) == (w, h)
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        for ci, (fh, fv) in enumerate(factors):
+            want = sum(
+                ((((x * fh) // hmax) // 8) * 7
+                 + (((y * fv) // vmax) // 8) * 13 + mid + 37 * ci) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            got = int(planes[ci].astype("int64").sum())
+            assert got == want, (factors, ci, got, want)
 
 
 def test_jpeg12_extended_sequential_decode_exact():
