@@ -380,13 +380,14 @@ def _parse_wav(b: bytes):
 def real_decode_media(media: DataFrame) -> DataFrame:
     """REAL decode for stdlib-decodable payloads (PNG/BMP/WAV/GIF +
     JPEG: baseline since round 6; subsampled, restart-interval and
-    progressive since round 7), sniffing the container by magic
-    bytes.  Anything else — MP4, arithmetic-coded/12-bit JPEG, … —
-    raises ``NotImplementedError`` where the PIL/ffmpeg call would go
-    (for JPEG the boundary now sits INSIDE ``_decode_jpeg_baseline``
-    at the exact unsupported-process branch).  Same Arrow-batched
-    shape as ``decode_media``; per-row Python cost is the honest price
-    of a pure-stdlib codec (production swaps the kernel body for a
+    progressive since round 7; 12-bit since round 8 — plus TIFF and
+    FLAC, both round 8), sniffing the container by magic bytes.
+    Anything else — MP4, arithmetic-coded JPEG, … — raises
+    ``NotImplementedError`` where the PIL/ffmpeg call would go (for
+    JPEG the boundary now sits INSIDE ``_decode_jpeg_baseline`` at the
+    exact unsupported-process branch).  Same Arrow-batched shape as
+    ``decode_media``; per-row Python cost is the honest price of a
+    pure-stdlib codec (production swaps the kernel body for a
     vectorized decoder, the Spark plumbing is identical)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -411,14 +412,26 @@ def real_decode_media(media: DataFrame) -> DataFrame:
                     mean = float(
                         sum(float(p.mean()) for p in planes) / len(planes)
                     )
+                    depth = 16 if planes[0].dtype.itemsize == 2 else 8
                     rows.append(
-                        (r["media_id"], "jpeg", w, h, len(planes), 0, 8, mean)
+                        (r["media_id"], "jpeg", w, h, len(planes), 0, depth, mean)
                     )
+                elif b[:2] in (b"II", b"MM") and b[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+                    w, h, spp, px = _parse_tiff(b)
+                    mean = float(sum(px)) / max(len(px), 1)
+                    rows.append((r["media_id"], "tiff", w, h, spp, 0, 8, mean))
+                elif b[:4] == b"fLaC":
+                    rate, ch, depth, chans = _parse_flac(b)
+                    n = len(chans[0]) if chans else 0
+                    tot = sum(sum(c) for c in chans)
+                    cnt = sum(len(c) for c in chans)
+                    mean = float(tot) / max(cnt, 1)
+                    rows.append((r["media_id"], "flac", n, 0, ch, rate, depth, mean))
                 else:
                     raise NotImplementedError(
-                        "payload is not PNG/BMP/WAV/GIF/baseline-JPEG — real "
-                        "decode of this format needs PIL/ffmpeg, not present "
-                        "in this environment"
+                        "payload is not PNG/BMP/WAV/GIF/TIFF/FLAC/DCT-JPEG — "
+                        "real decode of this format needs PIL/ffmpeg, not "
+                        "present in this environment"
                     )
             yield pd.DataFrame(
                 rows,
@@ -523,6 +536,15 @@ def _png_pixels(b: bytes):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
+        if pos + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk")
+        # round 8: verify the spec-mandated per-chunk CRC-32 (over
+        # type + data) — a decoder that trusts corrupt chunks emits
+        # silently wrong pixels downstream, the worst failure mode for
+        # a 100 TB corpus scan
+        (want_crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != want_crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype.decode('latin1')}")
         if ctype == b"IHDR":
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data

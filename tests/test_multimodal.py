@@ -820,8 +820,15 @@ def test_png_adam7_and_16bit_decode():
     # sub-8-bit grayscale decodes since round 8 (test_png_sub8_decode_
     # exact) — the honest raise here is now a spec-ILLEGAL depth
     b = bytearray(_synth_png16_bytes(4, 3))
-    i = b.find(b"IHDR") + 4 + 8  # depth byte inside IHDR payload
-    b[i] = 3
+    import zlib
+
+    ihdr = b.find(b"IHDR")
+    b[ihdr + 4 + 8] = 3  # depth byte inside IHDR payload
+    # re-seal the chunk CRC the decoder verifies since round 8 — the
+    # point of this tamper is the depth gate, not CRC detection
+    b[ihdr + 4 + 13 : ihdr + 4 + 17] = struct.pack(
+        ">I", zlib.crc32(bytes(b[ihdr : ihdr + 4 + 13])) & 0xFFFFFFFF
+    )
     with pytest.raises(NotImplementedError):
         _png_pixels(bytes(b))
 
@@ -1652,3 +1659,72 @@ def test_flac_decode_exact_and_boundaries():
 
     with pytest.raises(ValueError, match="not a FLAC"):
         _parse_flac(b"fLaX" + bytes(40))
+
+
+def test_real_decode_media_routes_tiff_and_flac(spark):
+    """Round 8: the user-facing sniffing decoder routes TIFF (both
+    byte orders) and FLAC payloads through the real codecs, reporting
+    format/dims/channels/rate/depth and the exact sample mean."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _synth_flac_bytes,
+        _synth_tiff_bytes,
+        real_decode_media,
+    )
+
+    tif_ii = _synth_tiff_bytes(6, 4, 6)    # II, uncompressed
+    tif_mm = _synth_tiff_bytes(5, 3, 14)   # MM
+    flac = _synth_flac_bytes(2)            # mono verbatim
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(tif_ii), "t"),
+         (2, "image", bytearray(tif_mm), "t"),
+         (3, "audio", bytearray(flac), "t")],
+        "media_id long, kind string, payload binary, source string",
+    )
+    got = {r["media_id"]: r for r in real_decode_media(media).collect()}
+    for mid, (w, h) in ((1, (6, 4)), (2, (5, 3))):
+        t = got[mid]
+        assert (t["format"], t["width"], t["height"], t["n_channels"]) == (
+            "tiff", w, h, 1,
+        )
+        mean = sum(
+            ((x // 3) * 5 + y * 7 + (6 if mid == 1 else 14)) % 256
+            for y in range(h) for x in range(w)
+        ) / (w * h)
+        assert abs(t["sample_mean"] - mean) < 1e-9
+    f = got[3]
+    n = 16 + 2 % 32
+    assert (f["format"], f["width"], f["n_channels"], f["sample_rate"],
+            f["bit_depth"]) == ("flac", n, 1, 8000, 16)
+    mean = sum(((j * 37) % 2048) - 1024 for j in range(n)) / n
+    assert abs(f["sample_mean"] - mean) < 1e-9
+
+
+def test_png_chunk_crc_verified():
+    """Round 8: the PNG decoder verifies each chunk's CRC-32 — a
+    corrupted IDAT byte (which zlib might still inflate) or a
+    corrupted stored CRC is a typed ValueError, never silently wrong
+    pixels."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _png_pixels,
+        _synth_png_bytes,
+    )
+
+    good = _synth_png_bytes(5, 4)
+    _png_pixels(good)  # sanity: the synthesizer's CRCs are real
+
+    # flip a byte INSIDE the IDAT payload (after the zlib header)
+    tampered = bytearray(good)
+    idat = good.find(b"IDAT")
+    tampered[idat + 8] ^= 0x40
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _png_pixels(bytes(tampered))
+
+    # flip the stored CRC itself
+    tampered = bytearray(good)
+    ihdr = good.find(b"IHDR")
+    tampered[ihdr + 4 + 13] ^= 0x01  # first CRC byte after IHDR data
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _png_pixels(bytes(tampered))
+
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        _png_pixels(good[:-6])
