@@ -179,8 +179,12 @@ def _bmp_palette(b: bytes) -> bytes:
     entry count = biClrUsed or 2^bpp)."""
     import struct
 
+    if len(b) < 30:
+        raise ValueError("truncated BMP header")
     (hdr_size,) = struct.unpack("<I", b[14:18])
     (bpp,) = struct.unpack("<H", b[28:30])
+    if hdr_size >= 40 and len(b) < 50:
+        raise ValueError("truncated BMP info header")
     (clr_used,) = struct.unpack("<I", b[46:50]) if hdr_size >= 40 else (0,)
     n = clr_used or (1 << bpp)
     pal = b[14 + hdr_size : 14 + hdr_size + 4 * n]
@@ -201,6 +205,8 @@ def _parse_bmp(b: bytes):
 
     if b[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(b) < 30:
+        raise ValueError("truncated BMP header")
     (data_off,) = struct.unpack("<I", b[10:14])
     w, h = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
@@ -213,11 +219,20 @@ def _parse_bmp(b: bytes):
     row_bytes = w * (1 if bpp == 8 else ch)
     stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
     n_rows = abs(h)
+    # dimension sanity BEFORE iterating rows: a corrupted height field
+    # must be a typed error, not a multi-billion-row loop (fuzz r8)
+    if w <= 0 or n_rows == 0 or data_off >= len(b):
+        raise ValueError("BMP dimensions/offset out of range")
+    if data_off + (n_rows - 1) * stride + row_bytes > len(b):
+        raise ValueError("BMP pixel array past EOF")
     total = 0
     count = 0
+    npal = len(pal) // 4 if pal is not None else 0
     for y in range(n_rows):
         row = b[data_off + y * stride : data_off + y * stride + row_bytes]
         if pal is not None:
+            if any(i >= npal for i in row):
+                raise ValueError("BMP palette index beyond color table")
             total += sum(
                 pal[4 * i] + pal[4 * i + 1] + pal[4 * i + 2] for i in row
             )
@@ -284,6 +299,8 @@ def _parse_gif(b: bytes):
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
     _, _, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
     pos = 13
     gct = None
@@ -298,13 +315,17 @@ def _parse_gif(b: bytes):
             break
         if marker == 0x21:  # extension: introducer + label, then sub-blocks
             pos += 2
-            while b[pos] != 0:
+            while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
+            if pos >= len(b):
+                raise ValueError("truncated GIF extension block")
             pos += 1
         elif marker == 0x3B:
             raise ValueError("GIF trailer before any image data")
         else:
             raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    if pos + 10 > len(b):
+        raise ValueError("truncated GIF image descriptor")
     _, _, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
     pos += 10
     ct = gct
@@ -314,10 +335,14 @@ def _parse_gif(b: bytes):
         pos += 3 * n
     if ct is None:
         raise ValueError("GIF image without any color table")
+    if pos >= len(b):
+        raise ValueError("truncated GIF image data")
     min_code_size = b[pos]
     pos += 1
     data = bytearray()
     while True:
+        if pos >= len(b):
+            raise ValueError("truncated GIF sub-block chain")
         blen = b[pos]
         pos += 1
         if blen == 0:
@@ -330,6 +355,8 @@ def _parse_gif(b: bytes):
     indices = indices[: w * h]
     if iflags & 0x40:  # interlaced: rows stored in the 4-pass order
         indices = _gif_deinterlace(indices, w, h)
+    if any(3 * i + 2 >= len(ct) for i in indices):
+        raise ValueError("GIF index beyond the color table")
     total = sum(ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2] for i in indices)
     mean = total / (3 * w * h) if w * h else 0.0
     return w, h, 3, 8, mean
@@ -359,14 +386,20 @@ def _parse_wav(b: bytes):
     normalized to [0, 1]."""
     import array
     import io
+    import struct
     import wave
 
-    with wave.open(io.BytesIO(b)) as wf:
-        ch = wf.getnchannels()
-        rate = wf.getframerate()
-        n = wf.getnframes()
-        width = wf.getsampwidth()
-        frames = wf.readframes(n)
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            ch = wf.getnchannels()
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            width = wf.getsampwidth()
+            frames = wf.readframes(n)
+    except (wave.Error, EOFError, RuntimeError, struct.error) as exc:
+        # the stdlib module's mixed exception surface, re-typed to the
+        # malformed-input contract every other codec here follows
+        raise ValueError(f"malformed WAV: {exc}") from exc
     if width == 2:
         samples = array.array("h", frames)
         mean = (sum(abs(s) for s in samples) / len(samples) / 32768.0) if samples else 0.0
@@ -533,6 +566,8 @@ def _png_pixels(b: bytes):
     plte = None
     w = h = bit_depth = color_type = interlace = None
     while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("truncated PNG chunk")
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
@@ -571,7 +606,10 @@ def _png_pixels(b: bytes):
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream does not inflate: {exc}") from exc
     if bit_depth < 8:
         # Round 8 closes the last stdlib-feasible PNG raise: 1/2/4-bit
         # images pack samples MSB-first into bytes (§7.2), each
@@ -1743,6 +1781,8 @@ def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, in
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
+    if sum(bits) > len(vals):
+        raise ValueError("DHT counts exceed the symbol list")
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             out[vals[k]] = (code, length)
@@ -1864,9 +1904,13 @@ class _BitReader:
 
     def bit(self) -> int:
         if self.nbits == 0:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated JPEG entropy segment")
             byte = self.b[self.pos]
             self.pos += 1
             if byte == 0xFF:
+                if self.pos >= len(self.b):
+                    raise ValueError("truncated JPEG entropy segment")
                 nxt = self.b[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
@@ -1957,6 +2001,8 @@ def _decode_jpeg_baseline(b: bytes):
             break  # standalone EOI before any SOS → clean "no SOS" error
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if i + 2 > len(b):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", b[i : i + 2])
         payload = b[i + 2 : i + seglen]
         if marker == 0xC2:
@@ -1966,6 +2012,8 @@ def _decode_jpeg_baseline(b: bytes):
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG process")
         if marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("truncated JPEG DRI payload")
             (restart_interval,) = struct.unpack(">H", payload[:2])
             i += seglen
             continue
@@ -1984,6 +2032,8 @@ def _decode_jpeg_baseline(b: bytes):
                     )
                     p += 129
                 else:
+                    if p + 65 > len(payload):
+                        raise ValueError("DQT truncated for 8-bit table")
                     qt[tq] = list(payload[p + 1 : p + 65])
                     p += 65
             i += seglen
@@ -1993,14 +2043,20 @@ def _decode_jpeg_baseline(b: bytes):
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0xF
                 bits = list(payload[p + 1 : p + 17])
+                if len(bits) < 16:
+                    raise ValueError("DHT truncated")
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("DHT symbol list truncated")
                 fwd = _huff_canonical(bits, vals)
                 huff[(tc, th)] = {(l, c): s for s, (c, l) in fwd.items()}
                 p += 17 + n
             i += seglen
             continue
         if marker in (0xC0, 0xC1):
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF payload")
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             # round 8: 12-bit precision decodes for real through the
             # extended-sequential process (SOF1, §B.2.2 — baseline
@@ -2028,6 +2084,8 @@ def _decode_jpeg_baseline(b: bytes):
             i += seglen
             continue
         if marker == 0xDA:
+            if not payload:
+                raise ValueError("truncated JPEG SOS payload")
             ns = payload[0]
             if comps is None:
                 raise ValueError("SOS before SOF")
@@ -2042,10 +2100,14 @@ def _decode_jpeg_baseline(b: bytes):
                     "multi-scan sequential JPEG (SOS covers a subset "
                     "of SOF components) — libjpeg territory"
                 )
+            if len(payload) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS payload")
             sel = {}
             for ci in range(ns):
                 cid, tabs = payload[1 + 2 * ci], payload[2 + 2 * ci]
                 sel[cid] = (tabs >> 4, tabs & 0xF)
+            if any(c["id"] not in sel for c in comps):
+                raise ValueError("JPEG SOS component ids differ from SOF")
             reader = _BitReader(b, i + seglen)
             # interleaved MCU scan (§A.2.3): the MCU is Hmax×Vmax
             # blocks of the max-sampled component; component ci
@@ -2063,9 +2125,14 @@ def _decode_jpeg_baseline(b: bytes):
 
             def decode_block(comp, ci):
                 dct, act = sel[comp["id"]]
-                dc_tab = huff[(0, dct)]
-                ac_tab = huff[(1, act)]
-                q = qt[comp["tq"]]
+                try:
+                    dc_tab = huff[(0, dct)]
+                    ac_tab = huff[(1, act)]
+                    q = qt[comp["tq"]]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"JPEG scan references a missing DHT/DQT table {exc}"
+                    ) from exc
                 coef = [0] * 64
                 s = _huff_decode(reader, dc_tab)
                 diff = _extend(reader.bits(s), s) if s else 0
@@ -2206,9 +2273,13 @@ def _decode_jpeg_progressive(b: bytes):
             break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if i + 2 > len(b):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", b[i : i + 2])
         payload = b[i + 2 : i + seglen]
         if marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("truncated JPEG DRI payload")
             (restart_interval,) = struct.unpack(">H", payload[:2])
             i += seglen
             continue
@@ -2227,6 +2298,8 @@ def _decode_jpeg_progressive(b: bytes):
                     )
                     p += 129
                 else:
+                    if p + 65 > len(payload):
+                        raise ValueError("DQT truncated for 8-bit table")
                     qt[tq] = list(payload[p + 1 : p + 65])
                     p += 65
             i += seglen
@@ -2236,14 +2309,20 @@ def _decode_jpeg_progressive(b: bytes):
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0xF
                 bits = list(payload[p + 1 : p + 17])
+                if len(bits) < 16:
+                    raise ValueError("DHT truncated")
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("DHT symbol list truncated")
                 fwd = _huff_canonical(bits, vals)
                 huff[(tc, th)] = {(l, c): s for s, (c, l) in fwd.items()}
                 p += 17 + n
             i += seglen
             continue
         if marker == 0xC2:
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF payload")
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
@@ -2288,13 +2367,21 @@ def _decode_jpeg_progressive(b: bytes):
         # ---- one scan ----
         if comps is None:
             raise ValueError("SOS before SOF")
+        if len(payload) < 1:
+            raise ValueError("truncated JPEG SOS payload")
         ns = payload[0]
+        if len(payload) < 4 + 2 * ns:
+            raise ValueError("truncated JPEG SOS payload")
         scomps = []
         for k in range(ns):
             cid, tabs = payload[1 + 2 * k], payload[2 + 2 * k]
-            ci = next(j for j, c in enumerate(comps) if c["id"] == cid)
+            ci = next((j for j, c in enumerate(comps) if c["id"] == cid), None)
+            if ci is None:
+                raise ValueError("JPEG scan references an unknown component id")
             scomps.append((ci, tabs >> 4, tabs & 0xF))
         ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+        if not ss <= se <= 63:
+            raise ValueError("JPEG spectral selection outside 0..63")
         ah, al = a >> 4, a & 0xF
         reader = _BitReader(b, i + seglen)
         eobrun = 0
@@ -2321,6 +2408,8 @@ def _decode_jpeg_progressive(b: bytes):
 
         def dc_unit(blk, ci: int, dct: int) -> None:
             if ah == 0:
+                if (0, dct) not in huff:
+                    raise ValueError("JPEG scan references a missing DC table")
                 s = _huff_decode(reader, huff[(0, dct)])
                 diff = _extend(reader.bits(s), s) if s else 0
                 pred[ci] += diff
@@ -2335,7 +2424,7 @@ def _decode_jpeg_progressive(b: bytes):
                 return
             k = ss
             while k <= se:
-                rs = _huff_decode(reader, huff[(1, scomps[0][2])])
+                rs = _huff_decode(reader, huff.get((1, scomps[0][2])) or _missing_table())
                 r, s = rs >> 4, rs & 0xF
                 if s == 0:
                     if r == 15:
@@ -2358,7 +2447,7 @@ def _decode_jpeg_progressive(b: bytes):
             k = ss
             if eobrun == 0:
                 while k <= se:
-                    rs = _huff_decode(reader, huff[(1, scomps[0][2])])
+                    rs = _huff_decode(reader, huff.get((1, scomps[0][2])) or _missing_table())
                     r, s = rs >> 4, rs & 0xF
                     if s == 0:
                         if r < 15:
@@ -2450,6 +2539,8 @@ def _decode_jpeg_progressive(b: bytes):
     vmax = max(c["v"] for c in comps)
     out = []
     for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise ValueError("JPEG component references a missing DQT table")
         q = np.asarray(qt[comp["tq"]], dtype=np.float64)
         nby, nbx = coefs[ci].shape[:2]
         plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
@@ -3820,12 +3911,16 @@ def _parse_tiff(b: bytes):
         e = ">"
     else:
         raise ValueError("not a TIFF")
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
     magic, ifd_off = struct.unpack(e + "HI", b[2:8])
     if magic != 42:
         raise ValueError("not a TIFF (bad magic)")
     if ifd_off + 2 > len(b):
         raise ValueError("TIFF IFD offset past EOF")
     (n_entries,) = struct.unpack(e + "H", b[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(b):
+        raise ValueError("TIFF IFD past EOF")
     tags: dict[int, list[int]] = {}
     _SZ = {1: 1, 3: 2, 4: 4}
     for k in range(n_entries):
@@ -3848,13 +3943,19 @@ def _parse_tiff(b: bytes):
         h = tags[257][0]
         offsets = tags[273]
         counts = tags[279]
-    except KeyError as exc:
-        raise ValueError(f"TIFF missing required tag {exc}") from exc
-    bits = tags.get(258, [1])[0]
-    comp = tags.get(259, [1])[0]
-    photo = tags.get(262, [1])[0]
-    spp = tags.get(277, [1])[0]
-    rps = tags.get(278, [2**32 - 1])[0]
+    except (KeyError, IndexError) as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from exc
+    if not offsets or not counts:
+        raise ValueError("TIFF missing required tag: empty strip arrays")
+    def one(tag: int, default: int) -> int:
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    bits = one(258, 1)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    rps = one(278, 2**32 - 1)
     if comp in (6, 7):
         raise NotImplementedError("JPEG-in-TIFF compression needs libtiff/PIL")
     if comp not in (1, 5, 32773):
@@ -4053,6 +4154,10 @@ class _FlacBitReader:
 
     def bytepos(self) -> int:
         return self.bit >> 3
+
+
+def _missing_table():
+    raise ValueError("JPEG scan references a missing AC table")
 
 
 def _fixed_residual(s: list[int], order: int) -> list[int]:

@@ -1728,3 +1728,85 @@ def test_png_chunk_crc_verified():
 
     with pytest.raises(ValueError, match="truncated PNG chunk"):
         _png_pixels(good[:-6])
+
+
+def test_codec_corruption_is_typed():
+    """Round 8 robustness sweep: single-byte corruption and truncation
+    of ANY supported container either still decodes or raises a TYPED
+    error (ValueError / NotImplementedError) — never IndexError /
+    KeyError / struct.error / zlib.error / StopIteration, and never a
+    hang (a corrupted BMP height field used to loop for billions of
+    rows; corrupted DQT/DHT/SOS used to leak KeyError; truncated
+    chunks leaked struct.error — all found by this sweep's first run
+    and fixed).  Sampled positions keep the test fast; the full
+    exhaustive sweep ran clean at the round-8 fix commit."""
+    import signal
+
+    from olist_ecommerce_data_warehouse_spark.operators import multimodal as M
+
+    cases = {
+        "png": (M._synth_png_bytes(5, 4), M._png_pixels),
+        "png16": (M._synth_png16_bytes(4, 3), M._png_pixels),
+        "sub8": (M._synth_png_sub8_bytes(7, 3, 2, 5), M._png_pixels),
+        "pngpal": (M._synth_png_pal_bytes(5, 3), M._png_pixels),
+        "adam7": (M._synth_png_adam7_bytes(7, 5), M._png_pixels),
+        "gif": (M._synth_gif_bytes(4, 3), M._parse_gif),
+        "bmp": (M._synth_bmp_bytes(4, 3), M._parse_bmp),
+        "bmp8": (M._synth_bmp8_bytes(4, 3), M._parse_bmp),
+        "jpeg": (M._synth_jpeg_gray_bytes(16, 8, 7), M._decode_jpeg_baseline),
+        "jpeg420": (M._synth_jpeg_420_bytes(16, 16, 3), M._decode_jpeg_baseline),
+        "jpegprog": (
+            M._synth_jpeg_progressive_bytes(16, 16, 3, True),
+            M._decode_jpeg_baseline,
+        ),
+        "jpeg12": (M._synth_jpeg12_gray_bytes(16, 8, 3), M._decode_jpeg_baseline),
+        "jpegrst": (
+            M._synth_jpeg_420_bytes(32, 16, 5, restart_interval=1),
+            M._decode_jpeg_baseline,
+        ),
+        "tiff": (M._synth_tiff_bytes(6, 4, 22), M._parse_tiff),
+        "tiffpb": (M._synth_tiff_bytes(6, 4, 30), M._parse_tiff),
+        "tifflzw": (M._synth_tiff_bytes(6, 4, 38), M._parse_tiff),
+        "flac": (M._synth_flac_bytes(10), M._parse_flac),
+        "flacst": (M._synth_flac_bytes(43), M._parse_flac),
+        "wav": (M._synth_wav_bytes(1, 8000, 16, 20), M._parse_wav),
+        "mp4": (M._synth_mp4_stbl_bytes(7), M._mp4_dims),
+    }
+
+    class Hang(Exception):
+        pass
+
+    def on_alarm(signum, frame):
+        raise Hang()
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    try:
+        for name, (good, dec) in cases.items():
+            muts = [
+                (pos, xor)
+                for pos in range(0, len(good), 3)
+                for xor in (0x01, 0x80)
+            ] + [(cut, None) for cut in range(0, len(good), 7)]
+            for pos, xor in muts:
+                if xor is None:
+                    payload = bytes(good[:pos])
+                else:
+                    b = bytearray(good)
+                    b[pos] ^= xor
+                    payload = bytes(b)
+                signal.setitimer(signal.ITIMER_REAL, 5.0)
+                try:
+                    dec(payload)
+                except (ValueError, NotImplementedError):
+                    pass
+                except Hang:
+                    raise AssertionError(f"{name}: hang at pos={pos} xor={xor}")
+                except Exception as ex:
+                    raise AssertionError(
+                        f"{name}: untyped {type(ex).__name__} at pos={pos} "
+                        f"xor={xor}: {ex!r}"
+                    ) from ex
+                finally:
+                    signal.setitimer(signal.ITIMER_REAL, 0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
