@@ -271,3 +271,19 @@ def test_morton_gate_adds_no_scan(spark):
     )
     assert n_scans == 3, f"events scanned {n_scans}x"
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_metadata_is_pure_map_rollup(spark):
+    """The multimodal gate plan is ~20 synthesize→decode→aggregate
+    branches; its 100 TB shape must stay 'Arrow map + tiny rollup':
+    ZERO joins of any kind, zero windows, and every Exchange a
+    single-row partial-aggregate fan-in (one per branch — budget 20).
+    The three synthesize_real_containers consumers must share ONE
+    persisted synthesis (InMemoryTableScan), not re-run it (the
+    round-7 1.94x finding)."""
+    plan = _plan(spark, "multimodal_metadata")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "BroadcastNestedLoopJoin", "Window"):
+        assert op not in plan, (op, plan[:2000])
+    assert plan.count("Exchange") <= 20, plan.count("Exchange")
+    assert plan.count("InMemoryTableScan") >= 3
