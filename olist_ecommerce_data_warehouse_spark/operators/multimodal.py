@@ -3814,25 +3814,32 @@ def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
 
 
 def _synth_tiff_bytes(w: int, h: int, mid: int) -> bytes:
-    """Real baseline grayscale TIFF with known content
-    ``((x // 3)·5 + y·7 + mid) % 256`` (the x//3 plateaus give
-    PackBits genuine 3-runs; row remainders force literal spans).
-    Variants cycle on id so the driver family covers the matrix:
-    ``(mid // 8) % 2`` picks the byte order (II little / MM big) and
-    ``(mid // 16) % 3`` the compression (1 none / 32773 PackBits /
-    5 LZW — per-strip streams for LZW, per-row for PackBits, as the
-    spec assigns).  RowsPerStrip=2 → ceil(h/2) strips with a ragged
-    tail, and StripOffsets/StripByteCounts are external LONG arrays —
-    the IFD shapes real scanners must resolve."""
+    """Real baseline TIFF with known content — channel c of pixel
+    (x, y) is ``((x // 3)·5 + y·7 + mid + 91·c) % 256`` (the x//3
+    plateaus give PackBits genuine 3-runs; row remainders force
+    literal spans).  Variants cycle on id so the driver family covers
+    the matrix: ``(mid // 8) % 2`` picks the byte order (II little /
+    MM big), ``(mid // 16) % 3`` the compression (1 none / 32773
+    PackBits / 5 LZW — per-strip streams for LZW, per-row for
+    PackBits, as the spec assigns), and ``(mid // 48) % 2`` the
+    sample count (grayscale / RGB chunky).  RowsPerStrip=2 →
+    ceil(h/2) strips with a ragged tail, and StripOffsets/
+    StripByteCounts are external LONG arrays — the IFD shapes real
+    scanners must resolve."""
     import struct
 
     little = (mid // 8) % 2 == 0
     comp = [1, 32773, 5][(mid // 16) % 3]
+    spp = 1 + 2 * ((mid // 48) % 2)
     e = "<" if little else ">"
     rps = 2
     nstrips = -(-h // rps)
     rows = [
-        bytes(((x // 3) * 5 + y * 7 + mid) % 256 for x in range(w))
+        bytes(
+            ((x // 3) * 5 + y * 7 + mid + 91 * c) % 256
+            for x in range(w)
+            for c in range(spp)
+        )
         for y in range(h)
     ]
     strips = []
@@ -3868,13 +3875,13 @@ def _synth_tiff_bytes(w: int, h: int, mid: int) -> bytes:
     entries = [
         entry(256, 3, 1, w),                       # ImageWidth
         entry(257, 3, 1, h),                       # ImageLength
-        entry(258, 3, 1, 8),                       # BitsPerSample
+        entry(258, 3, 1, 8),                       # BitsPerSample (per sample)
         entry(259, 3, 1, comp),                    # Compression
-        entry(262, 3, 1, 1),                       # Photometric: BlackIsZero
+        entry(262, 3, 1, 1 if spp == 1 else 2),    # BlackIsZero / RGB
         # count-1 LONG values are INLINE per the 4-byte rule — only
         # multi-strip files get external arrays
         entry(273, 4, nstrips, offsets[0] if nstrips == 1 else off_array),
-        entry(277, 3, 1, 1),                       # SamplesPerPixel
+        entry(277, 3, 1, spp),                     # SamplesPerPixel
         entry(278, 3, 1, rps),                     # RowsPerStrip
         entry(279, 4, nstrips,
               len(strips[0]) if nstrips == 1 else cnt_array),
@@ -3962,8 +3969,12 @@ def _parse_tiff(b: bytes):
         raise ValueError(f"unknown TIFF compression {comp}")
     if bits != 8:
         raise NotImplementedError("non-8-bit TIFF samples")
-    if photo not in (0, 1):
-        raise NotImplementedError("non-grayscale TIFF photometric")
+    if photo == 2 and spp != 3:
+        raise ValueError("RGB TIFF requires SamplesPerPixel == 3")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            "TIFF photometric beyond grayscale/RGB (palette, CMYK, …)"
+        )
     if len(offsets) != len(counts):
         raise ValueError("StripOffsets/StripByteCounts length mismatch")
     out = bytearray()

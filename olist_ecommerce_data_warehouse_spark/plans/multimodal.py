@@ -284,11 +284,13 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         FROM jpeg12_sums
     ),
     tiff_sums AS (
-        SELECT doc_id, w * h AS npx,
+        SELECT doc_id, w * h * spp AS npx,
                list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
-                   list_transform(generate_series(0, w - 1), x ->
-                       ((x // 3) * 5 + y * 7 + doc_id) % 256)))) AS ps
-        FROM (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+                   flatten(list_transform(generate_series(0, w - 1), x ->
+                       list_transform(generate_series(0, spp - 1), c ->
+                           ((x // 3) * 5 + y * 7 + doc_id + 91 * c) % 256)))))) AS ps
+        FROM (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+                     1 + 2 * ((doc_id // 48) % 2) AS spp
               FROM documents WHERE doc_id % 8 = 6)
     ),
     tiff_agg AS (
@@ -823,10 +825,10 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # baseline grayscale TIFF 6.0 through a real typed-IFD walk in
     # BOTH byte orders, strip assembly under RowsPerStrip=2 (ragged
     # tail), external LONG offset/bytecount arrays, per-row PackBits
-    # runs/literals and per-strip LZW — the (id//8, id//16) parity
-    # matrix cycles endianness × {none, PackBits, LZW} across the
-    # family.  id % 8, tiny images; JPEG-in-TIFF stays an honest
-    # raise.
+    # runs/literals, per-strip LZW, and gray/RGB layouts — the
+    # (id//8, id//16, id//48) parity matrix cycles endianness ×
+    # {none, PackBits, LZW} × {gray, RGB} across the family.  id % 8,
+    # tiny images; JPEG-in-TIFF stays an honest raise.
     tiff_long = (
         tiff_pixel_sums(
             synthesize_tiffs(docs.filter(F.col("doc_id") % 8 == 6))

@@ -1510,14 +1510,18 @@ def test_tiff_decode_exact_and_boundaries():
         _synth_tiff_bytes,
     )
 
-    # ids covering the (endianness × none/PackBits/LZW) matrix, plus
-    # single-strip (h=2 → inline count-1 LONG) and ragged-tail cases
-    for mid in (6, 14, 22, 30, 38, 46, 54, 62, 70, 78, 86, 94, 5, 16, 33, 48):
+    # ids covering the (endianness × none/PackBits/LZW × gray/RGB)
+    # matrix, plus single-strip (h=2 → inline count-1 LONG) and
+    # ragged-tail cases
+    for mid in (6, 14, 22, 30, 38, 46, 54, 62, 70, 78, 86, 94,
+                102, 110, 118, 126, 134, 142, 5, 16, 33, 48, 49, 65, 81):
         w, h = 3 + mid % 6, 2 + mid % 5
+        want_spp = 1 + 2 * ((mid // 48) % 2)
         ww, hh, spp, px = _parse_tiff(_synth_tiff_bytes(w, h, mid))
-        assert (ww, hh, spp) == (w, h, 1)
+        assert (ww, hh, spp) == (w, h, want_spp)
         assert px == bytes(
-            ((x // 3) * 5 + y * 7 + mid) % 256 for y in range(h) for x in range(w)
+            ((x // 3) * 5 + y * 7 + mid + 91 * c) % 256
+            for y in range(h) for x in range(w) for c in range(want_spp)
         ), mid
 
     # PackBits reference pairs from the TIFF 6.0 spec's worked example
@@ -1767,6 +1771,7 @@ def test_codec_corruption_is_typed():
         "tiff": (M._synth_tiff_bytes(6, 4, 22), M._parse_tiff),
         "tiffpb": (M._synth_tiff_bytes(6, 4, 30), M._parse_tiff),
         "tifflzw": (M._synth_tiff_bytes(6, 4, 38), M._parse_tiff),
+        "tiffrgb": (M._synth_tiff_bytes(6, 4, 54), M._parse_tiff),
         "flac": (M._synth_flac_bytes(10), M._parse_flac),
         "flacst": (M._synth_flac_bytes(43), M._parse_flac),
         "wav": (M._synth_wav_bytes(1, 8000, 16, 20), M._parse_wav),

@@ -1294,10 +1294,12 @@ def test_tiff_roundtrip_any_dims(w, h, mid):
         _synth_tiff_bytes,
     )
 
+    want_spp = 1 + 2 * ((mid // 48) % 2)
     ww, hh, spp, px = _parse_tiff(_synth_tiff_bytes(w, h, mid))
-    assert (ww, hh, spp) == (w, h, 1)
+    assert (ww, hh, spp) == (w, h, want_spp)
     assert px == bytes(
-        ((x // 3) * 5 + y * 7 + mid) % 256 for y in range(h) for x in range(w)
+        ((x // 3) * 5 + y * 7 + mid + 91 * c) % 256
+        for y in range(h) for x in range(w) for c in range(want_spp)
     )
 
 
