@@ -4623,3 +4623,198 @@ def synthesize_flacs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (round 8): the container probe for the Vorbis/Opus family.  The
+# walker implements the published Ogg framing spec (RFC 3533): page
+# capture pattern + version, header-type flags (BOS/EOS/continuation),
+# granule/serial/sequence fields, the per-page CRC-32 (poly 0x04C11DB7,
+# init 0, no reflection, computed with the CRC field zeroed), and
+# SEGMENT-TABLE LACING — packets reassembled across 255-valued lacing
+# runs INCLUDING packets that span pages (a final 255 with no
+# terminator continues onto the next page).  Codec payloads stay
+# opaque bytes (decode is the libvorbis/libopus boundary); the probe
+# is what a 100 TB media-inventory scan runs.
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 \
+                else (crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(header_type: int, granule: int, serial: int, seq: int,
+              chunks: list[tuple[bytes, bool]]) -> bytes:
+    """One Ogg page.  ``chunks`` is [(bytes, continues)] — a chunk
+    with ``continues=True`` must be a multiple of 255 long (its lacing
+    run ends in 255, signalling continuation onto the next page)."""
+    import struct
+
+    lacing = bytearray()
+    body = bytearray()
+    for data, continues in chunks:
+        q, r = divmod(len(data), 255)
+        lacing += bytes([255] * q)
+        if continues:
+            assert r == 0 and q > 0
+        else:
+            lacing.append(r)
+        body += data
+    hdr = (
+        b"OggS" + bytes([0, header_type])
+        + struct.pack("<qIIIB", granule, serial, seq, 0, len(lacing))
+        + bytes(lacing)
+    )
+    crc = _ogg_crc(hdr + bytes(body))
+    hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+    return bytes(hdr) + bytes(body)
+
+
+def _synth_ogg_bytes(mid: int) -> bytes:
+    """Two-page Ogg stream with known packet content: packet j's byte
+    i is ``(i·7 + j·13 + mid) % 256``.  Packet 0 (p0 = 20 + mid % 120
+    bytes) completes on page 1; packet 1 SPANS the page boundary
+    (255·(1 + mid % 2) bytes on page 1, 40 + mid % 77 more on
+    page 2); packet 2 (5 + mid % 90 bytes) completes on page 2
+    (BOS on page 1, continuation+EOS on page 2, granules 100·mid and
+    100·mid + 57)."""
+    sizes = _ogg_packet_sizes(mid)
+    pkts = [
+        bytes((i * 7 + j * 13 + mid) % 256 for i in range(n))
+        for j, n in enumerate(sizes)
+    ]
+    cut = 255 * (1 + mid % 2)
+    serial = 0xABCD ^ (mid & 0xFFFF)
+    page1 = _ogg_page(0x02, 100 * mid, serial, 0,
+                      [(pkts[0], False), (pkts[1][:cut], True)])
+    page2 = _ogg_page(0x01 | 0x04, 100 * mid + 57, serial, 1,
+                      [(pkts[1][cut:], False), (pkts[2], False)])
+    return page1 + page2
+
+
+def _ogg_packet_sizes(mid: int) -> list[int]:
+    return [20 + mid % 120, 255 * (1 + mid % 2) + 40 + mid % 77, 5 + mid % 90]
+
+
+def _parse_ogg(b: bytes):
+    """(n_pages, packets) from a real Ogg page walk — capture pattern,
+    version 0, CRC-32 verified per page (field zeroed), lacing-table
+    packet reassembly across pages (a lacing run ending the page on
+    255 continues into the next page, which must carry the
+    continuation flag).  ``packets`` is a list of reassembled packet
+    byte strings.  Malformed framing and CRC mismatches raise
+    ValueError."""
+    import struct
+
+    pos = 0
+    n_pages = 0
+    packets: list[bytes] = []
+    pending: bytearray | None = None
+    while pos < len(b):
+        if b[pos : pos + 4] != b"OggS":
+            raise ValueError("bad Ogg capture pattern")
+        if pos + 27 > len(b):
+            raise ValueError("truncated Ogg page header")
+        version, htype = b[pos + 4], b[pos + 5]
+        if version != 0:
+            raise ValueError("unknown Ogg version")
+        (granule, serial, seq, crc, nseg) = struct.unpack(
+            "<qIIIB", b[pos + 6 : pos + 27]
+        )
+        if pos + 27 + nseg > len(b):
+            raise ValueError("truncated Ogg segment table")
+        lacing = b[pos + 27 : pos + 27 + nseg]
+        body_len = sum(lacing)
+        page_end = pos + 27 + nseg + body_len
+        if page_end > len(b):
+            raise ValueError("truncated Ogg page body")
+        zeroed = (
+            b[pos : pos + 22] + b"\x00\x00\x00\x00" + b[pos + 26 : page_end]
+        )
+        if _ogg_crc(zeroed) != crc:
+            raise ValueError("Ogg page CRC mismatch")
+        if (htype & 0x01) and pending is None:
+            raise ValueError("Ogg continuation page without a pending packet")
+        if not (htype & 0x01) and pending is not None:
+            raise ValueError("Ogg packet left dangling at a fresh page")
+        body = b[pos + 27 + nseg : page_end]
+        off = 0
+        cur = pending if pending is not None else bytearray()
+        pending = None
+        open_run = False
+        for k, lace in enumerate(lacing):
+            cur += body[off : off + lace]
+            off += lace
+            open_run = lace == 255
+            if not open_run:
+                packets.append(bytes(cur))
+                cur = bytearray()
+        if open_run or cur:
+            pending = cur
+        n_pages += 1
+        pos = page_end
+    if pending:
+        raise ValueError("Ogg stream ends mid-packet")
+    return n_pages, packets
+
+
+OGG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("n_packets", T.LongType()),
+        T.StructField("packet_bytes", T.LongType()),
+        T.StructField("payload_sum", T.LongType()),
+    ]
+)
+
+
+def ogg_packet_stats(media: DataFrame) -> DataFrame:
+    """(media_id, n_pages, n_packets, packet_bytes, payload_sum) via
+    the REAL Ogg page walk — CRC-verified pages, lacing reassembly
+    across page-spanning packets.  One Arrow map, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, np_, nk, pb, ps = [], [], [], [], []
+            for _, r in pdf.iterrows():
+                pages, pkts = _parse_ogg(bytes(r["payload"]))
+                ids.append(r["media_id"])
+                np_.append(pages)
+                nk.append(len(pkts))
+                pb.append(sum(len(p) for p in pkts))
+                ps.append(sum(sum(p) for p in pkts))
+            yield pd.DataFrame(
+                {"media_id": ids, "n_pages": np_, "n_packets": nk,
+                 "packet_bytes": pb, "payload_sum": ps}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, OGG_STATS_SCHEMA)
+
+
+def synthesize_oggs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content two-page Ogg stream per
+    document (:func:`_synth_ogg_bytes`, shared with the probe:ogg
+    oracle's closed form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_ogg_bytes(mid))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)

@@ -322,6 +322,30 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(nsmp) AS BIGINT) AS sum_nsamples
         FROM flac_sums
     ),
+    ogg_sums AS (
+        SELECT doc_id,
+               s0 + s1 + s2 AS pbytes,
+               list_sum(list_transform(generate_series(0, s0 - 1), i ->
+                   (i * 7 + doc_id) % 256))
+               + list_sum(list_transform(generate_series(0, s1 - 1), i ->
+                   (i * 7 + 13 + doc_id) % 256))
+               + list_sum(list_transform(generate_series(0, s2 - 1), i ->
+                   (i * 7 + 26 + doc_id) % 256)) AS psum
+        FROM (SELECT doc_id,
+                     20 + doc_id % 120 AS s0,
+                     255 * (1 + doc_id % 2) + 40 + doc_id % 77 AS s1,
+                     5 + doc_id % 90 AS s2
+              FROM documents WHERE doc_id % 8 = 4)
+    ),
+    ogg_agg AS (
+        SELECT 'probe:ogg' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(2 * COUNT(*) AS BIGINT) AS sum_pages,
+               CAST(3 * COUNT(*) AS BIGINT) AS sum_packets,
+               CAST(SUM(pbytes) AS BIGINT) AS sum_packet_bytes,
+               CAST(SUM(psum) AS BIGINT) AS sum_payload
+        FROM ogg_sums
+    ),
     stbl_fields AS (
         SELECT doc_id, 3 + doc_id % 13 AS n, 1 + doc_id % 4 AS spc,
                10 + doc_id % 5 AS d1, 20 + doc_id % 7 AS d2,
@@ -400,6 +424,11 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM sub8_agg
         UNION ALL SELECT kind, 'sum_wpx', sum_wpx FROM sub8_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM sub8_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM ogg_agg
+        UNION ALL SELECT kind, 'sum_pages', sum_pages FROM ogg_agg
+        UNION ALL SELECT kind, 'sum_packets', sum_packets FROM ogg_agg
+        UNION ALL SELECT kind, 'sum_packet_bytes', sum_packet_bytes FROM ogg_agg
+        UNION ALL SELECT kind, 'sum_payload', sum_payload FROM ogg_agg
         UNION ALL SELECT kind, 'n_media', n_media FROM flac_agg
         UNION ALL SELECT kind, 'sum_samples', sum_samples FROM flac_agg
         UNION ALL SELECT kind, 'sum_nsamples', sum_nsamples FROM flac_agg
@@ -500,6 +529,14 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     every variant is under the driver hash.  LZW and JPEG-in-TIFF
     raise the honest NotImplementedError boundary.
 
+    kind='probe:ogg' (round 8) — the Ogg container (RFC 3533) walked
+    for real: page capture/version checks, per-page CRC-32 verified
+    with the field zeroed, BOS/EOS/continuation flag discipline, and
+    segment-table LACING reassembly including packets spanning the
+    page boundary.  Packet count, byte totals and content sums are
+    pinned closed-form; the codec payload stays opaque (the
+    libvorbis/libopus boundary, honestly outside).
+
     kind='decode:flac' (round 8) — real COMPRESSED audio: the FLAC
     format decodes end-to-end (STREAMINFO, fixed-blocksize frames with
     UTF-8-coded numbers, CRC-8 header + CRC-16 frame verification,
@@ -542,7 +579,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_mp4_stbls,
         synthesize_progressive_jpegs,
         flac_sample_sums,
+        ogg_packet_stats,
         synthesize_flacs,
+        synthesize_oggs,
         synthesize_sub8_pngs,
         synthesize_tiffs,
         tiff_pixel_sums,
@@ -848,6 +887,37 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'sum_npixels', sum_npixels) AS (metric, value)",
         )
     )
+    # kind='probe:ogg' (round 8) — the Vorbis/Opus container walked
+    # for real per RFC 3533: page capture/version checks, per-page
+    # CRC-32 (field zeroed), BOS/EOS/continuation flags, and lacing
+    # reassembly including a packet that SPANS the page boundary
+    # (all-255 run → continuation page).  Codec payloads stay opaque
+    # (the libvorbis boundary); the closed form pins reassembled
+    # packet count/bytes/content sums.
+    ogg_long = (
+        ogg_packet_stats(
+            synthesize_oggs(docs.filter(F.col("doc_id") % 8 == 4))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("n_pages").cast("bigint").alias("sum_pages"),
+            F.sum("n_packets").cast("bigint").alias("sum_packets"),
+            F.sum("packet_bytes").cast("bigint").alias("sum_packet_bytes"),
+            F.sum("payload_sum").cast("bigint").alias("sum_payload"),
+        )
+        .select(
+            F.lit("probe:ogg").alias("kind"),
+            "n_media", "sum_pages", "sum_packets",
+            "sum_packet_bytes", "sum_payload",
+        )
+        .selectExpr(
+            "kind",
+            "stack(5, 'n_media', n_media, 'sum_pages', sum_pages, "
+            "'sum_packets', sum_packets, "
+            "'sum_packet_bytes', sum_packet_bytes, "
+            "'sum_payload', sum_payload) AS (metric, value)",
+        )
+    )
     # kind='decode:flac' (round 8) — a real COMPRESSED audio codec
     # beyond PCM WAV: full FLAC decode (STREAMINFO, multi-frame walk
     # with UTF-8 frame numbers and a short tail frame, CRC-8-verified
@@ -918,6 +988,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpeg12_long)
         .unionByName(tiff_long)
         .unionByName(flac_long)
+        .unionByName(ogg_long)
         .unionByName(stbl_long)
     )
 

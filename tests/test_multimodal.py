@@ -1776,6 +1776,7 @@ def test_codec_corruption_is_typed():
         "flacst": (M._synth_flac_bytes(43), M._parse_flac),
         "wav": (M._synth_wav_bytes(1, 8000, 16, 20), M._parse_wav),
         "mp4": (M._synth_mp4_stbl_bytes(7), M._mp4_dims),
+        "ogg": (M._synth_ogg_bytes(4), M._parse_ogg),
     }
 
     class Hang(Exception):
@@ -1815,3 +1816,56 @@ def test_codec_corruption_is_typed():
                     signal.setitimer(signal.ITIMER_REAL, 0)
     finally:
         signal.signal(signal.SIGALRM, old)
+
+
+def test_ogg_page_walk_exact_and_boundaries():
+    """Round 8: Ogg framing (RFC 3533) walks for real — CRC-verified
+    pages, lacing reassembly across a page-spanning packet, flag
+    discipline.  Exact packet recovery across ids; tampered CRC,
+    missing continuation flag, and mid-packet truncation are typed
+    ValueError."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _ogg_packet_sizes,
+        _parse_ogg,
+        _synth_ogg_bytes,
+    )
+
+    for mid in (4, 12, 20, 28, 100, 101, 255):
+        n_pages, pkts = _parse_ogg(_synth_ogg_bytes(mid))
+        sizes = _ogg_packet_sizes(mid)
+        assert n_pages == 2 and [len(p) for p in pkts] == sizes
+        for j, p in enumerate(pkts):
+            assert p == bytes(
+                (i * 7 + j * 13 + mid) % 256 for i in range(sizes[j])
+            ), (mid, j)
+
+    good = _synth_ogg_bytes(4)
+    # flip a payload byte: the page CRC must catch it
+    b = bytearray(good)
+    b[60] ^= 0x20
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_ogg(bytes(b))
+
+    # clear the continuation flag on page 2 (and re-seal its CRC):
+    # the dangling spanning packet must be typed loud
+    import struct
+
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _ogg_crc,
+    )
+
+    b = bytearray(good)
+    p2 = bytes(b).find(b"OggS", 4)
+    assert p2 > 0
+    b[p2 + 5] &= ~0x01
+    nseg = b[p2 + 26]
+    end = len(b)
+    b[p2 + 22 : p2 + 26] = b"\x00\x00\x00\x00"
+    b[p2 + 22 : p2 + 26] = struct.pack("<I", _ogg_crc(bytes(b[p2:end])))
+    with pytest.raises(ValueError, match="dangling|pending"):
+        _parse_ogg(bytes(b))
+
+    with pytest.raises(ValueError, match="truncated|capture"):
+        _parse_ogg(good[: len(good) - 10])
+    with pytest.raises(ValueError, match="capture"):
+        _parse_ogg(b"NotAnOggStream")
