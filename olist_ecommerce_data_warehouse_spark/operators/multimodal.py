@@ -597,11 +597,14 @@ def _png_pixels(b: bytes):
         or color_type not in (0, 2, 3, 4, 6)
         or (bit_depth == 16 and color_type == 3)
         or (bit_depth < 8 and color_type not in (0, 3))
-        or (bit_depth < 8 and interlace != 0)
     ):
+        # sub-8 with multi-channel color types is ILLEGAL per the
+        # spec's Table 11.1 (only gray/palette allow depth < 8), so
+        # this is malformed input, not a capability gap — but the
+        # message keeps the old wording for probe compatibility
         raise NotImplementedError(
-            "PNG variant beyond the stdlib decoder (sub-8-bit with "
-            "interlace or multi-channel color) — PIL territory"
+            "PNG variant beyond the stdlib decoder (sub-8-bit "
+            "multi-channel color) — spec-illegal or PIL territory"
         )
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
@@ -621,20 +624,46 @@ def _png_pixels(b: bytes):
         # 255/(2^d - 1) ∈ {255, 85, 17} — an integer, so no fp hazard
         # in the closed-form gates; palette indices are NEVER scaled
         # (they resolve through PLTE below, same as 8-bit type 3).
-        row_bytes = (w * bit_depth + 7) // 8
-        packed, _ = _defilter_image(raw, 0, row_bytes, h, 1)
         mask = (1 << bit_depth) - 1
         scale = 255 // mask
         out = bytearray(w * h)
-        for y in range(h):
-            base = y * row_bytes
-            for x in range(w):
-                bitpos = x * bit_depth
-                v = (
-                    packed[base + (bitpos >> 3)]
-                    >> (8 - bit_depth - (bitpos & 7))
-                ) & mask
-                out[y * w + x] = v if color_type == 3 else v * scale
+        if interlace == 1:
+            # round 8 (late): sub-8-bit ADAM7 — the last legal PNG
+            # variant combination.  Each pass's rows pack to their OWN
+            # ceil(wp·d/8) byte width (filter unit still 1 byte);
+            # unpack per pass row, scatter samples to the lattice.
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                rb = (wp * bit_depth + 7) // 8
+                sub, used = _defilter_image(raw, off, rb, hp, 1)
+                off += used
+                for j in range(hp):
+                    base = j * rb
+                    for i in range(wp):
+                        bitpos = i * bit_depth
+                        v = (
+                            sub[base + (bitpos >> 3)]
+                            >> (8 - bit_depth - (bitpos & 7))
+                        ) & mask
+                        out[(y0 + j * dy) * w + (x0 + i * dx)] = (
+                            v if color_type == 3 else v * scale
+                        )
+        else:
+            row_bytes = (w * bit_depth + 7) // 8
+            packed, _ = _defilter_image(raw, 0, row_bytes, h, 1)
+            for y in range(h):
+                base = y * row_bytes
+                for x in range(w):
+                    bitpos = x * bit_depth
+                    v = (
+                        packed[base + (bitpos >> 3)]
+                        >> (8 - bit_depth - (bitpos & 7))
+                    ) & mask
+                    out[y * w + x] = v if color_type == 3 else v * scale
     elif interlace == 1:
         # Adam7: seven sub-images in sequence, each filtered
         # independently; scatter each pass's pixels to its lattice
@@ -3610,7 +3639,11 @@ def synthesize_sub8_pngs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, payload) — known-content sub-8-bit grayscale PNG per
     document: depth = (1, 2, 4)[id % 3], w = 2 + id % 9, h = 1 + id % 6
     (widths straddle byte alignment at every depth, so rows carry
-    trailing pad bits the decoder must not read)."""
+    trailing pad bits the decoder must not read).  Half the family
+    ((id // 24) % 2 == 1, round-8 widening) is ALSO Adam7-interlaced —
+    interlacing only permutes storage, so the position-weighted
+    closed form is shared, and a pass-mapping bug in the packed-row
+    pass walk diverges from it."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3618,10 +3651,13 @@ def synthesize_sub8_pngs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf["__id"]:
                 mid = int(mid)
                 ids.append(mid)
+                synth = (
+                    _synth_png_sub8_adam7_bytes
+                    if (mid // 24) % 2
+                    else _synth_png_sub8_bytes
+                )
                 payloads.append(
-                    _synth_png_sub8_bytes(
-                        2 + mid % 9, 1 + mid % 6, (1, 2, 4)[mid % 3], mid
-                    )
+                    synth(2 + mid % 9, 1 + mid % 6, (1, 2, 4)[mid % 3], mid)
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -4818,3 +4854,55 @@ def synthesize_oggs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)
+
+
+def _synth_png_sub8_adam7_bytes(w: int, h: int, depth: int, mid: int) -> bytes:
+    """Sub-8-bit grayscale PNG (depth ∈ {1, 2, 4}) that is ALSO
+    Adam7-interlaced — the last legal variant combination.  Sample
+    (x, y) = ``(x·3 + y·5 + mid) % 2^depth``; each pass packs its own
+    rows MSB-first to ceil(wp·depth/8) bytes with filters 0/1/2
+    cycling per row at the 1-byte unit (§9.2 applies per pass)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        rb = (wp * depth + 7) // 8
+        prev = bytearray(rb)
+        for j in range(hp):
+            line = bytearray(rb)
+            for i in range(wp):
+                v = ((x0 + i * dx) * 3 + (y0 + j * dy) * 5 + mid) % (1 << depth)
+                bitpos = i * depth
+                line[bitpos >> 3] |= v << (8 - depth - (bitpos & 7))
+            f = j % 3
+            raw.append(f)
+            if f == 0:
+                raw.extend(line)
+            elif f == 1:
+                raw.extend(
+                    (line[i] - (line[i - 1] if i else 0)) & 0xFF
+                    for i in range(rb)
+                )
+            else:
+                raw.extend((line[i] - prev[i]) & 0xFF for i in range(rb))
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )

@@ -1152,9 +1152,15 @@ def test_png_sub8_palette_decode_exact():
     assert px == want
 
 
-def test_png_sub8_interlace_still_raises():
-    """Sub-8 + Adam7 stays an honest boundary (pass rows are packed
-    per sub-image — PIL territory)."""
+def test_png_sub8_interlace_decodes():
+    """Sub-8 + Adam7 DECODES since late round 8 (the last legal PNG
+    variant combination): the 16-byte all-zero stream below is exactly
+    the five non-empty 4×4 Adam7 passes at depth 4 with their packed
+    per-pass row widths (2+2+2+4+6 filter+data bytes) — it must
+    decode to 16 zero pixels, and the synthesizer pair is pinned
+    across dims/depths in test_png_sub8_roundtrip_any_dims.  Sub-8
+    multi-channel color stays out: it is ILLEGAL per the spec's depth
+    table, and raises."""
     import struct
     import zlib
 
@@ -1176,8 +1182,18 @@ def test_png_sub8_interlace_still_raises():
         + chunk(b"IDAT", zlib.compress(bytes(16)))
         + chunk(b"IEND", b"")
     )
+    w, h, ch, px = _png_pixels(b)
+    assert (w, h, ch) == (4, 4, 1)
+    assert px == bytes(16)
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(64)))
+        + chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError):
-        _png_pixels(b)
+        _png_pixels(bad)
 
 
 def test_mp4_stbl_walk_exact(spark):
@@ -1752,6 +1768,7 @@ def test_codec_corruption_is_typed():
         "png": (M._synth_png_bytes(5, 4), M._png_pixels),
         "png16": (M._synth_png16_bytes(4, 3), M._png_pixels),
         "sub8": (M._synth_png_sub8_bytes(7, 3, 2, 5), M._png_pixels),
+        "sub8i": (M._synth_png_sub8_adam7_bytes(9, 6, 2, 5), M._png_pixels),
         "pngpal": (M._synth_png_pal_bytes(5, 3), M._png_pixels),
         "adam7": (M._synth_png_adam7_bytes(7, 5), M._png_pixels),
         "gif": (M._synth_gif_bytes(4, 3), M._parse_gif),

@@ -1209,14 +1209,19 @@ def test_png_sub8_roundtrip_any_dims(w, h, depth, mid):
         _synth_png_sub8_bytes,
     )
 
-    ww, hh, ch, px = _png_pixels(_synth_png_sub8_bytes(w, h, depth, mid))
-    assert (ww, hh, ch) == (w, h, 1)
-    scale = 255 // ((1 << depth) - 1)
-    assert all(
-        px[y * w + x] == ((x * 3 + y * 5 + mid) % (1 << depth)) * scale
-        for y in range(h)
-        for x in range(w)
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _synth_png_sub8_adam7_bytes,
     )
+
+    scale = 255 // ((1 << depth) - 1)
+    for synth in (_synth_png_sub8_bytes, _synth_png_sub8_adam7_bytes):
+        ww, hh, ch, px = _png_pixels(synth(w, h, depth, mid))
+        assert (ww, hh, ch) == (w, h, 1)
+        assert all(
+            px[y * w + x] == ((x * 3 + y * 5 + mid) % (1 << depth)) * scale
+            for y in range(h)
+            for x in range(w)
+        )
 
 
 @_SETTINGS
