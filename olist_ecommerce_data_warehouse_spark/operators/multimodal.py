@@ -4906,3 +4906,116 @@ def _synth_png_sub8_adam7_bytes(w: int, h: int, depth: int, mid: int) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law WAV (round 8): the telephony/audio-archive companding
+# format.  WAVE_FORMAT_MULAW (7) streams decode through the published
+# G.711 expansion — complement the byte, split sign/exponent/mantissa,
+# magnitude ((m·8 + 132) << e) − 132 (max 32124, the spec's table
+# ceiling; 0xFF decodes to exact 0) — which the stdlib wave module
+# refuses, so the RIFF walk + expansion are ours end to end.
+
+
+def _mulaw_expand(byte: int) -> int:
+    u = ~byte & 0xFF
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + 132) << e) - 132
+    return -mag if u & 0x80 else mag
+
+
+def _synth_wav_mulaw_bytes(n: int, mid: int, rate: int = 8000) -> bytes:
+    """Mono µ-law WAV whose n companded bytes are the known function
+    ``(j·11 + mid) % 256`` — the decoder must run the real G.711
+    expansion to recover the sample sum the oracle computes from the
+    same formula."""
+    import struct
+
+    fmt = struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8)
+    data = bytes((j * 11 + mid) % 256 for j in range(n))
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + fmt + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _parse_wav_mulaw(b: bytes):
+    """(n_samples, channels, rate, decoded int16 samples) for a
+    WAVE_FORMAT_MULAW stream: RIFF chunk walk to fmt + data, then the
+    G.711 expansion per byte.  Non-µ-law formats and malformed
+    framing raise ValueError."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i = 12
+    fmt_code = ch = rate = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt ":
+            if csize < 16 or i + 8 + 16 > len(b):
+                raise ValueError("WAV fmt chunk truncated")
+            fmt_code, ch, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
+        elif cid == b"data":
+            if i + 8 + csize > len(b):
+                raise ValueError("WAV data chunk truncated")
+            data = b[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code != 7:
+        raise ValueError("not a mu-law WAV (WAVE_FORMAT_MULAW)")
+    samples = [_mulaw_expand(byte) for byte in data]
+    return len(samples) // ch, ch, rate, samples
+
+
+MULAW_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+    ]
+)
+
+
+def mulaw_sample_sums(media: DataFrame) -> DataFrame:
+    """(media_id, n_samples, sample_sum) via the REAL µ-law decode.
+    One Arrow map, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for _, r in pdf.iterrows():
+                _, chn, _, samples = _parse_wav_mulaw(bytes(r["payload"]))
+                ids.append(r["media_id"])
+                ns.append(len(samples))
+                ss.append(sum(samples))
+            yield pd.DataFrame({"media_id": ids, "n_samples": ns, "sample_sum": ss})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, MULAW_SUM_SCHEMA)
+
+
+def synthesize_mulaw_wavs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) — known-content µ-law WAV per document:
+    n = 24 + id % 48 companded bytes (:func:`_synth_wav_mulaw_bytes`,
+    shared with the decode:wav-ulaw oracle's closed form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["__id"]:
+                mid = int(mid)
+                ids.append(mid)
+                payloads.append(_synth_wav_mulaw_bytes(24 + mid % 48, mid))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("__id")).mapInPandas(kernel, schema)

@@ -346,6 +346,25 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
                CAST(SUM(psum) AS BIGINT) AS sum_payload
         FROM ogg_sums
     ),
+    ulaw_sums AS (
+        SELECT doc_id, n AS nsmp,
+               list_sum(list_transform(
+                   list_transform(generate_series(0, n - 1), j ->
+                       255 - ((j * 11 + doc_id) % 256)),
+                   u -> CASE WHEN u >= 128
+                        THEN -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+                        ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+                   END)) AS ss
+        FROM (SELECT doc_id, 24 + doc_id % 48 AS n
+              FROM documents WHERE doc_id % 8 = 0)
+    ),
+    ulaw_agg AS (
+        SELECT 'decode:wav-ulaw' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(ss) AS BIGINT) AS sum_samples,
+               CAST(SUM(nsmp) AS BIGINT) AS sum_nsamples
+        FROM ulaw_sums
+    ),
     stbl_fields AS (
         SELECT doc_id, 3 + doc_id % 13 AS n, 1 + doc_id % 4 AS spc,
                10 + doc_id % 5 AS d1, 20 + doc_id % 7 AS d2,
@@ -424,6 +443,9 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
         UNION ALL SELECT kind, 'n_media', n_media FROM sub8_agg
         UNION ALL SELECT kind, 'sum_wpx', sum_wpx FROM sub8_agg
         UNION ALL SELECT kind, 'sum_npixels', sum_npixels FROM sub8_agg
+        UNION ALL SELECT kind, 'n_media', n_media FROM ulaw_agg
+        UNION ALL SELECT kind, 'sum_samples', sum_samples FROM ulaw_agg
+        UNION ALL SELECT kind, 'sum_nsamples', sum_nsamples FROM ulaw_agg
         UNION ALL SELECT kind, 'n_media', n_media FROM ogg_agg
         UNION ALL SELECT kind, 'sum_pages', sum_pages FROM ogg_agg
         UNION ALL SELECT kind, 'sum_packets', sum_packets FROM ogg_agg
@@ -529,6 +551,13 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     every variant is under the driver hash.  LZW and JPEG-in-TIFF
     raise the honest NotImplementedError boundary.
 
+    kind='decode:wav-ulaw' (round 8) — G.711 µ-law WAV decodes for
+    real: RIFF walk to the WAVE_FORMAT_MULAW fmt chunk, then the
+    published expansion per companded byte (complement, sign/
+    exponent/mantissa split, magnitude (m·8 + 132)·2^e − 132 — spec
+    anchors 0xFF→0 and max 32124 pinned in pytest); the oracle
+    replays the identical integer formula over the known byte stream.
+
     kind='probe:ogg' (round 8) — the Ogg container (RFC 3533) walked
     for real: page capture/version checks, per-page CRC-32 verified
     with the field zeroed, BOS/EOS/continuation flag discipline, and
@@ -579,8 +608,10 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_mp4_stbls,
         synthesize_progressive_jpegs,
         flac_sample_sums,
+        mulaw_sample_sums,
         ogg_packet_stats,
         synthesize_flacs,
+        synthesize_mulaw_wavs,
         synthesize_oggs,
         synthesize_sub8_pngs,
         synthesize_tiffs,
@@ -887,6 +918,31 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'sum_npixels', sum_npixels) AS (metric, value)",
         )
     )
+    # kind='decode:wav-ulaw' (round 8) — G.711 µ-law companded WAV
+    # (WAVE_FORMAT_MULAW, the telephony/archive format the stdlib wave
+    # module refuses): RIFF walk + the published expansion
+    # ((m·8 + 132) << e − 132, sign from the complemented byte); the
+    # oracle replays the same formula over the known companded bytes,
+    # so a wrong bias/segment/sign decodes to different sums.
+    ulaw_long = (
+        mulaw_sample_sums(
+            synthesize_mulaw_wavs(docs.filter(F.col("doc_id") % 8 == 0))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("sample_sum").cast("bigint").alias("sum_samples"),
+            F.sum("n_samples").cast("bigint").alias("sum_nsamples"),
+        )
+        .select(
+            F.lit("decode:wav-ulaw").alias("kind"),
+            "n_media", "sum_samples", "sum_nsamples",
+        )
+        .selectExpr(
+            "kind",
+            "stack(3, 'n_media', n_media, 'sum_samples', sum_samples, "
+            "'sum_nsamples', sum_nsamples) AS (metric, value)",
+        )
+    )
     # kind='probe:ogg' (round 8) — the Vorbis/Opus container walked
     # for real per RFC 3533: page capture/version checks, per-page
     # CRC-32 (field zeroed), BOS/EOS/continuation flags, and lacing
@@ -988,6 +1044,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpeg12_long)
         .unionByName(tiff_long)
         .unionByName(flac_long)
+        .unionByName(ulaw_long)
         .unionByName(ogg_long)
         .unionByName(stbl_long)
     )

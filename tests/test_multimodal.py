@@ -1794,6 +1794,7 @@ def test_codec_corruption_is_typed():
         "wav": (M._synth_wav_bytes(1, 8000, 16, 20), M._parse_wav),
         "mp4": (M._synth_mp4_stbl_bytes(7), M._mp4_dims),
         "ogg": (M._synth_ogg_bytes(4), M._parse_ogg),
+        "ulaw": (M._synth_wav_mulaw_bytes(30, 8), M._parse_wav_mulaw),
     }
 
     class Hang(Exception):
@@ -1886,3 +1887,36 @@ def test_ogg_page_walk_exact_and_boundaries():
         _parse_ogg(good[: len(good) - 10])
     with pytest.raises(ValueError, match="capture"):
         _parse_ogg(b"NotAnOggStream")
+
+
+def test_wav_mulaw_decode_exact():
+    """Round 8: G.711 µ-law WAV decodes for real.  Spec anchors: the
+    all-ones byte (0xFF, 'silence') decodes to exact 0, the extremes
+    to ±32124 (the published table ceiling), and each sign's segment
+    is strictly monotone in the byte; the driver-family ids recover
+    the closed form; non-µ-law formats and malformed framing are
+    typed ValueError."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _mulaw_expand,
+        _parse_wav_mulaw,
+        _synth_wav_bytes,
+        _synth_wav_mulaw_bytes,
+    )
+
+    assert _mulaw_expand(0xFF) == 0 and _mulaw_expand(0x7F) == 0
+    assert _mulaw_expand(0x80) == 32124 and _mulaw_expand(0x00) == -32124
+    pos = [_mulaw_expand(b) for b in range(0x80, 0x100)]
+    assert all(pos[i] > pos[i + 1] for i in range(len(pos) - 1))
+
+    for mid in (0, 8, 16, 24, 40, 96):
+        n = 24 + mid % 48
+        ns, ch, rate, samples = _parse_wav_mulaw(_synth_wav_mulaw_bytes(n, mid))
+        assert (ns, ch, rate) == (n, 1, 8000)
+        assert samples == [
+            _mulaw_expand((j * 11 + mid) % 256) for j in range(n)
+        ]
+
+    with pytest.raises(ValueError, match="MULAW"):
+        _parse_wav_mulaw(_synth_wav_bytes(1, 8000, 16, 8))  # PCM, not µ-law
+    with pytest.raises(ValueError, match="not a WAV"):
+        _parse_wav_mulaw(b"RIFFxxxxNOPE")
