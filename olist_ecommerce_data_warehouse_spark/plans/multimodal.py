@@ -472,7 +472,8 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata inventory, long format (kind, metric,
-    value) — eight branches sharing one output shape:
+    value) — two dozen kind-discriminated branches sharing one
+    output shape:
 
     kind='image|audio|video' — storage accounting over opaque
     payloads (count + octet-length stats), the rollup every
