@@ -3671,14 +3671,16 @@ def synthesize_sub8_pngs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TIFF (round 8): a fifth real image container — baseline grayscale
-# TIFF 6.0 in BOTH byte orders, multi-strip, uncompressed and PackBits.
+# TIFF (round 8): a fifth real image container — baseline TIFF 6.0
+# in BOTH byte orders, multi-strip, grayscale and chunky RGB,
+# uncompressed / PackBits / LZW (the early-change variant, below).
 # The IFD walk is the load-bearing part (TIFF is the only format here
 # whose metadata is a typed tag directory rather than fixed headers),
 # so the gate content pins strip arithmetic (RowsPerStrip=2 with a
 # ragged last strip), external LONG arrays for offsets/bytecounts, and
-# per-row PackBits runs/literals.  LZW (compression 5) and JPEG-in-TIFF
-# (6/7) raise the honest NotImplementedError boundary.
+# per-row PackBits runs/literals.  JPEG-in-TIFF (6/7) and
+# palette/CMYK photometrics raise the honest NotImplementedError
+# boundary.
 
 
 def _packbits_encode_row(row: bytes) -> bytes:
