@@ -4927,14 +4927,28 @@ def _mulaw_expand(byte: int) -> int:
     return -mag if u & 0x80 else mag
 
 
-def _synth_wav_mulaw_bytes(n: int, mid: int, rate: int = 8000) -> bytes:
-    """Mono µ-law WAV whose n companded bytes are the known function
-    ``(j·11 + mid) % 256`` — the decoder must run the real G.711
-    expansion to recover the sample sum the oracle computes from the
-    same formula."""
+def _alaw_expand(byte: int) -> int:
+    """G.711 A-law: even bits invert (XOR 0x55); segment 0 decodes
+    to (m·16 + 8) (the odd multiples 8..248), segments 1..7 to
+    (m·16 + 264) << (e − 1) — max 32256, the published ceiling; the
+    MSB is the sign (set = positive)."""
+    a = byte ^ 0x55
+    e = (a >> 4) & 0x07
+    m = a & 0x0F
+    mag = (m << 4) + 8 if e == 0 else ((m << 4) + 264) << (e - 1)
+    return mag if a & 0x80 else -mag
+
+
+def _synth_wav_mulaw_bytes(n: int, mid: int, rate: int = 8000,
+                           alaw: bool = False) -> bytes:
+    """Mono G.711 WAV (µ-law format 7, or A-law format 6 when
+    ``alaw``) whose n companded bytes are the known function
+    ``(j·11 + mid) % 256`` — the decoder must run the real expansion
+    to recover the sample sum the oracle computes from the same
+    formula."""
     import struct
 
-    fmt = struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8)
+    fmt = struct.pack("<IHHIIHH", 16, 6 if alaw else 7, 1, rate, rate, 1, 8)
     data = bytes((j * 11 + mid) % 256 for j in range(n))
     return (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
@@ -4968,9 +4982,12 @@ def _parse_wav_mulaw(b: bytes):
         i += 8 + csize + (csize & 1)
     if fmt_code is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if fmt_code != 7:
-        raise ValueError("not a mu-law WAV (WAVE_FORMAT_MULAW)")
-    samples = [_mulaw_expand(byte) for byte in data]
+    if fmt_code == 7:
+        samples = [_mulaw_expand(byte) for byte in data]
+    elif fmt_code == 6:
+        samples = [_alaw_expand(byte) for byte in data]
+    else:
+        raise ValueError("not a G.711 WAV (WAVE_FORMAT_MULAW/ALAW)")
     return len(samples) // ch, ch, rate, samples
 
 
@@ -5001,9 +5018,10 @@ def mulaw_sample_sums(media: DataFrame) -> DataFrame:
 
 
 def synthesize_mulaw_wavs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(media_id, payload) — known-content µ-law WAV per document:
-    n = 24 + id % 48 companded bytes (:func:`_synth_wav_mulaw_bytes`,
-    shared with the decode:wav-ulaw oracle's closed form)."""
+    """(media_id, payload) — known-content G.711 WAV per document:
+    n = 24 + id % 48 companded bytes, µ-law / A-law alternating on
+    ``(id // 8) % 2`` (:func:`_synth_wav_mulaw_bytes`, shared with the
+    decode:wav-ulaw oracle's closed form)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -5011,7 +5029,11 @@ def synthesize_mulaw_wavs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf["__id"]:
                 mid = int(mid)
                 ids.append(mid)
-                payloads.append(_synth_wav_mulaw_bytes(24 + mid % 48, mid))
+                payloads.append(
+                    _synth_wav_mulaw_bytes(
+                        24 + mid % 48, mid, alaw=bool((mid // 8) % 2)
+                    )
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     schema = T.StructType(

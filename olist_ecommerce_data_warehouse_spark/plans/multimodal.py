@@ -348,13 +348,24 @@ from olist_ecommerce_data_warehouse_spark.plans.registry import query
     ),
     ulaw_sums AS (
         SELECT doc_id, n AS nsmp,
-               list_sum(list_transform(
-                   list_transform(generate_series(0, n - 1), j ->
-                       255 - ((j * 11 + doc_id) % 256)),
-                   u -> CASE WHEN u >= 128
-                        THEN -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
-                        ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
-                   END)) AS ss
+               CASE WHEN (doc_id // 8) % 2 = 0 THEN
+                   list_sum(list_transform(
+                       list_transform(generate_series(0, n - 1), j ->
+                           255 - ((j * 11 + doc_id) % 256)),
+                       u -> CASE WHEN u >= 128
+                            THEN -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+                            ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+                       END))
+               ELSE
+                   list_sum(list_transform(
+                       list_transform(generate_series(0, n - 1), j ->
+                           xor((j * 11 + doc_id) % 256, 85)),
+                       a -> CASE WHEN a >= 128 THEN 1 ELSE -1 END *
+                            CASE WHEN (a // 16) % 8 = 0
+                                 THEN (a % 16) * 16 + 8
+                                 ELSE ((a % 16) * 16 + 264)
+                                      * (1 << ((a // 16) % 8 - 1)) END))
+               END AS ss
         FROM (SELECT doc_id, 24 + doc_id % 48 AS n
               FROM documents WHERE doc_id % 8 = 0)
     ),

@@ -1795,6 +1795,7 @@ def test_codec_corruption_is_typed():
         "mp4": (M._synth_mp4_stbl_bytes(7), M._mp4_dims),
         "ogg": (M._synth_ogg_bytes(4), M._parse_ogg),
         "ulaw": (M._synth_wav_mulaw_bytes(30, 8), M._parse_wav_mulaw),
+        "alaw": (M._synth_wav_mulaw_bytes(30, 9, alaw=True), M._parse_wav_mulaw),
     }
 
     class Hang(Exception):
@@ -1890,13 +1891,16 @@ def test_ogg_page_walk_exact_and_boundaries():
 
 
 def test_wav_mulaw_decode_exact():
-    """Round 8: G.711 µ-law WAV decodes for real.  Spec anchors: the
-    all-ones byte (0xFF, 'silence') decodes to exact 0, the extremes
-    to ±32124 (the published table ceiling), and each sign's segment
-    is strictly monotone in the byte; the driver-family ids recover
-    the closed form; non-µ-law formats and malformed framing are
-    typed ValueError."""
+    """Round 8: G.711 WAV decodes for real, BOTH laws.  µ-law anchors:
+    0xFF ('silence') decodes to exact 0, the extremes to ±32124 (the
+    published table ceiling), each sign's segment strictly monotone in
+    the byte.  A-law anchors: extremes ±32256, minimum magnitude 8 (no
+    zero in A-law), all 256 bytes decode to distinct values.  The
+    driver family alternates the two laws on (id // 8) % 2 and each
+    half recovers its closed form; non-G.711 formats and malformed
+    framing are typed ValueError."""
     from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _alaw_expand,
         _mulaw_expand,
         _parse_wav_mulaw,
         _synth_wav_bytes,
@@ -1908,15 +1912,22 @@ def test_wav_mulaw_decode_exact():
     pos = [_mulaw_expand(b) for b in range(0x80, 0x100)]
     assert all(pos[i] > pos[i + 1] for i in range(len(pos) - 1))
 
+    avals = [_alaw_expand(b) for b in range(256)]
+    assert max(avals) == 32256 and min(avals) == -32256
+    assert min(abs(v) for v in avals) == 8
+    assert len(set(avals)) == 256
+
     for mid in (0, 8, 16, 24, 40, 96):
         n = 24 + mid % 48
-        ns, ch, rate, samples = _parse_wav_mulaw(_synth_wav_mulaw_bytes(n, mid))
+        alaw = bool((mid // 8) % 2)
+        ns, ch, rate, samples = _parse_wav_mulaw(
+            _synth_wav_mulaw_bytes(n, mid, alaw=alaw)
+        )
         assert (ns, ch, rate) == (n, 1, 8000)
-        assert samples == [
-            _mulaw_expand((j * 11 + mid) % 256) for j in range(n)
-        ]
+        expand = _alaw_expand if alaw else _mulaw_expand
+        assert samples == [expand((j * 11 + mid) % 256) for j in range(n)]
 
-    with pytest.raises(ValueError, match="MULAW"):
-        _parse_wav_mulaw(_synth_wav_bytes(1, 8000, 16, 8))  # PCM, not µ-law
+    with pytest.raises(ValueError, match="G.711"):
+        _parse_wav_mulaw(_synth_wav_bytes(1, 8000, 16, 8))  # PCM
     with pytest.raises(ValueError, match="not a WAV"):
         _parse_wav_mulaw(b"RIFFxxxxNOPE")
