@@ -410,6 +410,23 @@ def _parse_wav(b: bytes):
     return n, 0, ch, rate, width * 8, mean
 
 
+def _wav_fmt_code(b: bytes):
+    """Format code from the RIFF fmt chunk (1 = PCM, 6 = A-law,
+    7 = µ-law, …), or ``None`` when no intact fmt chunk is found —
+    callers then fall through to the stdlib path whose exception
+    re-typing owns the malformed-framing contract."""
+    import struct
+
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (csize,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and csize >= 2 and i + 10 <= len(b):
+            return struct.unpack("<H", b[i + 8 : i + 10])[0]
+        i += 8 + csize + (csize & 1)
+    return None
+
+
 def real_decode_media(media: DataFrame) -> DataFrame:
     """REAL decode for stdlib-decodable payloads (PNG/BMP/WAV/GIF +
     JPEG: baseline since round 6; subsampled, restart-interval and
@@ -435,8 +452,21 @@ def real_decode_media(media: DataFrame) -> DataFrame:
                     w, h, ch, depth, mean = _parse_bmp(b)
                     rows.append((r["media_id"], "bmp", w, h, ch, 0, depth, mean))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    n, _, ch, rate, depth, mean = _parse_wav(b)
-                    rows.append((r["media_id"], "wav", n, 0, ch, rate, depth, mean))
+                    # dispatch on the fmt chunk's format code: the
+                    # stdlib wave module only reads PCM, so G.711
+                    # µ-law (7) / A-law (6) route to the real
+                    # expander instead of a spurious 'malformed WAV'
+                    if _wav_fmt_code(b) in (6, 7):
+                        n, ch, rate, samples = _parse_wav_mulaw(b)
+                        mean = (
+                            sum(abs(s) for s in samples) / len(samples) / 32768.0
+                            if samples
+                            else 0.0
+                        )
+                        rows.append((r["media_id"], "wav", n, 0, ch, rate, 8, mean))
+                    else:
+                        n, _, ch, rate, depth, mean = _parse_wav(b)
+                        rows.append((r["media_id"], "wav", n, 0, ch, rate, depth, mean))
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     w, h, ch, depth, mean = _parse_gif(b)
                     rows.append((r["media_id"], "gif", w, h, ch, 0, depth, mean))
@@ -445,7 +475,9 @@ def real_decode_media(media: DataFrame) -> DataFrame:
                     mean = float(
                         sum(float(p.mean()) for p in planes) / len(planes)
                     )
-                    depth = 16 if planes[0].dtype.itemsize == 2 else 8
+                    # true SOF precision (8 or 12), not the storage
+                    # dtype width — a 12-bit file reports 12, not 16
+                    depth = _jpeg_header(b)[3]
                     rows.append(
                         (r["media_id"], "jpeg", w, h, len(planes), 0, depth, mean)
                     )
@@ -4130,7 +4162,9 @@ def _flac_utf8_code(n: int) -> bytes:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)):  # payload bits: 6-nbytes + 6*(nbytes-1)
+    # an nbytes-long coding carries (7 - nbytes) payload bits in the
+    # lead byte plus 6 per continuation byte = 5*nbytes + 1 total
+    while n >= (1 << (5 * nbytes + 1)):
         nbytes += 1
     # leading byte: nbytes 1-bits, a 0, then the high payload bits
     shift = 6 * (nbytes - 1)
@@ -4982,6 +5016,8 @@ def _parse_wav_mulaw(b: bytes):
         i += 8 + csize + (csize & 1)
     if fmt_code is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if ch == 0:
+        raise ValueError("WAV with zero channels")
     if fmt_code == 7:
         samples = [_mulaw_expand(byte) for byte in data]
     elif fmt_code == 6:

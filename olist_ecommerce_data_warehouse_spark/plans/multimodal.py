@@ -560,8 +560,10 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a ragged tail strip, external LONG offset/bytecount arrays
     (inline when the 4-byte rule says so), and real PackBits
     inflate — the id-parity matrix cycles endianness × compression so
-    every variant is under the driver hash.  LZW and JPEG-in-TIFF
-    raise the honest NotImplementedError boundary.
+    every variant is under the driver hash.  LZW inflates for real
+    too (late round 8 — the gated id matrix cycles none/PackBits/LZW
+    × gray/RGB); only JPEG-in-TIFF and exotic photometrics/bit
+    depths remain the honest NotImplementedError boundary.
 
     kind='decode:wav-ulaw' (round 8) — G.711 µ-law WAV decodes for
     real: RIFF walk to the WAVE_FORMAT_MULAW fmt chunk, then the

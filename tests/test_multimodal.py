@@ -1758,8 +1758,12 @@ def test_codec_corruption_is_typed():
     hang (a corrupted BMP height field used to loop for billions of
     rows; corrupted DQT/DHT/SOS used to leak KeyError; truncated
     chunks leaked struct.error — all found by this sweep's first run
-    and fixed).  Sampled positions keep the test fast; the full
-    exhaustive sweep ran clean at the round-8 fix commit."""
+    and fixed).  Payloads up to 256 bytes sweep EVERY position (the
+    round-8 stride-3 sampling missed the WAV channel-count byte at
+    offset 22, leaking ZeroDivisionError from a zeroed channel field
+    — found by ADVICE r8, fixed round 9); larger payloads sample
+    stride 3 and the full exhaustive sweep ran clean at the round-9
+    fix commit."""
     import signal
 
     from olist_ecommerce_data_warehouse_spark.operators import multimodal as M
@@ -1807,9 +1811,10 @@ def test_codec_corruption_is_typed():
     old = signal.signal(signal.SIGALRM, on_alarm)
     try:
         for name, (good, dec) in cases.items():
+            stride = 1 if len(good) <= 256 else 3
             muts = [
                 (pos, xor)
-                for pos in range(0, len(good), 3)
+                for pos in range(0, len(good), stride)
                 for xor in (0x01, 0x80)
             ] + [(cut, None) for cut in range(0, len(good), 7)]
             for pos, xor in muts:
@@ -1931,3 +1936,110 @@ def test_wav_mulaw_decode_exact():
         _parse_wav_mulaw(_synth_wav_bytes(1, 8000, 16, 8))  # PCM
     with pytest.raises(ValueError, match="not a WAV"):
         _parse_wav_mulaw(b"RIFFxxxxNOPE")
+
+
+def test_real_decode_media_routes_g711_wav(spark):
+    """Round 9 (ADVICE r8): the generic sniffing decoder dispatches on
+    the fmt chunk's format code — a valid G.711 µ-law/A-law WAV routes
+    to the real expander instead of being misreported as 'malformed
+    WAV' by the stdlib path (which only reads PCM).  Exact mean over
+    the known companded byte stream, both laws, plus PCM untouched."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _alaw_expand,
+        _mulaw_expand,
+        _synth_wav_bytes,
+        _synth_wav_mulaw_bytes,
+        real_decode_media,
+    )
+
+    ulaw = _synth_wav_mulaw_bytes(30, 8)                 # fmt code 7
+    alaw = _synth_wav_mulaw_bytes(30, 9, alaw=True)      # fmt code 6
+    pcm = _synth_wav_bytes(1, 8000, 16, 20)              # fmt code 1
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(ulaw), "t"),
+         (2, "audio", bytearray(alaw), "t"),
+         (3, "audio", bytearray(pcm), "t")],
+        "media_id long, kind string, payload binary, source string",
+    )
+    got = {r["media_id"]: r for r in real_decode_media(media).collect()}
+    for mid, law_mid, expand in ((1, 8, _mulaw_expand), (2, 9, _alaw_expand)):
+        r = got[mid]
+        assert (r["format"], r["n_channels"], r["sample_rate"], r["bit_depth"]) == (
+            "wav", 1, 8000, 8,
+        )
+        samples = [expand((j * 11 + law_mid) % 256) for j in range(30)]
+        assert r["width"] == 30  # n_samples per channel in the width slot
+        assert abs(
+            r["sample_mean"] - sum(abs(s) for s in samples) / 30 / 32768.0
+        ) < 1e-12
+    assert got[3]["format"] == "wav" and got[3]["bit_depth"] == 16
+
+
+def test_wav_mulaw_zero_channels_is_typed():
+    """Round 9 (ADVICE r8): a zeroed channel-count field (byte 22) in a
+    G.711 WAV raises the typed ValueError, not ZeroDivisionError."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _parse_wav_mulaw,
+        _synth_wav_mulaw_bytes,
+    )
+
+    b = bytearray(_synth_wav_mulaw_bytes(30, 8))
+    b[22] = 0  # nChannels low byte (mono → 0)
+    b[23] = 0
+    with pytest.raises(ValueError, match="zero channels"):
+        _parse_wav_mulaw(bytes(b))
+
+
+def test_real_decode_media_reports_true_jpeg12_precision(spark):
+    """Round 9 (ADVICE r8): bit_depth for a 12-bit JPEG is the SOF
+    precision (12), not the uint16 storage dtype width (16)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _synth_jpeg12_gray_bytes,
+        _synth_jpeg_gray_bytes,
+        real_decode_media,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_synth_jpeg12_gray_bytes(16, 8, 3)), "t"),
+         (2, "image", bytearray(_synth_jpeg_gray_bytes(16, 8, 7)), "t")],
+        "media_id long, kind string, payload binary, source string",
+    )
+    got = {r["media_id"]: r for r in real_decode_media(media).collect()}
+    assert got[1]["format"] == "jpeg" and got[1]["bit_depth"] == 12
+    assert got[2]["format"] == "jpeg" and got[2]["bit_depth"] == 8
+
+
+def test_flac_utf8_code_large_frame_numbers():
+    """Round 9 (ADVICE r8): the UTF-8-style frame-number coding
+    round-trips across byte-length boundaries up to the 36-bit max —
+    the old threshold overflowed the lead byte for n >= 2048 (3000
+    encoded as 952)."""
+    from olist_ecommerce_data_warehouse_spark.operators.multimodal import (
+        _flac_utf8_code,
+    )
+
+    def decode(bs):
+        lead = bs[0]
+        if lead < 0x80:
+            assert len(bs) == 1
+            return lead
+        nb = 0
+        m = lead
+        while m & 0x80:
+            nb += 1
+            m = (m << 1) & 0xFF
+        assert len(bs) == nb
+        n = lead & (0x7F >> nb)
+        for c in bs[1:]:
+            assert c >> 6 == 0b10
+            n = (n << 6) | (c & 0x3F)
+        return n
+
+    edges = [0, 1, 0x7F, 0x80, 2047, 2048, 3000, 65535, 65536,
+             (1 << 16) - 1, 1 << 20, (1 << 31) - 1, (1 << 36) - 1]
+    for lo in (0x80, 2048, 1 << 16, 1 << 21, 1 << 26, 1 << 31):
+        edges += [lo - 1, lo, lo + 1]
+    for n in edges:
+        if n < 0:
+            continue
+        assert decode(_flac_utf8_code(n)) == n, n
