@@ -99,6 +99,41 @@ def dsir_feature_counts(
     )
 
 
+def dsir_feature_counts_from_tokens(
+    tok: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`dsir_feature_counts` over a PRE-TOKENIZED (id, …, toks)
+    table — the shared-scan shape (round 9): the corpus_mixing plan
+    tokenizes documents ONCE into a persisted token table and both the
+    DSIR feature stream and the CCNet bigram stream derive from it,
+    instead of each re-running the tokenizer regex over the raw text.
+    Identical (id, bucket, cnt) output by construction.
+
+    ``carry_cols``: per-document columns (functionally dependent on
+    ``id_col``, e.g. a target-membership flag) threaded through the
+    groupBy so downstream model aggregates can FILTER the count table
+    instead of joining a separate id list — the shape that lets one
+    single-subtree aggregate materialize the cache and return both λ
+    totals in the same job."""
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        quality_features_from_tokens,
+    )
+
+    h = F.explode(quality_features_from_tokens(toks_col)).alias("h")
+    return (
+        tok.select(F.col(id_col), *carry_cols, h)
+        .select(
+            id_col, *carry_cols, (mix32(F.col("h")) % F.lit(buckets)).alias("bucket")
+        )
+        .groupBy(id_col, *carry_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _bucket_totals(
     docs: DataFrame, buckets: int, text_col: str
 ) -> DataFrame:
@@ -142,15 +177,25 @@ def dsir_log_ratio_from_counts(
     rc: DataFrame,
     buckets: int = DSIR_BUCKETS,
     mu: int = 2000,
+    totals: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """:func:`dsir_log_ratio` over PRE-AGGREGATED (bucket, c) model
     tables — the shared-scan shape: when target ⊆ raw (the usual
     case), derive BOTH tables from one persisted per-doc feature-count
     table instead of exploding the corpus three times (feature
     extraction is the dominant cost; the gated plan and the oracle
-    both use this single-pass dataflow)."""
-    t_total = tc.agg(F.sum("c")).collect()[0][0] or 0
-    r_total = rc.agg(F.sum("c")).collect()[0][0] or 0
+    both use this single-pass dataflow).
+
+    ``totals``: pre-computed ``(t_total, r_total)`` — pass it when the
+    caller already ran one combined totals job (the round-9 job-fusion
+    shape: a single left-join aggregate over the feature-count table
+    returns both totals AND materializes the cache, replacing the two
+    separate collect jobs this function otherwise runs)."""
+    if totals is not None:
+        t_total, r_total = totals
+    else:
+        t_total = tc.agg(F.sum("c")).collect()[0][0] or 0
+        r_total = rc.agg(F.sum("c")).collect()[0][0] or 0
     log_denom = math.log(t_total + mu)
     lam0_fp = round_half_away((math.log(mu) - log_denom) * _FP)
     lam = (

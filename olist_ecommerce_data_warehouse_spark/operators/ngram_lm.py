@@ -52,7 +52,21 @@ def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id_col, prev, w) — one row per BOS-padded adjacent token pair.
     Shares the engine tokenizer (`functions.text.tokens`) and the
     zip_with-over-shifted-slices shape of `operators.textdedup`."""
-    toks = F.concat(F.array(F.lit(BOS)), tokens(text_col))
+    return _bigram_pairs_from_expr(docs, tokens(text_col), id_col)
+
+
+def _bigram_pairs_from_tokens(
+    tok: DataFrame, toks_col: str = "toks", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`_bigram_pairs` over a PRE-TOKENIZED table — the
+    shared-scan shape (round 9, see dsir_feature_counts_from_tokens):
+    corpus_mixing tokenizes once and both feature streams derive from
+    the persisted token table."""
+    return _bigram_pairs_from_expr(tok, F.col(toks_col), id_col)
+
+
+def _bigram_pairs_from_expr(docs: DataFrame, toks_expr, id_col: str) -> DataFrame:
+    toks = F.concat(F.array(F.lit(BOS)), toks_expr)
     n = F.size("t")
     return (
         docs.select(F.col(id_col), toks.alias("t"))
@@ -107,6 +121,41 @@ def ngram_lm_train_from_pairs(
     return bigram, context, v
 
 
+def ngram_lm_train_from_pairs_fused(
+    pairs: DataFrame, lazy_persist_fn
+) -> tuple[DataFrame, DataFrame, int]:
+    """:func:`ngram_lm_train_from_pairs` with the cache-materializing
+    count and the vocabulary-size count FUSED into one job (round 9):
+    ``lazy_persist_fn`` must persist WITHOUT an eager count — the
+    ``countDistinct(w)`` aggregate below is the single job that fills
+    the pairs AND bigram caches and returns V, where the eager-persist
+    path runs three jobs (pairs count, bigram count, distinct count)
+    for the same answer.  Safe because the aggregate is one subtree —
+    no concurrent consumers race the lazy caches."""
+    bigram = lazy_persist_fn(pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw")))
+    v = int(bigram.agg(F.countDistinct("w").alias("v")).collect()[0]["v"])
+    context = bigram.groupBy("prev").agg(F.sum("c_bw").alias("c_u"))
+    return bigram, context, v
+
+
+def ngram_lm_train_from_pairs_lazy(
+    pairs: DataFrame, lazy_persist_fn
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fully LAZY trainer (round 9): runs NO job at construction time.
+    V comes back as a one-row broadcastable DataFrame
+    ``(__v: double)`` instead of a collected scalar —
+    :func:`ngram_lm_score_from_pairs` accepts it directly, folding the
+    vocabulary count into the scoring query's own broadcast stages.
+    The first consuming action then materializes pairs, bigram AND V
+    in sequential broadcast-exchange jobs (no cold-cache race: each
+    broadcast job runs alone, and later ones read the caches the
+    earlier ones filled)."""
+    bigram = lazy_persist_fn(pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw")))
+    vdf = bigram.agg(F.countDistinct("w").cast("double").alias("__v"))
+    context = bigram.groupBy("prev").agg(F.sum("c_bw").alias("c_u"))
+    return bigram, context, vdf
+
+
 def ngram_lm_score(
     docs: DataFrame,
     bigram: DataFrame,
@@ -140,25 +189,38 @@ def ngram_lm_score_from_pairs(
     pairs: DataFrame,
     bigram: DataFrame,
     context: DataFrame,
-    vocab_size: int,
+    vocab_size: int | DataFrame,
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`ngram_lm_score` over a PRE-COMPUTED (id, prev, w) pair
     table — pair with :func:`ngram_lm_train_from_pairs` so train and
-    score share ONE corpus explode."""
+    score share ONE corpus explode.
+
+    ``vocab_size`` may be the collected int, or the one-row
+    ``(__v: double)`` DataFrame from
+    :func:`ngram_lm_train_from_pairs_lazy` — then V joins in as a
+    broadcast instead of a driver scalar and construction runs no job.
+    The smoothing denominator is identical either way: c_u and V are
+    exact integers far below 2^53, so the double-typed sum is the same
+    value the int expression produced."""
+    joined = pairs.join(F.broadcast(bigram), ["prev", "w"], "left").join(
+        F.broadcast(context), "prev", "left"
+    )
+    if isinstance(vocab_size, DataFrame):
+        joined = joined.crossJoin(F.broadcast(vocab_size))
+        denom = F.coalesce("c_u", F.lit(0)).cast("double") + F.col("__v")
+    else:
+        denom = (F.coalesce("c_u", F.lit(0)) + F.lit(vocab_size)).cast("double")
     scored = (
-        pairs.join(F.broadcast(bigram), ["prev", "w"], "left")
-        .join(F.broadcast(context), "prev", "left")
+        joined
         .select(
             id_col,
             F.col("c_bw").isNull().cast("bigint").alias("oov"),
             F.round(
                 F.log(
                     (F.coalesce("c_bw", F.lit(0)) + F.lit(1)).cast("double")
-                    / (F.coalesce("c_u", F.lit(0)) + F.lit(vocab_size)).cast(
-                        "double"
-                    )
+                    / denom
                 )
                 * F.lit(float(_FP))
             )

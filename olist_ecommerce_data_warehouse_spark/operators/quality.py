@@ -42,6 +42,7 @@ from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
     mix32,
     mix32_sql_expr,
     token_hashes_expr,
+    token_hashes_from_tokens,
 )
 
 # B buckets (fasttext default order of magnitude is 2M for bigrams;
@@ -64,10 +65,9 @@ def _weight_sql(h: str) -> str:
     return f"(({mix32_sql_expr(f'({bucket})')}) % {2 * QC_W_HALF + 1}) - {QC_W_HALF}"
 
 
-def quality_features(text_col: Column | str = "text") -> Column:
-    """array<bigint> of hashed classifier features: token unigram
-    hashes ++ 2-gram rolling hashes, all folded into [0, 2^32)."""
-    th = token_hashes_expr(text_col)
+def _features_from_th(th: Column) -> Column:
+    """Classifier feature stream from a token-hash array: unigram
+    hashes ++ 2-gram rolling hashes folded into [0, 2^32)."""
     n = F.size(th)
     bi = F.transform(
         F.zip_with(
@@ -78,6 +78,23 @@ def quality_features(text_col: Column | str = "text") -> Column:
         lambda g: g % F.lit(GRAM_M),
     )
     return F.concat(th, bi)
+
+
+def quality_features(text_col: Column | str = "text") -> Column:
+    """array<bigint> of hashed classifier features: token unigram
+    hashes ++ 2-gram rolling hashes, all folded into [0, 2^32)."""
+    return _features_from_th(token_hashes_expr(text_col))
+
+
+def quality_features_from_tokens(toks_col: Column | str = "toks") -> Column:
+    """:func:`quality_features` over a PRE-TOKENIZED array<string>
+    column — the shared-scan shape: when several operators in one plan
+    all derive from ``tokens(text)`` (DSIR features, CCNet bigrams,
+    the doc list), the plan tokenizes the corpus ONCE into a persisted
+    (id, lang, toks) table and every consumer reads that instead of
+    re-running the regex over the raw text.  Identical stream to
+    :func:`quality_features` by construction (same hash, same fold)."""
+    return _features_from_th(token_hashes_from_tokens(toks_col))
 
 
 def quality_features_sql(text_col: str = "text") -> str:

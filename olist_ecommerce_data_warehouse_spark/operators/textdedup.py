@@ -133,9 +133,15 @@ def _gram3_sql(th: str) -> str:
 
 def token_hashes_expr(col: Column | str = "text"):
     """array<bigint>: 32-bit md5-derived hash per token of ``col``."""
-    return F.transform(
-        tokens(col), lambda t: hex_to_long(F.substring(F.md5(t), 1, 8))
-    )
+    return token_hashes_from_tokens(tokens(col))
+
+
+def token_hashes_from_tokens(toks_col: Column | str):
+    """:func:`token_hashes_expr` over an already-tokenized
+    array<string> column (the shared-scan shape — tokenize once,
+    derive every hash stream from the persisted token table)."""
+    c = toks_col if isinstance(toks_col, Column) else F.col(toks_col)
+    return F.transform(c, lambda t: hex_to_long(F.substring(F.md5(t), 1, 8)))
 
 
 def _combine(a, b):
