@@ -39,6 +39,19 @@ from olist_ecommerce_data_warehouse_spark.operators.similarity import (
 )
 
 
+# Bump when the on-disk layout or the quantization/Lloyd scheme
+# changes: published index dirs are content-addressed by (corpus name,
+# build params, this version), so a stale layout can never be read by
+# newer code.
+LAYOUT_VERSION = 1
+
+# path → centroids, warm across loads within one process.  Published
+# dirs are immutable (publish-if-absent, never overwritten), so the
+# cache can never serve stale centroids; it makes a re-load collect
+# NOTHING — the zero-job re-construction contract.
+_CENTROID_CACHE: dict[str, list[list[int]]] = {}
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, centroids: list[list[int]], assigned: DataFrame):
         self.spark = spark
@@ -84,12 +97,47 @@ class IVFIndex:
             .parquet(f"{path}/assigned")
         )
 
+    def publish(self, path: str) -> bool:
+        """Write-once publish to a CONTENT-KEYED directory: write the
+        index to a session-private tmp dir, then atomically rename it
+        into ``path``.  If ``path`` already exists (this session or
+        any earlier one already built it — the index is
+        bit-deterministic, so same corpus + params ⇒ same bytes), run
+        NO jobs at all and return False.  Concurrent publishers race
+        only on the rename: exactly one wins, losers remove their tmp
+        and read the winner's — readers can never observe a partial
+        index (ADVICE r07's clobbering fix without the round-8
+        session-keyed dir accumulation; round 9).  Returns True when
+        this call did the write."""
+        import os
+        import shutil
+
+        if os.path.isdir(path):
+            return False
+        tmp = f"{path}.tmp-{self.spark.sparkContext.applicationId}"
+        self.save(tmp)
+        try:
+            os.rename(tmp, path)
+            return True
+        except OSError:
+            # another session published first — theirs is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
-        cent_rows = (
-            spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
-        )
-        cents = [list(r["centvec"]) for r in cent_rows]
+        import os
+
+        key = os.path.abspath(path)
+        cents = _CENTROID_CACHE.get(key)
+        if cents is None:
+            cent_rows = (
+                spark.read.parquet(f"{path}/centroids")
+                .orderBy("centroid_id")
+                .collect()
+            )
+            cents = [list(r["centvec"]) for r in cent_rows]
+            _CENTROID_CACHE[key] = cents
         assigned = spark.read.parquet(f"{path}/assigned")
         return cls(spark, cents, assigned)
 
@@ -105,3 +153,50 @@ class IVFIndex:
             F.col("centroid_id").isin([int(c) for c in probes])
         )
         return ivf_topk(probed, probes, k=k)
+
+
+def gc_stale_indexes(
+    scratch_dir: str,
+    max_age_hours: float = 24.0,
+    published_max_age_hours: float = 7 * 24.0,
+) -> list[str]:
+    """Sweep leftover ``ivf_index_*`` artifacts from ``scratch_dir``
+    (round 9, ADVICE r07 residue).  Two retention tiers:
+
+    - legacy session-keyed dirs (round-8 naming), orphaned
+      ``.tmp-<appId>`` dirs from publishers that died mid-write, and
+      anything else not in the current format: removed after
+      ``max_age_hours`` (an old-enough leftover can only belong to a
+      dead session);
+    - current-format published dirs (``…_v<LAYOUT_VERSION>``) —
+      immutable, content-addressed, reused across sessions: kept for
+      ``published_max_age_hours`` (a week), after which a dir whose
+      corpus fingerprint no longer occurs is almost certainly an
+      orphan of a regenerated testdata tree; a still-live index just
+      republishes on next use.
+
+    Returns the removed paths.  Idempotent and safe to call from plan
+    construction."""
+    import os
+    import shutil
+    import time
+
+    removed: list[str] = []
+    if not os.path.isdir(scratch_dir):
+        return removed
+    keep_suffix = f"_v{LAYOUT_VERSION}"
+    now = time.time()
+    for name in os.listdir(scratch_dir):
+        if not name.startswith("ivf_index_"):
+            continue
+        age_limit = (
+            published_max_age_hours if name.endswith(keep_suffix) else max_age_hours
+        )
+        p = os.path.join(scratch_dir, name)
+        try:
+            if os.path.getmtime(p) < now - age_limit * 3600.0:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        except OSError:
+            continue
+    return removed

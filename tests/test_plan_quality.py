@@ -287,3 +287,56 @@ def test_multimodal_metadata_is_pure_map_rollup(spark):
         assert op not in plan, (op, plan[:2000])
     assert plan.count("Exchange") <= 20, plan.count("Exchange")
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_ivf_index_reconstruction_runs_no_write_jobs(spark):
+    """Round 9 (ADVICE r07/r08 residue): the persistent IVF index is
+    published ONCE to a content-addressed dir (tmp write + atomic
+    rename); re-constructing the ann_ivf_topk DataFrame — e.g. an
+    .explain()-only caller — must run strictly fewer jobs than the
+    publishing construction and ZERO write jobs (the index dir stays
+    byte-identical, publish() returns without saving, and the cached
+    centroids make the reload collect nothing)."""
+    import os
+    import shutil
+
+    from olist_ecommerce_data_warehouse_spark.operators import ann_index
+    from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+
+    # hermetic start regardless of test order: force the first
+    # construction to really publish and really collect centroids
+    scratch_pre = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    if os.path.isdir(scratch_pre):
+        for d in os.listdir(scratch_pre):
+            if d.startswith("ivf_index_"):
+                shutil.rmtree(os.path.join(scratch_pre, d), ignore_errors=True)
+    ann_index._CENTROID_CACHE.clear()
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def construct(group):
+        sc.setJobGroup(group, group)
+        try:
+            df = REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR)
+            df.explain()  # explain-only caller: no action
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    n_first = construct("ivf-construct-1")  # publishes (dir was cleared)
+    scratch = scratch_pre
+    idx_dirs = sorted(
+        d for d in os.listdir(scratch) if d.startswith("ivf_index_") and "_v" in d
+    )
+    assert idx_dirs, "published index dir missing"
+    newest = os.path.join(scratch, idx_dirs[-1])
+    mtime_before = os.path.getmtime(newest)
+
+    n_second = construct("ivf-construct-2")
+    assert os.path.getmtime(newest) == mtime_before, "index dir was rewritten"
+    # kmeans/probes collects are inherent (model-sized driver state);
+    # the two index-write jobs and the centroid-load job must be gone
+    assert n_second < n_first, (n_first, n_second)
