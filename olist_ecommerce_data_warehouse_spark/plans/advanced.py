@@ -78,23 +78,32 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_sales,
            CAST(GROUPING(d.region_name) AS INT) AS g_region,
-           CAST(GROUPING(d.c_mktsegment) AS INT) AS g_segment
+           CAST(GROUPING(d.c_mktsegment) AS INT) AS g_segment,
+           CAST(GROUPING(d.region_name, d.c_mktsegment) AS BIGINT) AS gid
     FROM orders o JOIN dim_customer d ON o.o_custkey = d.c_custkey
-    GROUP BY ROLLUP (d.region_name, d.c_mktsegment)
+    GROUP BY CUBE (d.region_name, d.c_mktsegment)
     """,
 )
 def rollup_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets up the region→segment hierarchy with
-    GROUPING() indicators (subtotals + grand total in one pass —
-    Catalyst expands to a single shuffle)."""
+    """The full GROUPING SETS lattice over the region/segment pair —
+    CUBE = sets ((region, segment), (region), (segment), ()) — with
+    both per-column GROUPING() indicators AND the standard
+    grouping_id bit-vector under the driver hash (round 9 widening,
+    r08 verdict stretch task: previously ROLLUP, which exercised the
+    hierarchy but not the (segment-only) set or the composite id).
+    Catalyst expands all four sets into ONE Expand + hash aggregate —
+    a single shuffle, same as the plain group-by; DuckDB's multi-arg
+    GROUPING() replays Spark's grouping_id() bit order exactly
+    (first listed column = MSB)."""
     o = table(spark, sf_dir, "orders")
     d = build_dim_customer(spark, sf_dir).select("c_custkey", "region_name", "c_mktsegment")
     joined = o.join(F.broadcast(d), o.o_custkey == d.c_custkey)
-    return joined.rollup("region_name", "c_mktsegment").agg(
+    return joined.cube("region_name", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         as_out(F.sum(money("o_totalprice"))).alias("total_sales"),
         F.grouping("region_name").cast("int").alias("g_region"),
         F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+        F.grouping_id().cast("bigint").alias("gid"),
     ).withColumnRenamed("c_mktsegment", "segment")
 
 

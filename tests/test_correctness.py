@@ -34,3 +34,33 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "revenue" in df.columns
+
+
+def test_scale_oracles_match_primary(ddb):
+    """Round 9 (verdict task 5): the checked-in LINEAR replay oracles
+    (scripts/scale_oracles.py — bucketized interval replay for
+    asof_click_attribution, SQL dense layout + independent Python
+    greedy fold for sequence_packing) must reproduce their naive
+    primary oracles hash-exactly at the driver's gate SF.  This is
+    the equivalence proof that lets the sf1+ sweep substitute them
+    (SCALE_ORACLES=1) where the primaries are infeasible, and still
+    claim 50/50."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    import __spark_entry__ as e
+    from scale_oracles import SCALE_ORACLES
+
+    from tests.conftest import canonical_rows
+
+    assert set(SCALE_ORACLES) == {"asof_click_attribution", "sequence_packing"}
+    for name, replay_fn in SCALE_ORACLES.items():
+        primary = canonical_rows(ddb.execute(e.oracle_sql()[name]).fetchdf())
+        replay = canonical_rows(replay_fn(ddb))
+        assert primary == replay, name
