@@ -314,15 +314,20 @@ BASELINE_R06 = {
     "cleanse_try_timestamp": 0.6224,
     "cleanse_validity_filter": 0.3512,
     "contamination_check": 2.9556,
-    # re-anchored in round 8: the slot's kind='ccnet' gained the
-    # sketch_ok in-bounds indicator — the PRODUCTION percentile_approx
-    # bucketing path (ppl_buckets) now runs in-query beside the exact
-    # tertiles and their per-language agreement goes under the driver
-    # hash (capability change); min of the round-8 anchoring medians
-    # (16.2117 / 14.0624, both rig 1.0,
-    # bench_ab/anchoring_r8_run{1,2}.json).  Round-7 anchor was
-    # 12.1413 (ccnet exact tertiles, anchoring_r7_run{1,2}.json).
-    "corpus_mixing": 14.0624,
+    # re-anchored in round 9: the dsir/ccnet kinds fused onto ONE
+    # persisted tokenized-corpus pass and the slot's ~10-job chain
+    # collapsed to 3 (commit 33cc47e) — a pure SPEEDUP, so the anchor
+    # TIGHTENS to hold the win (the text_lang_id round-7 precedent),
+    # adjudicated by worktree A/B (bench_ab.jsonl 2026-08-16T08:20-09:00Z,
+    # five alternating sessions, head_over_ref 0.79-1.01).  Min of the
+    # round-9 anchoring sessions' normalized medians (13.248 rig 1.0 /
+    # 12.209 rig 1.0103, bench_ab/anchoring_r9_run{1,2}.json; a third
+    # session hit a noise epoch — 28.8 s first sample, cal window
+    # 1.71 s — and is excluded with the record kept, the r7
+    # run3_late_epoch precedent: anchoring_r9_run3_noise_epoch.json).
+    # Round-8 anchor was 14.0624 (pre-fuse + sketch gate,
+    # anchoring_r8_run{1,2}.json).
+    "corpus_mixing": 12.209,
     "csv_roundtrip_ingest": 1.1153,
     "date_dimension": 0.2818,
     "datetime_functions": 0.4502,
