@@ -113,6 +113,14 @@ class IVFIndex:
         import shutil
 
         if os.path.isdir(path):
+            # mark last-use: the week-long GC tier measures time since
+            # a session last touched the dir, so a reused index can't
+            # age out under a concurrent session that holds a lazy
+            # reference to it
+            try:
+                os.utime(path, None)
+            except OSError:
+                pass
             return False
         tmp = f"{path}.tmp-{self.spark.sparkContext.applicationId}"
         self.save(tmp)
@@ -129,6 +137,10 @@ class IVFIndex:
         import os
 
         key = os.path.abspath(path)
+        try:  # last-use touch — see gc_stale_indexes / publish
+            os.utime(path, None)
+        except OSError:
+            pass
         cents = _CENTROID_CACHE.get(key)
         if cents is None:
             cent_rows = (
@@ -159,6 +171,7 @@ def gc_stale_indexes(
     scratch_dir: str,
     max_age_hours: float = 24.0,
     published_max_age_hours: float = 7 * 24.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Sweep leftover ``ivf_index_*`` artifacts from ``scratch_dir``
     (round 9, ADVICE r07 residue).  Two retention tiers:
@@ -170,13 +183,18 @@ def gc_stale_indexes(
       dead session);
     - current-format published dirs (``…_v<LAYOUT_VERSION>``) —
       immutable, content-addressed, reused across sessions: kept for
-      ``published_max_age_hours`` (a week), after which a dir whose
-      corpus fingerprint no longer occurs is almost certainly an
-      orphan of a regenerated testdata tree; a still-live index just
-      republishes on next use.
+      ``published_max_age_hours`` (a week) SINCE LAST USE — ``load``
+      and every publish-reuse touch the dir mtime, so an index a live
+      session still reads never ages out under it; only a dir no
+      session has touched for a week (an orphan of a regenerated
+      testdata tree) is swept.
 
-    Returns the removed paths.  Idempotent and safe to call from plan
-    construction."""
+    Returns the removed paths — verified gone, not merely attempted
+    (``rmtree`` failures on e.g. a stray FILE named ``ivf_index_*``
+    are not reported as removed).  With ``dry_run`` nothing is
+    deleted and the would-be-removed paths are returned (the
+    ``clean_scratch.py --dry-run`` listing — one policy, one code
+    path).  Idempotent and safe to call from plan construction."""
     import os
     import shutil
     import time
@@ -195,8 +213,12 @@ def gc_stale_indexes(
         p = os.path.join(scratch_dir, name)
         try:
             if os.path.getmtime(p) < now - age_limit * 3600.0:
+                if dry_run:
+                    removed.append(p)
+                    continue
                 shutil.rmtree(p, ignore_errors=True)
-                removed.append(p)
+                if not os.path.exists(p):
+                    removed.append(p)
         except OSError:
             continue
     return removed

@@ -121,35 +121,23 @@ def ngram_lm_train_from_pairs(
     return bigram, context, v
 
 
-def ngram_lm_train_from_pairs_fused(
-    pairs: DataFrame, lazy_persist_fn
-) -> tuple[DataFrame, DataFrame, int]:
-    """:func:`ngram_lm_train_from_pairs` with the cache-materializing
-    count and the vocabulary-size count FUSED into one job (round 9):
-    ``lazy_persist_fn`` must persist WITHOUT an eager count — the
-    ``countDistinct(w)`` aggregate below is the single job that fills
-    the pairs AND bigram caches and returns V, where the eager-persist
-    path runs three jobs (pairs count, bigram count, distinct count)
-    for the same answer.  Safe because the aggregate is one subtree —
-    no concurrent consumers race the lazy caches."""
-    bigram = lazy_persist_fn(pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw")))
-    v = int(bigram.agg(F.countDistinct("w").alias("v")).collect()[0]["v"])
-    context = bigram.groupBy("prev").agg(F.sum("c_bw").alias("c_u"))
-    return bigram, context, v
-
-
 def ngram_lm_train_from_pairs_lazy(
     pairs: DataFrame, lazy_persist_fn
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Fully LAZY trainer (round 9): runs NO job at construction time.
-    V comes back as a one-row broadcastable DataFrame
-    ``(__v: double)`` instead of a collected scalar —
-    :func:`ngram_lm_score_from_pairs` accepts it directly, folding the
-    vocabulary count into the scoring query's own broadcast stages.
-    The first consuming action then materializes pairs, bigram AND V
-    in sequential broadcast-exchange jobs (no cold-cache race: each
-    broadcast job runs alone, and later ones read the caches the
-    earlier ones filled)."""
+    """Collect-free trainer (round 9): V comes back as a one-row
+    broadcastable DataFrame ``(__v: double)`` instead of a collected
+    scalar — :func:`ngram_lm_score_from_pairs` accepts it directly,
+    folding the vocabulary count into the scoring query's own
+    broadcast stages, so no ``collect()`` ever blocks construction.
+
+    ``persist_fn`` caveat: the three broadcast subtrees the scoring
+    query derives from ``bigram`` (bigram itself, context, V) are
+    prepared CONCURRENTLY by Spark's broadcast-exchange thread pool.
+    Pass an EAGER persist (one count job fills the pairs and bigram
+    caches sequentially before any broadcast build) unless the caller
+    accepts the cold-cache race — per-block write locks serialize
+    most of it, but duplicated-compute windows and run-to-run
+    variance remain (observed as "Block ... already exists" warns)."""
     bigram = lazy_persist_fn(pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw")))
     vdf = bigram.agg(F.countDistinct("w").cast("double").alias("__v"))
     context = bigram.groupBy("prev").agg(F.sum("c_bw").alias("c_u"))

@@ -487,16 +487,20 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # miss the train table (on this shared-vocabulary synthetic corpus
     # that's structural, not exercised — pytest covers genuinely
     # held-out text).
-    # pairs + bigram persist LAZILY and V stays a broadcast DataFrame:
-    # training runs NO job at construction — the scored count below
-    # materializes pairs, bigram and the vocabulary count through its
-    # own sequential broadcast stages (was three jobs — pairs count,
-    # bigram count, distinct count; same round-9 fusion as the λ
-    # totals above)
+    # pairs persists LAZILY; the bigram model persists EAGERLY — its
+    # count is the ONE sequential job that materializes pairs AND
+    # bigram before the scoring query's three broadcast subtrees
+    # (bigram / context / V) consume them.  Those futures are prepared
+    # CONCURRENTLY by SQLExecution, so leaving bigram cold would race
+    # three jobs into the cold caches (mostly serialized by per-block
+    # write locks, but with duplicated-compute windows — the
+    # "Block ... already exists" warnings — and run-to-run variance).
+    # Net vs the pre-fusion shape: still two jobs saved (the separate
+    # pairs count and the collected distinct-V count), none re-raced.
     pairs = track_persist(_bigram_pairs_from_tokens(tok), eager=False)
     bigram, context, v = ngram_lm_train_from_pairs_lazy(
         pairs.filter(_split_col() == "train"),
-        lazy_persist_fn=lambda df: track_persist(df, eager=False),
+        lazy_persist_fn=track_persist,
     )
     # scored is doc-grain and NARROW (id, lang, 3 ints) — persisting it
     # means the tertile operator's two consumers (value counts + final

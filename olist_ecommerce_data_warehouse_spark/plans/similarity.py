@@ -481,9 +481,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(src)
-        fp = f"{st.st_size:x}-{int(st.st_mtime):x}"
+        # nanosecond mtime: a tree regenerated in place to the same
+        # byte size within the same SECOND must still re-key (publish
+        # is write-once, so the fingerprint is the only staleness
+        # defense)
+        fp = f"{st.st_size:x}-{st.st_mtime_ns:x}"
     except OSError:
-        fp = "nofp"
+        # per-path fallback — a shared constant here would alias every
+        # unstat-able corpus at the same sf basename onto ONE index
+        import hashlib
+
+        fp = "nofp" + hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
     idx_path = os.path.join(
         scratch,
         "ivf_index_{}_{}_k{}i{}_v{}".format(

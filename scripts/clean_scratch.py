@@ -69,22 +69,9 @@ def main() -> int:
         gc_stale_indexes,
     )
 
-    if args.dry_run:
-        # re-implement the listing side only: dry-run must not delete
-        if os.path.isdir(SCRATCH):
-            from olist_ecommerce_data_warehouse_spark.operators.ann_index import (
-                LAYOUT_VERSION,
-            )
-            for name in os.listdir(SCRATCH):
-                if not name.startswith("ivf_index_"):
-                    continue
-                lim = (7 * 24.0 if name.endswith(f"_v{LAYOUT_VERSION}")
-                       else args.max_age_hours)
-                p = os.path.join(SCRATCH, name)
-                if os.path.getmtime(p) < now - lim * 3600.0:
-                    removed.append(p)
-    else:
-        removed += gc_stale_indexes(SCRATCH, max_age_hours=args.max_age_hours)
+    removed += gc_stale_indexes(
+        SCRATCH, max_age_hours=args.max_age_hours, dry_run=args.dry_run
+    )
 
     if os.path.isdir(SCRATCH):
         for name in sorted(os.listdir(SCRATCH)):

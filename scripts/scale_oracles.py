@@ -145,7 +145,11 @@ def sequence_packing_replay(con) -> pd.DataFrame:
     pdf = con.execute(_SEQPACK_BASE_SQL).fetchdf()
     gseq = pd.Series(0, index=pdf.index, dtype="int64")
     goff = pd.Series(0, index=pdf.index, dtype="int64")
-    for _, idx in pdf.groupby("lang", sort=False).groups.items():
+    # dropna=False: a NULL-lang group must fold like any other (Spark
+    # windows treat NULL as one partition) — pandas' default silently
+    # skips the NaN group, leaving those rows at the 0 defaults and
+    # diverging from the engine on corpora with missing lang.
+    for _, idx in pdf.groupby("lang", sort=False, dropna=False).groups.items():
         seqs, offs = _greedy_fold(pdf.loc[idx, "n_tokens"].tolist(), SEQ_BUDGET)
         gseq.loc[idx] = seqs
         goff.loc[idx] = offs

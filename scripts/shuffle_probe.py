@@ -62,7 +62,11 @@ def main() -> int:
     sf_dir = sys.argv[1]
     names = sys.argv[2].split(",")
     spark = build_session()
-    port = int(spark.conf.get("spark.ui.port"))
+    # the ACTUALLY-BOUND port, not the requested one — Spark's port
+    # retry moves the UI when 4050 is held by a concurrent session,
+    # and querying the requested port would then read a foreign app
+    # (404) or nothing at all
+    port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
     app_id = spark.sparkContext.applicationId
 
     from olist_ecommerce_data_warehouse_spark.plans import REGISTRY

@@ -1185,6 +1185,44 @@ def test_ivf_index_persist_load_search_with_partition_pruning(spark, tmp_path_fa
     assert idx2.centroids == idx.centroids
 
 
+def test_gc_stale_indexes_dry_run_verified_removal_and_touch(tmp_path):
+    """Round-9 GC contract: dry_run lists without deleting; removal is
+    VERIFIED (a stray regular FILE named ivf_index_* that rmtree
+    refuses is never reported as removed); and the week tier measures
+    age since LAST USE — a touched dir survives the sweep."""
+    import os
+    import time
+
+    from olist_ecommerce_data_warehouse_spark.operators.ann_index import (
+        LAYOUT_VERSION,
+        gc_stale_indexes,
+    )
+
+    scratch = str(tmp_path)
+    old = 10 * 24 * 3600.0
+    stale = os.path.join(scratch, f"ivf_index_stale_v{LAYOUT_VERSION}")
+    live = os.path.join(scratch, f"ivf_index_live_v{LAYOUT_VERSION}")
+    stray = os.path.join(scratch, "ivf_index_strayfile")
+    os.makedirs(stale)
+    os.makedirs(live)
+    with open(stray, "w") as f:
+        f.write("not a dir")
+    for p in (stale, live, stray):
+        os.utime(p, (time.time() - old, time.time() - old))
+    # last-use touch: what load()/publish-reuse do — live must survive
+    os.utime(live, None)
+
+    listed = gc_stale_indexes(scratch, dry_run=True)
+    assert stale in listed and live not in listed
+    assert os.path.isdir(stale), "dry_run deleted"
+
+    removed = gc_stale_indexes(scratch)
+    assert stale in removed and not os.path.exists(stale)
+    assert live not in removed and os.path.isdir(live)
+    # rmtree can't remove a regular file: must NOT be reported removed
+    assert stray not in removed and os.path.exists(stray)
+
+
 def test_zorder_layout_skips_both_dimensions(spark, tmp_path_factory):
     """Morton layout vs single-column sort on a uniform 2-D grid: for
     a small query box, the set of files whose min/max ranges intersect

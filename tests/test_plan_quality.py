@@ -333,10 +333,25 @@ def test_ivf_index_reconstruction_runs_no_write_jobs(spark):
     )
     assert idx_dirs, "published index dir missing"
     newest = os.path.join(scratch, idx_dirs[-1])
-    mtime_before = os.path.getmtime(newest)
+
+    def content_sig(root):
+        # per-FILE (relpath, size, mtime): reconstruction must not
+        # rewrite any index byte.  The dir's own mtime is exempt — the
+        # GC's last-use touch (publish-reuse/load) legitimately bumps
+        # it so a live index never ages out under a reader.
+        sig = []
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                st = os.stat(p)
+                sig.append((os.path.relpath(p, root), st.st_size, st.st_mtime))
+        return sorted(sig)
+
+    files_before = content_sig(newest)
 
     n_second = construct("ivf-construct-2")
-    assert os.path.getmtime(newest) == mtime_before, "index dir was rewritten"
+    assert content_sig(newest) == files_before, "index dir was rewritten"
+    assert os.path.getmtime(newest) > 0  # dir itself may be touched
     # kmeans/probes collects are inherent (model-sized driver state);
     # the two index-write jobs and the centroid-load job must be gone
     assert n_second < n_first, (n_first, n_second)
