@@ -158,8 +158,145 @@ def sequence_packing_replay(con) -> pd.DataFrame:
     return pdf
 
 
+# --- text_lang_id: one-pass feature table + vectorized PEGASOS ------
+
+
+def text_lang_id_replay(con) -> pd.DataFrame:
+    """Linear replay of the text_lang_id oracle (round 9 — the one
+    ground truth that outgrew the rig at sf10: DuckDB INLINES the
+    corpus-sized ``pgf`` CTE into every one of the unrolled training
+    rounds' ~10 references, re-running the feature explode each time
+    and spilling past the box's disk).
+
+    The replay materializes the hashed-feature matrix ONCE as a temp
+    table (the only corpus-sized explode), replays the QT_ROUNDS
+    mini-batch PEGASOS rounds VECTORIZED IN NUMPY over that matrix —
+    an implementation of the published transition rule independent of
+    both the engine's DataFrame loop and the unrolled SQL (truncating
+    divisions toward zero, the semantics Spark ``div`` / DuckDB ``//``
+    share) — and assembles the final rows from one more linear SQL
+    pass plus the model-sized weight map.  Memory: the feature matrix
+    in pandas (~45M rows at sf10, ~1 GB) + one dense 2^20 int64
+    weight array (8 MB).  Replay ≡ primary is hash-proven at sf0.01
+    by test_scale_oracles_match_primary."""
+    import numpy as np
+
+    from olist_ecommerce_data_warehouse_spark.operators.perceptron import FX
+    from olist_ecommerce_data_warehouse_spark.operators.quality import (
+        QC_BUCKETS,
+        QC_W_HALF,
+        _weight_sql,
+        quality_features_sql,
+    )
+    from olist_ecommerce_data_warehouse_spark.operators.textdedup import (
+        mix32_sql_expr,
+    )
+    from olist_ecommerce_data_warehouse_spark.plans.text import (
+        LANG_ID_LANGS,
+        QT_BATCHES,
+        QT_C,
+        QT_ROUNDS,
+        _lang_score_sql,
+    )
+
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE lri_feats AS
+        SELECT doc_id, {quality_features_sql('text')} AS f FROM documents"""
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE lri_pfeats AS
+        SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT doc_id, ({mix32_sql_expr('h')}) % {QC_BUCKETS} AS bucket
+            FROM (SELECT doc_id, unnest(f) AS h FROM lri_feats)
+        ) GROUP BY doc_id, bucket"""
+    )
+    pf = con.execute(
+        """SELECT p.doc_id, p.bucket, p.cnt,
+                  CASE WHEN strpos(d.text, 'data') > 0 THEN 1 ELSE -1 END AS y
+           FROM lri_pfeats p JOIN documents d USING (doc_id)"""
+    ).fetchdf()
+
+    def tdiv(a, b):
+        # truncation toward zero for int64 (numpy // floors)
+        return np.sign(a) * (np.abs(a) // b)
+
+    bkt = pf["bucket"].to_numpy(np.int64)
+    cnt = pf["cnt"].to_numpy(np.int64)
+    yrow = pf["y"].to_numpy(np.int64)
+    doc_u, didx = np.unique(pf["doc_id"].to_numpy(np.int64), return_inverse=True)
+    n_docs = len(doc_u)
+    y_doc = np.zeros(n_docs, np.int64)
+    y_doc[didx] = yrow
+    doc_bt = ((doc_u % QT_BATCHES) + QT_BATCHES) % QT_BATCHES  # pmod
+    row_bt = doc_bt[didx]
+    sizes = {int(b): int((doc_bt == b).sum()) for b in range(QT_BATCHES)}
+
+    w = np.zeros(QC_BUCKETS, np.int64)
+    for t in range(1, QT_ROUNDS + 1):
+        bt = (t - 1) % QT_BATCHES
+        nb = sizes.get(bt, 0)
+        shrunk = w - tdiv(w, t)
+        if nb == 0:
+            w = shrunk
+            continue
+        m = row_bt == bt
+        score = np.zeros(n_docs, np.int64)
+        np.add.at(score, didx[m], cnt[m] * w[bkt[m]])
+        viol = (doc_bt == bt) & (y_doc * score < FX)
+        mv = m & viol[didx]
+        g = np.zeros(QC_BUCKETS, np.int64)
+        np.add.at(g, bkt[mv], yrow[mv] * cnt[mv])
+        w = shrunk + tdiv(QT_C * FX * g, t * nb)
+
+    qt = np.zeros(n_docs, np.int64)
+    np.add.at(qt, didx, cnt * w[bkt])
+    qt_map = dict(zip(doc_u.tolist(), qt.tolist()))
+
+    score_cols = ",\n               ".join(
+        f"{_lang_score_sql(lg)} AS score_{lg}" for lg in LANG_ID_LANGS
+    )
+    greatest = ", ".join(f"score_{lg}" for lg in LANG_ID_LANGS)
+    whens = " ".join(
+        f"WHEN score_{lg} THEN '{lg}'" for lg in LANG_ID_LANGS[:-1]
+    )
+    base = con.execute(
+        f"""WITH scored AS (
+            SELECT doc_id, lang AS lang_actual,
+                   {score_cols},
+                   CASE WHEN strpos(text, 'data') > 0 THEN 1 ELSE -1 END AS y
+            FROM documents
+        ),
+        qc AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(f, h -> {_weight_sql('h')})),
+                       (a, b) -> a + b) AS wsum,
+                   len(f) AS n
+            FROM lri_feats
+        )
+        SELECT s.doc_id, s.lang_actual, {greatest},
+               CASE greatest({greatest})
+                    {whens}
+                    ELSE '{LANG_ID_LANGS[-1]}' END AS lang_predicted,
+               CAST(qc.n AS BIGINT) AS qc_n_features,
+               qc.wsum AS qc_logit_sum,
+               CASE WHEN qc.n > 0
+                    THEN CAST(qc.wsum AS DOUBLE) / ({QC_W_HALF} * qc.n)
+                    ELSE 0.0 END AS qc_score,
+               CASE WHEN qc.wsum >= 0 THEN 1 ELSE 0 END AS qc_pass,
+               s.y
+        FROM scored s JOIN qc USING (doc_id)"""
+    ).fetchdf()
+    base["qt_logit_sum"] = (
+        base["doc_id"].map(qt_map).fillna(0).astype("int64")
+    )
+    base["qt_pass"] = (base["qt_logit_sum"] >= 0).astype("int32")
+    return base
+
+
 # name -> callable(duckdb_connection) -> pandas DataFrame
 SCALE_ORACLES = {
     "asof_click_attribution": asof_replay,
     "sequence_packing": sequence_packing_replay,
+    "text_lang_id": text_lang_id_replay,
 }

@@ -59,7 +59,11 @@ def test_scale_oracles_match_primary(ddb):
 
     from tests.conftest import canonical_rows
 
-    assert set(SCALE_ORACLES) == {"asof_click_attribution", "sequence_packing"}
+    assert set(SCALE_ORACLES) == {
+        "asof_click_attribution",
+        "sequence_packing",
+        "text_lang_id",  # round 9: one-pass feature table + numpy PEGASOS
+    }
     for name, replay_fn in SCALE_ORACLES.items():
         primary = canonical_rows(ddb.execute(e.oracle_sql()[name]).fetchdf())
         replay = canonical_rows(replay_fn(ddb))
