@@ -184,17 +184,23 @@ def gc_stale_indexes(
     - current-format published dirs (``…_v<LAYOUT_VERSION>``) —
       immutable, content-addressed, reused across sessions: kept for
       ``published_max_age_hours`` (a week) SINCE LAST USE — ``load``
-      and every publish-reuse touch the dir mtime, so an index a live
-      session still reads never ages out under it; only a dir no
-      session has touched for a week (an orphan of a regenerated
-      testdata tree) is swept.
+      and every publish-reuse touch the dir mtime, so age-out under a
+      live reader is vanishingly unlikely: the mtime is re-read
+      immediately before the delete, so a concurrent touch would have
+      to land inside the microseconds between that re-check and
+      ``rmtree`` AND the reader would have to have been silent for a
+      full week beforehand (ADVICE r09 — the window is narrowed, not
+      provably zero; a week-stale dir is an orphan of a regenerated
+      testdata tree).
 
     Returns the removed paths — verified gone, not merely attempted
-    (``rmtree`` failures on e.g. a stray FILE named ``ivf_index_*``
-    are not reported as removed).  With ``dry_run`` nothing is
-    deleted and the would-be-removed paths are returned (the
-    ``clean_scratch.py --dry-run`` listing — one policy, one code
-    path).  Idempotent and safe to call from plan construction."""
+    (``rmtree`` failures are not reported as removed).  Stray regular
+    FILES named ``ivf_index_*`` are skipped in BOTH modes — a real
+    sweep's ``rmtree`` cannot remove them, so listing them under
+    ``dry_run`` would over-report (ADVICE r09).  With ``dry_run``
+    nothing is deleted and the would-be-removed paths are returned
+    (the ``clean_scratch.py --dry-run`` listing — one policy, one
+    code path).  Idempotent and safe to call from plan construction."""
     import os
     import shutil
     import time
@@ -204,6 +210,7 @@ def gc_stale_indexes(
         return removed
     keep_suffix = f"_v{LAYOUT_VERSION}"
     now = time.time()
+    cutoff = lambda limit: now - limit * 3600.0  # noqa: E731
     for name in os.listdir(scratch_dir):
         if not name.startswith("ivf_index_"):
             continue
@@ -212,10 +219,17 @@ def gc_stale_indexes(
         )
         p = os.path.join(scratch_dir, name)
         try:
-            if os.path.getmtime(p) < now - age_limit * 3600.0:
-                if dry_run:
-                    removed.append(p)
-                    continue
+            if os.path.getmtime(p) >= cutoff(age_limit):
+                continue
+            if not os.path.isdir(p):
+                continue
+            if dry_run:
+                removed.append(p)
+                continue
+            # Re-read the mtime immediately before the delete: a
+            # concurrent session's load()/publish utime may have
+            # landed since the check above (TOCTOU, ADVICE r09).
+            if os.path.getmtime(p) < cutoff(age_limit):
                 shutil.rmtree(p, ignore_errors=True)
                 if not os.path.exists(p):
                     removed.append(p)

@@ -122,7 +122,7 @@ def ngram_lm_train_from_pairs(
 
 
 def ngram_lm_train_from_pairs_lazy(
-    pairs: DataFrame, lazy_persist_fn
+    pairs: DataFrame, persist_fn
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Collect-free trainer (round 9): V comes back as a one-row
     broadcastable DataFrame ``(__v: double)`` instead of a collected
@@ -138,7 +138,7 @@ def ngram_lm_train_from_pairs_lazy(
     accepts the cold-cache race — per-block write locks serialize
     most of it, but duplicated-compute windows and run-to-run
     variance remain (observed as "Block ... already exists" warns)."""
-    bigram = lazy_persist_fn(pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw")))
+    bigram = persist_fn(pairs.groupBy("prev", "w").agg(F.count("*").alias("c_bw")))
     vdf = bigram.agg(F.countDistinct("w").cast("double").alias("__v"))
     context = bigram.groupBy("prev").agg(F.sum("c_bw").alias("c_u"))
     return bigram, context, vdf

@@ -500,7 +500,7 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = track_persist(_bigram_pairs_from_tokens(tok), eager=False)
     bigram, context, v = ngram_lm_train_from_pairs_lazy(
         pairs.filter(_split_col() == "train"),
-        lazy_persist_fn=track_persist,
+        persist_fn=track_persist,
     )
     # scored is doc-grain and NARROW (id, lang, 3 ints) — persisting it
     # means the tertile operator's two consumers (value counts + final

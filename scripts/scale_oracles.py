@@ -231,6 +231,15 @@ def text_lang_id_replay(con) -> pd.DataFrame:
     row_bt = doc_bt[didx]
     sizes = {int(b): int((doc_bt == b).sum()) for b in range(QT_BATCHES)}
 
+    # Overflow posture (ADVICE r09): the primary engines (Spark ANSI /
+    # DuckDB) compute these int64 updates CHECKED and fail loud; numpy
+    # wraps silently, so a bound violation would surface only as a
+    # hash mismatch.  Assert the headroom bounds before each wrapping
+    # site so the replay raises like the engines do.
+    cnt_doc = np.zeros(n_docs, np.int64)
+    np.add.at(cnt_doc, didx, cnt)
+    cnt_doc_max = int(cnt_doc.max()) if n_docs else 0
+
     w = np.zeros(QC_BUCKETS, np.int64)
     for t in range(1, QT_ROUNDS + 1):
         bt = (t - 1) % QT_BATCHES
@@ -246,7 +255,18 @@ def text_lang_id_replay(con) -> pd.DataFrame:
         mv = m & viol[didx]
         g = np.zeros(QC_BUCKETS, np.int64)
         np.add.at(g, bkt[mv], yrow[mv] * cnt[mv])
+        gmax = int(np.abs(g).max()) if len(g) else 0
+        assert QT_C * FX * gmax < 2**62, (
+            f"PEGASOS replay t={t}: QT_C*FX*|g|max = {QT_C * FX * gmax} "
+            "would overflow int64 (the primary would have raised)"
+        )
         w = shrunk + tdiv(QT_C * FX * g, t * nb)
+        wmax = int(np.abs(w).max()) if len(w) else 0
+        assert wmax == 0 or cnt_doc_max * wmax < 2**62, (
+            f"PEGASOS replay t={t}: per-doc score bound "
+            f"cnt_doc_max*|w|max = {cnt_doc_max * wmax} would overflow "
+            "int64 in the next score accumulation"
+        )
 
     qt = np.zeros(n_docs, np.int64)
     np.add.at(qt, didx, cnt * w[bkt])
