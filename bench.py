@@ -36,6 +36,18 @@ genuine plan regression moves only its own query and still flags —
 verified by the injected-sleep tests in tests/test_bench_gate.py and
 one real injected-sleep bench run (BASELINE.md §"Calibration").
 Diffs vs the frozen R01-R05 anchor dicts remain recorded for history.
+
+Round 10 split the rig model by EXECUTION MODE: the JVM kernel
+provably does not track interpreter/Arrow throughput (BASELINE.md's
+round-8 analysis — the axis behind the multimodal bimodality and the
+r9 81.5-106.7 s session spread), so each calibration window now also
+times a fixed pure-Python ``mapInPandas`` kernel, every plan is
+labeled JVM-mode or Python-mode (``PY_MODE_PLANS``, derived by
+executed-plan inspection), and each plan normalizes by ITS OWN mode's
+rig factor.  A slow-Python session no longer inflates
+``multimodal_metadata``'s normalized ratio, and a slow-JVM session no
+longer hides behind a quiet Python factor — per-mode injected-sleep
+tests in tests/test_bench_gate.py.
 EVERY timing sample and cal window (including confirmation re-runs)
 is written to ``bench_ab/bench_full_latest.json`` so re-anchoring
 decisions stay auditable; STDOUT carries only the compact gate
@@ -170,6 +182,36 @@ BASELINE_R04 = {
 # unit every later session's calibration is divided by.
 CAL_REF = 0.92
 
+# Frozen PYTHON-mode calibration reference (round 10, verdict task 1).
+# BASELINE.md's round-8 analysis proved the JVM kernel above does NOT
+# track interpreter/Arrow throughput — the axis behind the
+# multimodal_metadata bimodality and the r9 81.5-106.7 s session
+# spread — so Python-kernel plans get their own fixed unit: the
+# mapInPandas kernel below measured best-of-3 on the quiet rig in two
+# anchoring sessions (0.7615 / 0.7514 with the JVM cal reading
+# 0.86-0.98 in both, i.e. rig factor 1.0 — BASELINE.md §"Round-10
+# Python-mode calibration").  Same contract as CAL_REF: the quiet-rig
+# minimum, never re-measured.
+CAL_REF_PY = 0.75
+
+# Plans whose executed plan contains Python/Arrow eval nodes
+# (MapInPandas / FlatMapGroupsInPandas — derived by optimizedPlan()
+# inspection at sf0.001, asserted by tests/test_bench_gate.py).  These
+# normalize by rig_factor_py; everything else (pure JVM codegen +
+# shuffle) by the JVM rig factor.  A plan that GAINS a Python kernel
+# must be added here or its normalization silently uses the wrong
+# mode's factor — the plan-inspection test catches exactly that drift.
+PY_MODE_PLANS = frozenset({
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "embedding_quantize",
+    "multimodal_decode_frames",
+    "multimodal_metadata",
+    "sequence_packing",
+    "text_metrics",
+})
+
 
 def calibration_sec(spark) -> float:
     """Best-of-3 of a fixed synthetic plan: 8M-row range → modulo key +
@@ -189,6 +231,49 @@ def calibration_sec(spark) -> float:
             .groupBy("k")
             .agg(F.sum("h").alias("s"), F.count("*").alias("c"))
             .agg(F.sum(F.col("s") + F.col("c")).alias("t"))
+        )
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    one()
+    return min(one() for _ in range(3))
+
+
+def calibration_py_sec(spark) -> float:
+    """Best-of-3 of a fixed PYTHON-mode plan: 400k-row range over 32
+    partitions → mapInPandas kernel running a 256-iteration pure-Python
+    LCG per row → scalar reduce.  Frozen literally (round 10): the
+    inner loop is interpreter bytecode (deliberately NOT numpy/hashlib
+    C code — the multimodal/codec kernels this calibrates for are
+    pure-Python struct walkers), and at this size the run splits
+    roughly half interpreter, half Python-worker dispatch + Arrow
+    transfer — the two axes the JVM kernel provably misses.  ~0.75 s
+    per run at reference speed; one untimed warm run absorbs the
+    per-kernel setup.  (Measured while tuning: the same kernel read
+    1.28-1.53 s in a slow-Python-mode session whose JVM cal was quiet
+    — exactly the drift signature this kernel exists to normalize.)"""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+
+        def kern(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    h = int(i) & 0xFFFFFFFF
+                    for _ in range(256):
+                        h = (h * 1103515245 + 12345) & 0x7FFFFFFF
+                    out.append(h)
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "h": pd.array(out, dtype="int64")}
+                )
+
+        df = (
+            spark.range(0, 400_000, 1, 32)
+            .mapInPandas(kern, "id long, h long")
+            .agg(F.sum("h").alias("t"))
         )
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -406,13 +491,23 @@ def median_of(xs: list[float]) -> float:
     return (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
-def rig_factor_of(cals: list[float]) -> float:
+def rig_factor_of(cals: list[float], ref: float = CAL_REF) -> float:
     """Session rig factor from the window calibrations: median (robust
     to independent cal spikes — measured 0.64-1.77 s within one quiet
-    session) with a 1.0 floor (CAL_REF is the quiet-rig minimum, so a
-    sub-1.0 median is cal luck, not a faster rig)."""
+    session) with a 1.0 floor (the ref is the quiet-rig minimum, so a
+    sub-1.0 median is cal luck, not a faster rig).  ``ref`` defaults
+    to the JVM kernel's unit; pass CAL_REF_PY for the Python windows
+    (round 10 — one factor per execution mode)."""
     med = sorted(cals)[len(cals) // 2]
-    return round(max(1.0, med / CAL_REF), 4)
+    return round(max(1.0, med / ref), 4)
+
+
+def plan_rig_factor(name: str, rf_jvm: float, rf_py: float) -> float:
+    """The rig factor a plan normalizes by: Python-kernel plans track
+    the interpreter/Arrow drift axis, everything else the JVM
+    codegen+shuffle axis (round 10 — BASELINE.md's round-8 analysis
+    proved the axes drift independently)."""
+    return rf_py if name in PY_MODE_PLANS else rf_jvm
 
 
 def gate_normalized(name: str, norm_sec: float, anchors: dict[str, float] | None = None) -> bool:
@@ -473,6 +568,7 @@ def compact_line(full: dict) -> str:
             "queries": {n: round(t, 3) for n, t in full["queries_median"].items()},
             "sf": full["sf"],
             "rig_factor": full["calibration"]["rig_factor"],
+            "rig_factor_py": full["calibration"].get("rig_factor_py", 1.0),
             "regressions_vs_r01": top_flags(full["regressions_vs_r01"]),
             "regressions_normalized_vs_r06": top_flags(
                 full["regressions_normalized_vs_r06"]
@@ -506,6 +602,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Session-lifecycle scratch retention (round 10, verdict task 5):
+    # run the full policy sweep (IVF indexes, CSV fixtures, sf* trees,
+    # stamped bench records) BEFORE the session starts, so every bench
+    # session bounds the scratch areas — the policy existed since
+    # round 9 but only ran manually.  Before Spark startup and outside
+    # any timed region; removals are noted on stderr (stdout carries
+    # only the one-line driver contract).
+    sys.path.insert(0, str(REPO / "scripts"))
+    from clean_scratch import sweep as scratch_sweep
+
+    swept = scratch_sweep()
+    if swept:
+        print(f"scratch sweep: removed {len(swept)} stale item(s)", file=sys.stderr)
+
     spark = get_spark("olist_spark_bench")
 
     run_plan(spark, "flagship_revenue_by_brand", sf_dir)  # warmup (JVM/codegen)
@@ -527,11 +638,13 @@ def main() -> None:
     # r04: confirmation re-runs must be auditable, not min'd away).
     names = sorted(REGISTRY)
     cals: list[float] = []
+    cals_py: list[float] = []
     samples: dict[str, list[float]] = {n: [] for n in names}
 
     for i, name in enumerate(names):
         if i % 10 == 0:
             cals.append(round(calibration_sec(spark), 4))
+            cals_py.append(round(calibration_py_sec(spark), 4))
         for _ in range(2):
             samples[name].append(round(run_plan(spark, name, sf_dir), 4))
 
@@ -558,22 +671,33 @@ def main() -> None:
     # loop still flagged.  All confirmation samples land in "samples".
     if abs(sf - 0.1) < 1e-9:
         for _ in range(5):
-            rf = rig_factor_of(cals)
+            rf_jvm = rig_factor_of(cals)
+            rf_py = rig_factor_of(cals_py, CAL_REF_PY)
             flagged = [
-                n for n in names if gate_normalized(n, median_of(samples[n]) / rf)
+                n
+                for n in names
+                if gate_normalized(
+                    n, median_of(samples[n]) / plan_rig_factor(n, rf_jvm, rf_py)
+                )
             ]
             if not flagged:
                 break
             cals.append(round(calibration_sec(spark), 4))
+            cals_py.append(round(calibration_py_sec(spark), 4))
             for name in flagged:
                 samples[name].append(round(run_plan(spark, name, sf_dir), 4))
 
     rig_factor = rig_factor_of(cals)
+    rig_factor_py = rig_factor_of(cals_py, CAL_REF_PY)
     timings = {name: min(samples[name]) for name in names}
     medians = {name: median_of(samples[name]) for name in names}
-    normalized = {name: round(t / rig_factor, 4) for name, t in timings.items()}
+    normalized = {
+        name: round(t / plan_rig_factor(name, rig_factor, rig_factor_py), 4)
+        for name, t in timings.items()
+    }
     normalized_median = {
-        name: round(t / rig_factor, 4) for name, t in medians.items()
+        name: round(t / plan_rig_factor(name, rig_factor, rig_factor_py), 4)
+        for name, t in medians.items()
     }
 
     # regression diffs: normalized-vs-R06 is the binding gate; diffs
@@ -592,6 +716,10 @@ def main() -> None:
             "window_secs": cals,
             "ref_sec": CAL_REF,
             "rig_factor": rig_factor,
+            "window_secs_py": cals_py,
+            "ref_sec_py": CAL_REF_PY,
+            "rig_factor_py": rig_factor_py,
+            "py_mode_plans": sorted(PY_MODE_PLANS),
         },
         "samples": samples,
         "baseline_total_r01": round(sum(BASELINE_R01.values()), 2),

@@ -29,6 +29,15 @@ else:
     SCALE_ORACLES = {}
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Session-lifecycle scratch retention (round 10, verdict task 5): the
+# full policy sweep runs at startup so any verify session bounds a
+# dirty .scratch/bench_ab instead of the policy being manual-only.
+sys.path.insert(0, "/root/repo/scripts")
+from clean_scratch import sweep as _scratch_sweep
+_swept = _scratch_sweep()
+if _swept:
+    print(f"scratch sweep: removed {len(_swept)} stale item(s)", flush=True)
+
 spark = get_spark("verify")
 n = len(e.entry(spark).collect())
 print("entry rows:", n, flush=True)

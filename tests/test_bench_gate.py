@@ -218,3 +218,153 @@ def test_three_sample_epoch_resolves_within_five_confirmations():
     assert not bench.gate_normalized("x", bench.median_of(resolved), {"x": anchor})
     genuine = [1.33, 1.31, 1.25, 1.28, 1.3, 1.27, 1.29]
     assert bench.gate_normalized("x", bench.median_of(genuine), {"x": anchor})
+
+
+# ---------------------------------------------------- round 10: two-mode rig
+
+
+def test_py_mode_slow_session_does_not_inflate_python_plans():
+    """The round-10 acceptance test (verdict task 1): a session whose
+    PYTHON kernels run 1.8× slow (interpreter/Arrow drift — the
+    multimodal bimodality) while the JVM kernels stay quiet must NOT
+    flag a Python-mode plan timed at 1.8× its anchor: the plan's own
+    mode factor normalizes it away.  Under the old single-factor model
+    the JVM factor stayed 1.0 and the plan spuriously flagged."""
+    rf_jvm = bench.rig_factor_of([bench.CAL_REF] * 7)
+    rf_py = bench.rig_factor_of([bench.CAL_REF_PY * 1.8] * 7, bench.CAL_REF_PY)
+    assert rf_jvm == 1.0 and abs(rf_py - 1.8) < 0.01
+    name = "multimodal_metadata"
+    assert name in bench.PY_MODE_PLANS
+    anchor = bench.BASELINE_R06[name]
+    raw = 1.8 * anchor
+    factor = bench.plan_rig_factor(name, rf_jvm, rf_py)
+    assert factor == rf_py
+    assert not bench.gate_normalized(name, raw / factor)
+    # ... while the single JVM factor would have flagged it
+    assert bench.gate_normalized(name, raw / rf_jvm)
+
+
+def test_py_mode_slow_session_leaves_jvm_plans_untouched():
+    """The complement: the slow-Python session must not RELAX the gate
+    for JVM plans — a genuine 2× regression in a JVM plan still flags
+    because it normalizes by the (quiet) JVM factor, not the inflated
+    Python one."""
+    rf_jvm = bench.rig_factor_of([bench.CAL_REF] * 7)
+    rf_py = bench.rig_factor_of([bench.CAL_REF_PY * 1.8] * 7, bench.CAL_REF_PY)
+    name = "gold_fact_lineitem"
+    assert name not in bench.PY_MODE_PLANS
+    factor = bench.plan_rig_factor(name, rf_jvm, rf_py)
+    assert factor == rf_jvm == 1.0
+    assert bench.gate_normalized(name, 2.0 * bench.BASELINE_R06[name] / factor)
+
+
+def test_injected_sleep_python_plan_still_flags_on_quiet_rig():
+    """Per-mode injected-sleep (the round-5 device, Python edition): a
+    genuine 2× slowdown in a Python-mode plan on a QUIET rig (both
+    cal kernels at reference) must flag — per-mode normalization must
+    not open a hole for real Python-plan regressions."""
+    rf_jvm = bench.rig_factor_of([bench.CAL_REF] * 7)
+    rf_py = bench.rig_factor_of([bench.CAL_REF_PY] * 7, bench.CAL_REF_PY)
+    assert rf_jvm == rf_py == 1.0
+    name = "ann_ivf_topk"
+    assert name in bench.PY_MODE_PLANS
+    factor = bench.plan_rig_factor(name, rf_jvm, rf_py)
+    assert bench.gate_normalized(name, 2.0 * bench.BASELINE_R06[name] / factor)
+
+
+def test_uniform_py_rig_slowdown_cancels_for_python_plans():
+    """The symmetric cancel: every Python plan AND the Python cal
+    kernel 1.8× slow (a pure interpreter epoch) → no Python plan
+    flags."""
+    rf_py = bench.rig_factor_of([bench.CAL_REF_PY * 1.8] * 7, bench.CAL_REF_PY)
+    for name in bench.PY_MODE_PLANS:
+        anchor = bench.BASELINE_R06[name]
+        assert not bench.gate_normalized(name, 1.8 * anchor / rf_py), name
+
+
+def test_py_mode_plans_are_registered():
+    """Every labeled Python-mode plan must exist in the registry (a
+    renamed slot would silently fall back to the JVM factor)."""
+    from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+
+    assert bench.PY_MODE_PLANS <= set(REGISTRY)
+
+
+def test_py_rig_factor_floor_at_one():
+    """A lucky Python-cal session must not inflate Python-plan
+    normalized times — same floor contract as the JVM factor."""
+    assert bench.rig_factor_of([bench.CAL_REF_PY * 0.7] * 5, bench.CAL_REF_PY) == 1.0
+
+
+def test_r9_subsecond_jitter_stays_under_gate():
+    """Round-10 verdict task 6, pinned with the real round-9 numbers:
+    the worst raw drifts of r9 (volumetrics 1.42×, cleanse_accent_fold
+    _dedup 1.41× — both sub-second plans swinging on ±0.15-0.25 s of
+    session noise) must stay under the binding gate, because the flag
+    rule has carried an absolute floor (>0.5 s over anchor) alongside
+    the 1.5× ratio since round 5.  Documented in BASELINE.md
+    §"Gate arithmetic"."""
+    assert not bench.gate_normalized(
+        "volumetrics", 1.42 * bench.BASELINE_R06["volumetrics"]
+    )
+    assert not bench.gate_normalized(
+        "cleanse_accent_fold_dedup",
+        1.41 * bench.BASELINE_R06["cleanse_accent_fold_dedup"],
+    )
+    # the floor does NOT shelter a real regression on a heavy plan
+    assert bench.gate_normalized(
+        "corpus_mixing", 1.6 * bench.BASELINE_R06["corpus_mixing"]
+    )
+
+
+def test_scratch_sweep_bounds_planted_stale_dirs(tmp_path):
+    """Round-10 verdict task 5: the session-lifecycle sweep (run at
+    bench.py / verify_driver.py startup) must remove a planted stale
+    IVF index, a stale CSV fixture, a stale sf tree and over-quota
+    stamped bench records — and keep fresh artifacts, anchoring
+    records and bench_full_latest.json."""
+    import os
+    import sys
+    import time
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from clean_scratch import sweep
+
+    scratch = tmp_path / ".scratch"
+    bench_ab = tmp_path / "bench_ab"
+    scratch.mkdir()
+    bench_ab.mkdir()
+    old = time.time() - 10 * 86400.0
+    stale = [
+        scratch / "ivf_index_stale_v1",
+        scratch / "csv_roundtrip_sf0.1",
+        scratch / "sf1",
+    ]
+    fresh = [scratch / "ivf_index_fresh_v1", scratch / "csv_roundtrip_sf0.01"]
+    for d in stale + fresh:
+        d.mkdir()
+        (d / "part").write_text("x")
+    for d in stale:
+        os.utime(d, (old, old))
+    for i in range(15):
+        (bench_ab / f"bench_full_2026010{i % 10}T00000{i}Z.json").write_text("{}")
+    (bench_ab / "bench_full_latest.json").write_text("{}")
+    (bench_ab / "anchoring_r6_run1.json").write_text("{}")
+
+    removed = sweep(scratch=str(scratch), bench_ab=str(bench_ab), keep_bench=12)
+    removed_names = {os.path.basename(p) for p in removed}
+    assert {"ivf_index_stale_v1", "csv_roundtrip_sf0.1", "sf1"} <= removed_names
+    for d in stale:
+        assert not d.exists()
+    for d in fresh:
+        assert d.exists()
+    stamped_left = [
+        n for n in os.listdir(bench_ab)
+        if n.startswith("bench_full_") and n != "bench_full_latest.json"
+    ]
+    assert len(stamped_left) == 12
+    assert (bench_ab / "bench_full_latest.json").exists()
+    assert (bench_ab / "anchoring_r6_run1.json").exists()
+    # idempotent: a second sweep removes nothing
+    assert sweep(scratch=str(scratch), bench_ab=str(bench_ab), keep_bench=12) == []

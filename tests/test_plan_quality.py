@@ -355,3 +355,34 @@ def test_ivf_index_reconstruction_runs_no_write_jobs(spark):
     # kmeans/probes collects are inherent (model-sized driver state);
     # the two index-write jobs and the centroid-load job must be gone
     assert n_second < n_first, (n_first, n_second)
+
+
+def test_py_mode_labels_match_executed_plans(spark):
+    """bench.py's two-mode rig model (round 10) normalizes each plan
+    by its execution mode's calibration factor — so the PY_MODE_PLANS
+    label set must track reality: every labeled plan's optimized plan
+    contains a Python/Arrow eval node, and the JVM-labeled heavy
+    plans contain none (a plan that gains or loses a Python kernel
+    must move between modes, or its normalization silently uses the
+    wrong drift axis)."""
+    import bench
+
+    py_nodes = (
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapCoGroupsInPandas",
+        "PythonMapInArrow",
+    )
+    for name in sorted(bench.PY_MODE_PLANS):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        assert any(n in s for n in py_nodes), f"{name} labeled PY but has no Python node"
+    # negative spot-checks on JVM-labeled plans the drift question
+    # matters most for (the heavy tail)
+    for name in ("text_lang_id", "dedup_ngram_jaccard", "gold_fact_lineitem"):
+        assert name not in bench.PY_MODE_PLANS
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        assert not any(n in s for n in py_nodes), f"{name} labeled JVM but has a Python node"
