@@ -108,7 +108,18 @@ class IVFIndex:
         and read the winner's — readers can never observe a partial
         index (ADVICE r07's clobbering fix without the round-8
         session-keyed dir accumulation; round 9).  Returns True when
-        this call did the write."""
+        this call did the write.
+
+        Filesystem seam (round-10 local-cluster smoke): the parquet
+        WRITES go through Spark (executors), but the existence check /
+        rename / mtime-touch here are driver-local ``os`` calls — they
+        are correct wherever driver and executors share a POSIX
+        filesystem (local, local-cluster, NFS).  Deploying the index
+        dir on HDFS/S3 means routing exactly these three calls through
+        the Hadoop FileSystem API (``fs.exists``/``fs.rename``/
+        ``fs.setTimes``) — the write-once content-addressed protocol
+        itself is FS-agnostic (rename-if-absent is the primitive both
+        APIs provide)."""
         import os
         import shutil
 

@@ -22,22 +22,108 @@ chosen so the same logical plans scale to a multi-executor cluster:
 from __future__ import annotations
 
 import os
+import re
+import sys
 
 from pyspark.sql import SparkSession
+
+# Repo root — shipped to executor-side Python workers when the session
+# runs with real (separate-process) executors, see _master() below.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _master(cpus: int) -> tuple[str, int]:
+    """Resolve the Spark master and the total core count it provides.
+
+    ``$SPARK_GRAFT_MASTER`` overrides the default ``local[cpus]`` —
+    round 10's ``local-cluster[n,cores,memMB]`` smoke uses this to run
+    the identical plans against separate-process executors (the
+    topology local mode structurally masks: torrent broadcast,
+    closure serialization, executor-side Python worker imports).  For
+    a local-cluster master the returned core count is n*cores so
+    shuffle partitioning is sized to the actual cluster width.
+    """
+    master = os.environ.get("SPARK_GRAFT_MASTER", "")
+    if not master:
+        return f"local[{cpus}]", cpus
+    m = re.match(r"local-cluster\[(\d+),(\d+),(\d+)\]", master)
+    if m:
+        return master, int(m.group(1)) * int(m.group(2))
+    return master, cpus
+
+
+def _package_zip() -> str:
+    """Zip the engine package for ``addPyFile`` distribution.
+
+    The canonical way to give executor-side Python workers the package
+    (``--py-files`` / ``addPyFile``): cloudpickle serializes the
+    module-level Arrow kernels BY REFERENCE, so workers must import
+    ``olist_ecommerce_data_warehouse_spark`` themselves.  Rebuilt only
+    when a source file is newer than the existing archive.  Round-10
+    finding: ``spark.executorEnv.PYTHONPATH`` does NOT reach the
+    forked Python workers under local-cluster (the worker launcher
+    overwrites it with its own SPARK_HOME paths) — the py-files
+    mechanism is the one that works on every cluster manager.
+    """
+    import zipfile
+
+    pkg_dir = os.path.join(_REPO_ROOT, "olist_ecommerce_data_warehouse_spark")
+    scratch = os.path.join(_REPO_ROOT, ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    dest = os.path.join(scratch, "olist_pkg_for_executors.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        sources += [os.path.join(root, f) for f in files if f.endswith(".py")]
+    if not sources:
+        # fail loud: an empty zip ships cleanly and only breaks later as
+        # an executor-side ModuleNotFoundError (the round-10 smoke's
+        # first failure mode — a mis-resolved repo root)
+        raise RuntimeError(f"no package sources found under {pkg_dir}")
+    if os.path.exists(dest) and os.path.getmtime(dest) >= max(
+        os.path.getmtime(s) for s in sources
+    ):
+        return dest
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for s in sorted(sources):
+            zf.write(s, os.path.relpath(s, _REPO_ROOT))
+    os.replace(tmp, dest)
+    return dest
 
 
 def get_spark(app_name: str = "olist_spark_engine", *, cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all
-    local cores.
+    local cores.  ``$SPARK_GRAFT_MASTER`` overrides the master URL
+    (see :func:`_master`); with separate-process executors the builder
+    also ships the package zip to executor Python workers (addPyFile)
+    and pins the worker interpreter to the driver's — in ``local[*]``
+    both are inherited implicitly, on a real cluster neither is, and
+    every Arrow kernel in this package is a module-level function that
+    cloudpickle serializes BY REFERENCE (an import on the worker), not
+    by value.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master, total_cores = _master(cpus)
+    builder = SparkSession.builder.master(master)
+    real_executors = not master.startswith("local[")
+    if real_executors:
+        builder = (
+            builder.config("spark.executorEnv.PYSPARK_PYTHON", sys.executable)
+            # local-cluster's [.. ,memMB] sizes the worker; the executor
+            # JVM heap must fit inside it (default 1g would under-use a
+            # 4096 MB worker; anything larger fails to launch).
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEMORY", "3g"),
+            )
+        )
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(total_cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -69,4 +155,6 @@ def get_spark(app_name: str = "olist_spark_engine", *, cpus: int | None = None) 
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    if real_executors:
+        spark.sparkContext.addPyFile(_package_zip())
     return spark

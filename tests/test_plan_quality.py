@@ -386,3 +386,32 @@ def test_py_mode_labels_match_executed_plans(spark):
         df = REGISTRY[name].fn(spark, SF_DIR)
         s = df._jdf.queryExecution().optimizedPlan().toString()
         assert not any(n in s for n in py_nodes), f"{name} labeled JVM but has a Python node"
+
+
+def test_session_factory_cluster_topology_support():
+    """Round-10 local-cluster smoke support (verdict r09 task 2): the
+    session factory must resolve a ``SPARK_GRAFT_MASTER`` local-cluster
+    URL to its true total core count (shuffle partitioning is sized to
+    cluster width, not the local cpu arg), and the executor package
+    zip must actually contain the package — the smoke's first failure
+    was an empty zip shipping cleanly and dying later as an
+    executor-side ModuleNotFoundError."""
+    import zipfile
+
+    from olist_ecommerce_data_warehouse_spark.session import _master, _package_zip
+
+    assert _master(32) == ("local[32]", 32)
+    import os
+
+    os.environ["SPARK_GRAFT_MASTER"] = "local-cluster[2,4,4096]"
+    try:
+        assert _master(32) == ("local-cluster[2,4,4096]", 8)
+    finally:
+        del os.environ["SPARK_GRAFT_MASTER"]
+
+    path = _package_zip()
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+    assert "olist_ecommerce_data_warehouse_spark/__init__.py" in names
+    assert "olist_ecommerce_data_warehouse_spark/operators/similarity.py" in names
+    assert len(names) > 30
