@@ -52,6 +52,46 @@ LAYOUT_VERSION = 1
 _CENTROID_CACHE: dict[str, list[list[int]]] = {}
 
 
+def _is_uri(path: str) -> bool:
+    """True when ``path`` carries a filesystem scheme (``hdfs://``,
+    ``s3a://``, ``file://``, …) — those routes go through the Hadoop
+    FileSystem API; bare paths stay on the fast local ``os`` calls."""
+    import re
+
+    return bool(re.match(r"^[a-z][a-z0-9+.\-]*://", path, re.IGNORECASE))
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class, Path) for a scheme'd location via the
+    session's JVM gateway — the cluster-FS half of the publish seam
+    (round 10; the POSIX half is the plain ``os`` calls below)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path, jpath
+
+
+def _rename_if_absent(fs, path_cls, tmp, dst) -> bool:
+    """Commit ``tmp`` to ``dst`` if-and-only-if ``dst`` did not exist,
+    under Hadoop rename semantics.  ``FileSystem#rename`` onto an
+    EXISTING directory does not fail like POSIX ``os.rename`` — it
+    moves ``tmp`` INSIDE it (the classic pitfall), so a race loser
+    would silently plant ``dst/<tmpname>`` instead of erroring.  This
+    helper detects that nested-move signature, removes the stray, and
+    reports the loss; the loser's caller then reads the winner's
+    complete dir.  Returns True only when ``tmp`` became ``dst``
+    itself."""
+    renamed = fs.rename(tmp, dst)
+    nested = path_cls(dst, tmp.getName())
+    if renamed and not fs.exists(nested):
+        return True
+    if fs.exists(nested):
+        fs.delete(nested, True)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    return False
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, centroids: list[list[int]], assigned: DataFrame):
         self.spark = spark
@@ -110,18 +150,33 @@ class IVFIndex:
         session-keyed dir accumulation; round 9).  Returns True when
         this call did the write.
 
-        Filesystem seam (round-10 local-cluster smoke): the parquet
-        WRITES go through Spark (executors), but the existence check /
-        rename / mtime-touch here are driver-local ``os`` calls — they
-        are correct wherever driver and executors share a POSIX
-        filesystem (local, local-cluster, NFS).  Deploying the index
-        dir on HDFS/S3 means routing exactly these three calls through
-        the Hadoop FileSystem API (``fs.exists``/``fs.rename``/
-        ``fs.setTimes``) — the write-once content-addressed protocol
-        itself is FS-agnostic (rename-if-absent is the primitive both
-        APIs provide)."""
+        Filesystem seam (round 10): the parquet WRITES go through
+        Spark (executors, any Hadoop-supported FS), and the existence
+        check / rename / mtime-touch dispatch on the path — a scheme'd
+        location (``hdfs://``, ``s3a://``, ``file://``) routes through
+        the Hadoop FileSystem API (``fs.exists``/``_rename_if_absent``/
+        ``fs.setTimes``), a bare path stays on the driver-local ``os``
+        calls that are correct wherever driver and executors share a
+        POSIX filesystem (local, local-cluster, NFS).  The write-once
+        content-addressed protocol itself is FS-agnostic: rename-if-
+        absent is the primitive both APIs provide (with the Hadoop
+        move-into-existing-dir pitfall handled in
+        ``_rename_if_absent``)."""
         import os
         import shutil
+        import time
+
+        if _is_uri(path):
+            fs, path_cls, dst = _hadoop_fs(self.spark, path)
+            if fs.exists(dst):
+                try:  # last-use touch, same contract as the os branch
+                    fs.setTimes(dst, int(time.time() * 1000), -1)
+                except Exception:  # noqa: BLE001 — FS may not support it
+                    pass
+                return False
+            tmp_uri = f"{path}.tmp-{self.spark.sparkContext.applicationId}"
+            self.save(tmp_uri)
+            return _rename_if_absent(fs, path_cls, path_cls(tmp_uri), dst)
 
         if os.path.isdir(path):
             # mark last-use: the week-long GC tier measures time since
@@ -146,12 +201,24 @@ class IVFIndex:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
         import os
+        import time
 
-        key = os.path.abspath(path)
-        try:  # last-use touch — see gc_stale_indexes / publish
-            os.utime(path, None)
-        except OSError:
-            pass
+        if _is_uri(path):
+            # scheme'd location: cache-key on the URI verbatim
+            # (os.path.abspath would prepend the cwd to it) and touch
+            # through the Hadoop API
+            key = path
+            try:
+                fs, _, jpath = _hadoop_fs(spark, path)
+                fs.setTimes(jpath, int(time.time() * 1000), -1)
+            except Exception:  # noqa: BLE001 — touch is best-effort
+                pass
+        else:
+            key = os.path.abspath(path)
+            try:  # last-use touch — see gc_stale_indexes / publish
+                os.utime(path, None)
+            except OSError:
+                pass
         cents = _CENTROID_CACHE.get(key)
         if cents is None:
             cent_rows = (
@@ -185,7 +252,11 @@ def gc_stale_indexes(
     dry_run: bool = False,
 ) -> list[str]:
     """Sweep leftover ``ivf_index_*`` artifacts from ``scratch_dir``
-    (round 9, ADVICE r07 residue).  Two retention tiers:
+    (round 9, ADVICE r07 residue).  Deliberately ``os``-based, never
+    Hadoop-routed: its domain is the repo-local ``.scratch`` directory
+    (clean_scratch runs it without a Spark session); a remote index
+    store is owned by that store's own lifecycle tooling.  Two
+    retention tiers:
 
     - legacy session-keyed dirs (round-8 naming), orphaned
       ``.tmp-<appId>`` dirs from publishers that died mid-write, and

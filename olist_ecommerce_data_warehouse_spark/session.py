@@ -82,7 +82,12 @@ def _package_zip() -> str:
     if os.path.exists(dest) and os.path.getmtime(dest) >= max(
         os.path.getmtime(s) for s in sources
     ):
-        return dest
+        # mtime alone misses deletions (removing a module leaves every
+        # survivor older than the archive) — require the entry count
+        # to match too
+        with zipfile.ZipFile(dest) as zf:
+            if len(zf.namelist()) == len(sources):
+                return dest
     tmp = f"{dest}.tmp-{os.getpid()}"
     with zipfile.ZipFile(tmp, "w") as zf:
         for s in sorted(sources):

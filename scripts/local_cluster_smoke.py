@@ -14,7 +14,7 @@ local mode cannot test are tested:
   a separate executor JVM + its forked Python workers;
 - executor Python workers must IMPORT the package (cloudpickle
   serializes module-level functions by reference) — exercised via the
-  ``spark.executorEnv.PYTHONPATH`` shipping in ``session.get_spark``;
+  ``addPyFile`` package-zip shipping in ``session.get_spark``;
 - broadcasts (dim tables, centroids, λ tables, BPE merges) travel over
   torrent broadcast instead of a driver-local reference;
 - the IVF publish renames a directory that EXECUTORS wrote.
@@ -24,8 +24,9 @@ a SparkContext with a different master inside one process leaks config
 across sides).  Results land in ``bench_ab/local_cluster_smoke_r10.json``
 and the SCALING.md table is derived from that record.
 
-Usage: ``python scripts/local_cluster_smoke.py [--sf-dir DIR]``
-(add ``--side ref|cluster --out F`` only as the internal child mode).
+Usage: ``python scripts/local_cluster_smoke.py [--sf-dir DIR]
+[--plans top10|all|name,name,...]`` (``--side ref|cluster --out F``
+is the internal child mode only).
 """
 
 from __future__ import annotations
@@ -70,7 +71,21 @@ def _canonical_rows():
     return mod.canonical_rows
 
 
-def run_side(side: str, sf_dir: str, out: str) -> None:
+def _plan_list(plans_arg: str) -> list[str]:
+    """``top10`` (default), ``all`` (the full 50-plan registry, sorted),
+    or an explicit comma list."""
+    if plans_arg == "top10":
+        return TOP10
+    if plans_arg == "all":
+        if REPO not in sys.path:
+            sys.path.insert(0, REPO)
+        from olist_ecommerce_data_warehouse_spark.plans import REGISTRY
+
+        return sorted(REGISTRY)
+    return plans_arg.split(",")
+
+
+def run_side(side: str, sf_dir: str, out: str, plans: list[str]) -> None:
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
     if side == "cluster":
@@ -85,7 +100,7 @@ def run_side(side: str, sf_dir: str, out: str) -> None:
     canonical_rows = _canonical_rows()
     spark = get_spark(f"lc_smoke_{side}", cpus=32)
     results: dict[str, dict] = {}
-    for name in TOP10:
+    for name in plans:
         t0 = time.perf_counter()
         pdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
         wall = round(time.perf_counter() - t0, 3)
@@ -105,19 +120,24 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--side", choices=["ref", "cluster"])
     ap.add_argument("--out")
+    ap.add_argument("--plans", default="top10",
+                    help="top10 | all | comma-separated plan names")
     args = ap.parse_args()
 
     if args.side:
-        run_side(args.side, args.sf_dir, args.out)
+        run_side(args.side, args.sf_dir, args.out, _plan_list(args.plans))
         return 0
 
-    record: dict = {"sf_dir": args.sf_dir, "cluster_master": CLUSTER_MASTER, "plans": {}}
+    plan_names = _plan_list(args.plans)
+    record: dict = {"sf_dir": args.sf_dir, "cluster_master": CLUSTER_MASTER,
+                    "plan_set": args.plans, "plans": {}}
     sides: dict[str, dict] = {}
     for side in ("ref", "cluster"):
         out = os.path.join(REPO, "bench_ab", f".lc_smoke_{side}.json")
         subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--side", side, "--sf-dir", args.sf_dir, "--out", out],
+             "--side", side, "--sf-dir", args.sf_dir, "--out", out,
+             "--plans", args.plans],
             check=True, cwd=REPO,
         )
         with open(out) as f:
@@ -125,7 +145,7 @@ def main() -> int:
         os.unlink(out)
 
     all_ok = True
-    for name in TOP10:
+    for name in plan_names:
         r, c = sides["ref"][name], sides["cluster"][name]
         identical = r["hash"] == c["hash"] and r["rows"] == c["rows"]
         all_ok &= identical
@@ -139,7 +159,11 @@ def main() -> int:
               f"{c['wall_sec']}s | rows {r['rows']} | identical={identical}")
     record["all_identical"] = all_ok
 
-    dest = os.path.join(REPO, "bench_ab", "local_cluster_smoke_r10.json")
+    dest = os.path.join(
+        REPO, "bench_ab",
+        "local_cluster_smoke_r10.json" if args.plans == "top10"
+        else f"local_cluster_smoke_r10_{args.plans.replace(',', '_')[:40]}.json",
+    )
     with open(dest, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
     print(("ALL IDENTICAL" if all_ok else "MISMATCH") + f" -> {dest}")

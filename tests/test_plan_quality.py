@@ -415,3 +415,73 @@ def test_session_factory_cluster_topology_support():
     assert "olist_ecommerce_data_warehouse_spark/__init__.py" in names
     assert "olist_ecommerce_data_warehouse_spark/operators/similarity.py" in names
     assert len(names) > 30
+
+
+def test_ivf_publish_routes_scheme_paths_through_hadoop_fs(spark, tmp_path):
+    """The round-10 FS seam: a scheme'd index location (here
+    ``file://`` — same Hadoop FileSystem API route as hdfs://s3a://)
+    must round-trip the full write-once lifecycle — publish-if-absent,
+    zero-write reuse with a last-use touch, load + partition-pruned
+    search — without any driver-local ``os`` call touching the path.
+    Also pins the classic Hadoop rename pitfall: rename onto an
+    existing directory moves the source INSIDE it instead of failing,
+    so a race loser must detect the nested-move signature and clean
+    it up (``_rename_if_absent``)."""
+    import os
+    import time
+
+    from olist_ecommerce_data_warehouse_spark.operators import ann_index
+    from olist_ecommerce_data_warehouse_spark.operators.ann_index import (
+        IVFIndex,
+        _hadoop_fs,
+        _rename_if_absent,
+    )
+
+    vectors = spark.createDataFrame(
+        [(i, [int(i % 7), int(i % 11), int(3 * i % 13), 1]) for i in range(64)],
+        "vec_id long, embedding array<bigint>",
+    )
+    idx = IVFIndex.build(vectors, k=2, n_iter=1, pre_quantized=True)
+
+    uri = f"file://{tmp_path}/ivf_index_hadooproute_v1"
+    local = tmp_path / "ivf_index_hadooproute_v1"
+    assert idx.publish(uri) is True
+    assert (local / "centroids").exists() and (local / "assigned").exists()
+    # no orphaned tmp dir
+    assert not [p for p in os.listdir(tmp_path) if ".tmp-" in p]
+
+    # reuse: returns False, writes nothing, bumps the last-use mtime
+    before = os.path.getmtime(local)
+    sig_before = sorted(
+        (os.path.relpath(os.path.join(dp, f), local), os.path.getsize(os.path.join(dp, f)))
+        for dp, _, fs_ in os.walk(local) for f in fs_
+    )
+    time.sleep(0.05)
+    assert idx.publish(uri) is False
+    assert os.path.getmtime(local) >= before
+    sig_after = sorted(
+        (os.path.relpath(os.path.join(dp, f), local), os.path.getsize(os.path.join(dp, f)))
+        for dp, _, fs_ in os.walk(local) for f in fs_
+    )
+    assert sig_after == sig_before  # byte-stable reuse
+
+    # load through the scheme'd path: cache keys on the URI verbatim,
+    # search answers from the partitioned layout
+    ann_index._CENTROID_CACHE.pop(uri, None)
+    loaded = IVFIndex.load(spark, uri)
+    assert uri in ann_index._CENTROID_CACHE
+    q = spark.createDataFrame(
+        [(0, [1, 2, 3, 1])], "query_id long, qvec array<bigint>"
+    )
+    rows = loaded.search(q, k=3, nprobe=2).collect()
+    assert 0 < len(rows) <= 3
+
+    # the rename pitfall, deterministically: dst already exists (the
+    # race winner), loser's tmp must NOT end up nested inside it
+    fs, path_cls, dst = _hadoop_fs(spark, uri)
+    tmp_uri = f"{uri}.tmp-loser"
+    os.makedirs(tmp_path / "ivf_index_hadooproute_v1.tmp-loser/centroids")
+    assert _rename_if_absent(fs, path_cls, path_cls(tmp_uri), dst) is False
+    assert not (local / "ivf_index_hadooproute_v1.tmp-loser").exists()  # no nested stray
+    assert not (tmp_path / "ivf_index_hadooproute_v1.tmp-loser").exists()  # tmp cleaned
+    assert (local / "centroids").exists()  # winner's index intact
