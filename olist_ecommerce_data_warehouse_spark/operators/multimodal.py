@@ -1114,7 +1114,16 @@ def probe_media_headers(media: DataFrame) -> DataFrame:
     DECODE needs the absent libraries.  Unknown formats emit
     format='unknown' rows instead of failing the batch: a probe's job
     is to classify, the decode tier is where unsupported formats are
-    an error.  Cost: O(header bytes) per row, no shuffle."""
+    an error.  Cost: O(header bytes) per row, no shuffle.
+
+    Deliberately NO external-backend route (unlike
+    ``real_decode_media(backend=...)``): the header walks are already
+    exact and O(bytes-read)-optimal, and the optional libraries don't
+    expose an equivalent header-only contract uniformly (PIL's lazy
+    open still differs per format in what it reads, ffprobe is a
+    process spawn) — a swap here would trade an exact cheap pass for
+    an approximate one.  Production swaps the DECODE kernels; the
+    probe is the part that stays."""
     import struct
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
