@@ -360,11 +360,13 @@ def test_ivf_index_reconstruction_runs_no_write_jobs(spark):
 def test_py_mode_labels_match_executed_plans(spark):
     """bench.py's two-mode rig model (round 10) normalizes each plan
     by its execution mode's calibration factor — so the PY_MODE_PLANS
-    label set must track reality: every labeled plan's optimized plan
-    contains a Python/Arrow eval node, and the JVM-labeled heavy
-    plans contain none (a plan that gains or loses a Python kernel
-    must move between modes, or its normalization silently uses the
-    wrong drift axis)."""
+    label set must EQUAL reality across the whole registry: the set
+    of plans whose optimized plan contains a Python/Arrow eval node,
+    derived here for all 50 plans, must be exactly the labeled set (a
+    plan that gains or loses a Python kernel must move between modes,
+    or its normalization silently uses the wrong drift axis — and an
+    over-labeled plan would normalize JVM drift by the Python
+    factor)."""
     import bench
 
     py_nodes = (
@@ -375,17 +377,16 @@ def test_py_mode_labels_match_executed_plans(spark):
         "FlatMapCoGroupsInPandas",
         "PythonMapInArrow",
     )
-    for name in sorted(bench.PY_MODE_PLANS):
+    derived = set()
+    for name in sorted(REGISTRY):
         df = REGISTRY[name].fn(spark, SF_DIR)
         s = df._jdf.queryExecution().optimizedPlan().toString()
-        assert any(n in s for n in py_nodes), f"{name} labeled PY but has no Python node"
-    # negative spot-checks on JVM-labeled plans the drift question
-    # matters most for (the heavy tail)
-    for name in ("text_lang_id", "dedup_ngram_jaccard", "gold_fact_lineitem"):
-        assert name not in bench.PY_MODE_PLANS
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        s = df._jdf.queryExecution().optimizedPlan().toString()
-        assert not any(n in s for n in py_nodes), f"{name} labeled JVM but has a Python node"
+        if any(n in s for n in py_nodes):
+            derived.add(name)
+    assert derived == bench.PY_MODE_PLANS, (
+        f"labels drifted: unlabeled-but-Python {sorted(derived - bench.PY_MODE_PLANS)}, "
+        f"labeled-but-JVM {sorted(bench.PY_MODE_PLANS - derived)}"
+    )
 
 
 def test_session_factory_cluster_topology_support():
