@@ -515,7 +515,10 @@ def _external_image_decode(b: bytes):
       ``_png_pixels`` does and reports the resolved channel count (3),
       matching the stdlib row;
     - BMP 8 bpp (palette→RGB) and 24 bpp;
-    - GIF first frame (palette-resolved RGB).
+    - GIF first frame (palette-resolved RGB), only when the frame
+      fills the logical screen — PIL composites partial/offset frames
+      onto a background-filled canvas, the stdlib decoder averages the
+      frame's own pixels, so offset-frame GIFs fall back.
 
     16-bit/sub-8 PNG, 32 bpp BMP, JPEG, TIFF, FLAC and WAV stay on
     their stdlib decoders even under the external backend: their
@@ -562,6 +565,24 @@ def _external_image_decode(b: bytes):
         return ("bmp", img.width, img.height, 3, 0, 8, mean)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         img = Image.open(io.BytesIO(b))
+        # PIL reports the LOGICAL SCREEN and composites partial/offset
+        # first frames onto it (background-filled); the stdlib decoder
+        # reports the image descriptor's own dims and averages frame
+        # pixels only.  Parity is exact only when frame == screen, so
+        # route only that case (the overwhelmingly common one) and let
+        # offset-frame GIFs fall back to stdlib.
+        import struct
+
+        if len(b) < 13:
+            return None
+        screen_w, screen_h = struct.unpack("<HH", b[6:10])
+        if (img.width, img.height) != (screen_w, screen_h):
+            return None
+        if getattr(img, "tile", None):
+            # tile entries carry the frame box (x0, y0, x1, y1)
+            box = img.tile[0][1]
+            if tuple(box) != (0, 0, screen_w, screen_h):
+                return None
         rgb = img.convert("RGB")
         flat = [v for px in rgb.getdata() for v in px]
         mean = sum(flat) / len(flat) if flat else 0.0

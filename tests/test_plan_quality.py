@@ -397,18 +397,24 @@ def test_session_factory_cluster_topology_support():
     zip must actually contain the package — the smoke's first failure
     was an empty zip shipping cleanly and dying later as an
     executor-side ModuleNotFoundError."""
+    import os
     import zipfile
 
     from olist_ecommerce_data_warehouse_spark.session import _master, _package_zip
 
-    assert _master(32) == ("local[32]", 32)
-    import os
-
-    os.environ["SPARK_GRAFT_MASTER"] = "local-cluster[2,4,4096]"
+    # pin the env var both ways so the test holds even when the whole
+    # suite itself runs under SPARK_GRAFT_MASTER (the round-10
+    # local-cluster sweep does exactly that)
+    saved = os.environ.pop("SPARK_GRAFT_MASTER", None)
     try:
+        assert _master(32) == ("local[32]", 32)
+        os.environ["SPARK_GRAFT_MASTER"] = "local-cluster[2,4,4096]"
         assert _master(32) == ("local-cluster[2,4,4096]", 8)
     finally:
-        del os.environ["SPARK_GRAFT_MASTER"]
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_MASTER", None)
+        else:
+            os.environ["SPARK_GRAFT_MASTER"] = saved
 
     path = _package_zip()
     with zipfile.ZipFile(path) as zf:
