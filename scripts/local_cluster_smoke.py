@@ -4,8 +4,9 @@ verdict r09 task 2).
 ``local[32]`` structurally masks executor topology: broadcast builds
 land on the driver heap, Python workers inherit the driver process's
 environment, and closure serialization / torrent-broadcast costs are
-invisible.  This script runs the BENCH_r09 top-10 plans twice — once
-under the engine's normal ``local[32]`` session and once under
+invisible.  This script runs a plan set (default: the BENCH_r09
+top-10; ``--plans all`` sweeps the full 50-plan registry) twice —
+once under the engine's normal ``local[32]`` session and once under
 ``local-cluster[2,4,4096]`` (two separate-process executors, 4 cores /
 4 GiB each) — and compares canonical result multisets, so the claims
 local mode cannot test are tested:
