@@ -1,5 +1,13 @@
 """Shared fixtures: one SparkSession per test run, a DuckDB connection
-with the driver's views registered, and the oracle comparator."""
+with the driver's views registered, and the oracle comparator.
+
+Topology re-run (round 10): the WHOLE suite also passes under real
+separate-process executors —
+``SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' python -m pytest tests/``
+(the session factory ships the package zip to executor Python workers
+via addPyFile; see SCALING.md §"Round-10 local-cluster smoke").  Worth
+re-running after any change to Arrow kernels, broadcast usage, or
+stateful streaming."""
 
 from __future__ import annotations
 
