@@ -65,6 +65,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance a NARROW scan across the cluster before CPU-heavy
+    per-row work (tokenize / per-token hashing / explode / Arrow
+    kernels).
+
+    The driver's test tables are single-file, single-ROW-GROUP parquet
+    (TESTDATA.md) — a parquet scan cannot split below one row group,
+    so every scan here plans exactly ONE task and a CPU-bound map
+    chain above it runs single-threaded on a 32-core box (measured:
+    text_lang_id's feature-count map stage = 5.1 s in one task while
+    31 cores idle — the guide §2.5 "input skew: one huge unsplittable
+    file" case; its §6 split-size knobs cannot help because
+    maxPartitionBytes/openCostInBytes only split BETWEEN row groups).
+    The fix is the same one the dedup plans shipped in round 1
+    (``plans.llm_dedup._corrupted``): one round-robin repartition of
+    the raw rows to cluster width before the expensive map.
+
+    Scale-adaptive by construction, not by constant: the target is
+    ``defaultParallelism`` (cluster width on any deployment), and a
+    scan that already carries >= that many partitions — every real
+    100 TB table — returns UNCHANGED, so no shuffle is ever added at
+    the scale where the input is genuinely wide.  ``df.rdd`` triggers
+    physical planning only (no job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All tables as a dict — convenience for pipelines and tests."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

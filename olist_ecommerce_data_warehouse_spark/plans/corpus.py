@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.catalog import spread, table
 from olist_ecommerce_data_warehouse_spark.functions.text import token_count, toks_sql
 from olist_ecommerce_data_warehouse_spark.operators.textdedup import hex2int_sql, hex_to_long
 from olist_ecommerce_data_warehouse_spark.plans.registry import query, track_persist
@@ -377,7 +377,11 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("ppl_bucket"),
         F.lit(None).cast("int").alias("sketch_ok"),
     ]
-    docs = table(spark, sf_dir, "documents")
+    # scan-width normalization (r10, guide §2.5): the one tokenization
+    # pass below is the slot's hottest map and the scan is a single
+    # parquet row group (1 task) — rebalance to cluster width so the
+    # persisted token table is built AND CACHED at full parallelism
+    docs = spread(table(spark, sf_dir, "documents"))
     # ONE tokenization pass for the whole slot (round 9, the verdict's
     # #1 lever): dsir's hashed-ngram feature stream, ccnet's bigram
     # pairs, the DSIR target filter and every doc-grain join all
@@ -760,7 +764,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator).  Documents shorter than {CONTAM_N} tokens produce no
     shingles and are (by definition) not assessable — both engines
     drop them identically."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # scan-width normalization (r10, guide §2.5): every branch below
+    # (train grams, eval grams, injected copies) tokenizes+hashes off
+    # this scan — 1 task without the rebalance
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     # ONE split definition engine-wide: reusing _split_col keeps the
     # contamination gate's notion of "train" in lockstep with the
     # packing plan's split column (a salt/threshold change applied to

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olist_ecommerce_data_warehouse_spark.catalog import table
+from olist_ecommerce_data_warehouse_spark.catalog import spread, table
 from olist_ecommerce_data_warehouse_spark.functions.text import (
     gopher_flags,
     LANG_ID_LANGS,
@@ -159,7 +159,10 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
     )
 
-    d = table(spark, sf_dir, "documents")
+    # scan-width normalization (r10, guide §2.5): the documents file is
+    # one parquet row group → 1 scan task; every map column here is
+    # regexp/hash-heavy, so rebalance to cluster width first
+    d = spread(table(spark, sf_dir, "documents"))
     merges = bpe_train(d, n_merges=BPE_MERGES)
     bpe_counts = bpe_encode(d, merges).select(
         "doc_id", F.col("bpe_token_count").alias("n_bpe_trained_tokens")
@@ -370,7 +373,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from olist_ecommerce_data_warehouse_spark.plans.registry import track_persist
 
-    d = table(spark, sf_dir, "documents")
+    # scan-width normalization (r10, guide §2.5): the single-row-group
+    # scan plans 1 task, and BOTH heavy branches (the 10-language
+    # evidence projection and the feature-count explode) hang off it —
+    # measured 5.1 s single-task for the feature map stage at sf0.1
+    d = spread(table(spark, sf_dir, "documents"))
     scores = {}
     for lang in LANG_ID_LANGS:
         markers = LANG_MARKERS.get(lang) or []
@@ -541,7 +548,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse repeats.  Docs shorter than the n-gram order produce no
     rows and are excluded identically in both engines; docs shorter
     than SPAN_K get 0 spans, NULL frac, and pass the span gate."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # scan-width normalization (r10, guide §2.5): both gram branches
+    # (within-doc counts, injected span stream) tokenize+hash the full
+    # corpus — off a 1-task row-group scan without this
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     dt = d.select("doc_id", token_hashes_expr().alias("th"))
     g = dt.select(
         "doc_id", F.lit(2).alias("n"), F.explode(gram2_expr("th")).alias("gh")

@@ -116,10 +116,19 @@ def test_text_lang_id_single_join_fanin(spark):
     (sort-merge on doc_id) and an Exchange budget of 5 (feature-table
     build, per-bucket agg reuse, head aggregation, two join sides) —
     the old shape paid 3 corpus-wide joins and a second full feature
-    explode."""
+    explode.
+
+    Round 10 adds the scan-width rebalance (catalog.spread — the
+    single-row-group scan plans 1 task otherwise, guide §2.5), which
+    shows up as RoundRobinPartitioning exchanges of the RAW rows
+    (repeated in the printed plan wherever the cached feats subtree is
+    inlined).  Those are the deliberate fix, not fan-in regressions —
+    the budget pins the KEYED exchanges (join/agg shuffles), which is
+    what the round-7 collapse was about."""
     plan = _plan(spark, "text_lang_id")
     assert plan.count("SortMergeJoin") == 1, plan
-    assert plan.count("Exchange") <= 5, plan
+    keyed = plan.count("Exchange") - plan.count("Exchange RoundRobinPartitioning")
+    assert keyed <= 5, plan
 
 
 def test_ann_plans_no_cartesian(spark):
