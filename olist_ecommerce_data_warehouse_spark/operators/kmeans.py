@@ -125,7 +125,14 @@ def kmeans_train(
         # the share grows when the vectors come from a pipeline rather
         # than a bare scan, e.g. SemDeDup's quantized corpus)
         q = cut_lineage(q)
-    centroids = _seed_centroids(vectors, id_col, vec_col, k, pre_quantized)
+    # seeds come off the MATERIALIZED q (same (id, quantized-vec) rows
+    # — bit-identical seed vectors) instead of re-deriving the
+    # scan+quantize subtree from ``vectors``; with n_iter=0 there is no
+    # materialization to reuse and the raw input is the cheaper source
+    seed_src = q if n_iter > 0 else vectors.select(
+        F.col(id_col).alias("__id"), _qcol(vec_col, pre_quantized).alias("__q")
+    )
+    centroids = _seed_centroids(seed_src, "__id", "__q", k, pre_quantized=True)
     train_schema = StructType(
         [StructField("cluster", IntegerType()), StructField("__q", ArrayType(LongType()))]
     )

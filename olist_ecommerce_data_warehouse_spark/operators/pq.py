@@ -51,32 +51,46 @@ def pq_train(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[list[int]]]:
     """Train ``m`` subspace codebooks (each k × d/m int64-quantized
     centroids).  d must divide by m.  Each subspace is a full
     ``kmeans_train`` over the sliced, pre-quantized vectors — m small
-    trainings, each the documented small-model/big-data loop."""
-    d = len(vectors.select(vec_col).first()[0])
+    trainings, each the documented small-model/big-data loop.
+
+    The m trainings are INDEPENDENT chains of driver-blocking jobs
+    (seed collect + one aggregation collect per Lloyd round), so they
+    run from a small thread pool (guide §2.6 — Spark schedules
+    concurrent jobs FIFO and back-fills idle executors; each chain's
+    math is unchanged and bit-deterministic, so the codebooks are
+    byte-identical to the sequential run).  ``dim`` skips the
+    dimension-probe ``first()`` job when the caller already knows the
+    vector width (every registry corpus is fixed-dim by contract)."""
+    d = dim if dim is not None else len(vectors.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     sub = d // m
     q = vectors.select(F.col(id_col), quantized(vec_col).alias("__qv"))
-    books = []
-    for j in range(m):
+
+    def one(j: int) -> list[list[int]]:
         sliced = q.select(
             id_col, F.slice("__qv", j * sub + 1, sub).alias("__sub")
         )
-        books.append(
-            kmeans_train(
-                sliced,
-                id_col=id_col,
-                vec_col="__sub",
-                k=k,
-                n_iter=n_iter,
-                pre_quantized=True,
-            )
+        return kmeans_train(
+            sliced,
+            id_col=id_col,
+            vec_col="__sub",
+            k=k,
+            n_iter=n_iter,
+            pre_quantized=True,
         )
-    return books
+
+    if m == 1:
+        return [one(0)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(one, range(m)))
 
 
 def pq_encode_block(qv, codebooks):

@@ -426,7 +426,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    trained = kmeans_train(emb, k=IVF_K, n_iter=IVF_ITERS)
+    # the IVF k-means and the PQ codebook trainings are INDEPENDENT
+    # chains of driver-blocking jobs (seed + one collect per Lloyd
+    # round each) — overlap them from a thread pool (guide §2.6) so
+    # the slot pays the wall of ONE chain, not the sum of three
+    # (pq_train fans its two subspaces out the same way).  Each chain
+    # is bit-deterministic, so the trained models are byte-identical
+    # to the sequential run.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_ivf = _pool.submit(kmeans_train, emb, k=IVF_K, n_iter=IVF_ITERS)
+        _f_pq = _pool.submit(
+            pq_train, emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS, dim=SRP_DIM
+        )
+        trained = _f_ivf.result()
+        books = _f_pq.result()
     cents = spark.createDataFrame(
         [(i, [int(x) for x in v]) for i, v in enumerate(trained)],
         "centroid_id long, centvec array<bigint>",
@@ -445,7 +460,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("adc_dist"),
         "rank",
     )
-    books = pq_train(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS)
     enc = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     adc = pq_adc_topk(enc, books, queries, top_k=5).select(
@@ -600,7 +614,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olist_ecommerce_data_warehouse_spark.operators.pq import pq_train
 
     emb = table(spark, sf_dir, "embeddings")
-    books = pq_train(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS)
+    books = pq_train(emb, m=PQ_M, k=PQ_K, n_iter=PQ_ITERS, dim=SRP_DIM)
     # PQ encoding FUSED into the int8-stats kernel: one exchange-free
     # Arrow pass emits both families (a vec_id join of two derivations
     # of the same scan would shuffle the corpus twice — caught by
