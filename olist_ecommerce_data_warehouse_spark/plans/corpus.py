@@ -764,10 +764,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator).  Documents shorter than {CONTAM_N} tokens produce no
     shingles and are (by definition) not assessable — both engines
     drop them identically."""
-    # scan-width normalization (r10, guide §2.5): every branch below
-    # (train grams, eval grams, injected copies) tokenizes+hashes off
-    # this scan — 1 task without the rebalance
-    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NO scan-width rebalance here (r10): tried and A/B-reverted —
+    # head_over_ref 1.125 (bench_ab.jsonl).  The eval side is tiny by
+    # construction and the train gram stream's map work is light
+    # enough that the extra exchange's latency beats the parallelism
+    # it buys at this corpus size.
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # ONE split definition engine-wide: reusing _split_col keeps the
     # contamination gate's notion of "train" in lockstep with the
     # packing plan's split column (a salt/threshold change applied to
