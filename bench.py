@@ -390,7 +390,13 @@ BASELINE_R06 = {
     # reload → partition-pruned search in-query) — capability change;
     # min of the round-7 anchoring sessions' medians (rig 1.0,
     # bench_ab/anchoring_r7_run{1,2}.json: 8.668 / 8.2794)
-    "ann_ivf_topk": 8.2794,
+    # re-anchored in round 10: the three independent training chains
+    # (IVF k-means, two PQ subspaces) now overlap from a thread pool
+    # and the PQ dimension-probe job is gone — byte-identical models,
+    # pure speedup; A/B 0.633 (bench_ab.jsonl), min of the round-10
+    # anchoring sessions' normalized medians (3.970 / 4.230).
+    # Round-7 anchor was 8.2794.
+    "ann_ivf_topk": 3.97,
     "approx_aggregates": 1.7775,
     "asof_click_attribution": 1.281,
     "cleanse_accent_fold_dedup": 0.4144,
@@ -423,7 +429,10 @@ BASELINE_R06 = {
     "dedup_minhash_lsh": 3.1492,
     "dedup_ngram_jaccard": 4.3703,
     "dedup_simhash": 2.0059,
-    "embedding_quantize": 2.1793,
+    # re-anchored in round 10: pq_train thread overlap + dim probe
+    # removal, pure speedup — A/B 0.508, min of the anchoring
+    # normalized medians (1.169 / 1.079).  Round-6 anchor was 2.1793.
+    "embedding_quantize": 1.079,
     "events_json_props": 0.7393,
     "events_sessionization": 0.6638,
     "events_windows": 0.8795,
@@ -469,8 +478,24 @@ BASELINE_R06 = {
     # anchoring medians (9.2145 / 9.5404), adjudicated faster than
     # the pre-collapse code by worktree A/B (bench_ab.jsonl:
     # head_over_ref 0.894)
+    # round 10: the scan-width rebalance is a pure speedup (A/B
+    # head_over_ref 0.766, quiet-session normalized medians 5.2-6.4)
+    # but the anchor is NOT tightened: this plan rides the regex/md5
+    # JVM axis the rig model provably under-corrects (BASELINE.md
+    # §"Round-10: tightening held back...": a same-day session ran it
+    # at 2x quiet on 6/7 samples while the JVM cal read 1.27), so a
+    # quiet-state anchor is a false-flag machine.  The win is held by
+    # the A/B record + OPTIMIZATION_r10.md; the old anchor's implicit
+    # slow-mode headroom (now ~1.4x of quiet, exactly the margin the
+    # r9 corpus_mixing tightening kept) stays.
     "text_lang_id": 9.2145,
-    "text_metrics": 4.1987,
+    # re-anchored in round 10: scan-width rebalance, pure speedup —
+    # A/B 0.736, min of the anchoring normalized medians (2.711 /
+    # 3.407).  Round-6 anchor was 4.1987.
+    "text_metrics": 2.711,
+    # round 10: rebalance speedup A/B 0.802, anchor NOT tightened —
+    # same regex/md5-axis rationale as text_lang_id above (the same
+    # pathological session read it at 1.66x a quiet-state anchor).
     "text_repetition": 2.8746,
     "volumetrics": 0.5653,
 }
