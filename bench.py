@@ -251,7 +251,17 @@ def calibration_py_sec(spark) -> float:
     per run at reference speed; one untimed warm run absorbs the
     per-kernel setup.  (Measured while tuning: the same kernel read
     1.28-1.53 s in a slow-Python-mode session whose JVM cal was quiet
-    — exactly the drift signature this kernel exists to normalize.)"""
+    — exactly the drift signature this kernel exists to normalize.)
+
+    Round 11 (VERDICT r10 task 2b): the kernel's partition count is
+    ``defaultParallelism``, not a fixed 32 — the total interpreter
+    work (400k rows × 256 LCG steps) is unchanged, but a fixed-32
+    layout at a reduced ``$SPARK_GRAFT_CPUS`` paid 4× the per-task
+    dispatch waves of the plans it calibrates for, over-reading
+    ``rig_factor_py`` (2.88 measured at 8 cores) and over-normalizing
+    every PY-mode plan at non-contract core counts.  At the contract
+    width (32 cores) the plan is IDENTICAL, so CAL_REF_PY and every
+    recorded factor stay comparable."""
 
     def one() -> float:
         t0 = time.perf_counter()
@@ -271,7 +281,9 @@ def calibration_py_sec(spark) -> float:
                 )
 
         df = (
-            spark.range(0, 400_000, 1, 32)
+            spark.range(
+                0, 400_000, 1, spark.sparkContext.defaultParallelism
+            )
             .mapInPandas(kern, "id long, h long")
             .agg(F.sum("h").alias("t"))
         )
@@ -604,6 +616,31 @@ def compact_line(full: dict) -> str:
     )
 
 
+def _sweep_ivf_indexes() -> None:
+    """First-build semantics for the content-addressed IVF index
+    (round 11, VERDICT r10 §What's-wrong #1): the published index dir
+    is keyed on the corpus fingerprint and reused across sessions, so
+    without this sweep every bench run after the very first skipped
+    the two index-write jobs inside its timed region — a timed-region
+    subsidy under the no-precomputation-across-runs rule.  Removing
+    ``ivf_index_*`` (and the warm centroid cache) before each sample's
+    clock makes every reported number pay the full build it reports.
+    The operator's own write-once semantics are untouched — this is
+    bench hygiene, same tier as release_stale_checkpoints."""
+    import shutil
+
+    from olist_ecommerce_data_warehouse_spark.operators.ann_index import (
+        clear_centroid_cache,
+    )
+
+    scratch = REPO / ".scratch"
+    if scratch.is_dir():
+        for name in os.listdir(scratch):
+            if name.startswith("ivf_index_"):
+                shutil.rmtree(scratch / name, ignore_errors=True)
+    clear_centroid_cache()
+
+
 def run_plan(spark, name: str, sf_dir: str) -> float:
     # cross-plan cleanup runs BEFORE the clock: it is session hygiene,
     # not part of the measured query.  release_stale_checkpoints frees
@@ -613,6 +650,7 @@ def run_plan(spark, name: str, sf_dir: str) -> float:
     # query for it (round 1 charged it to the next plan's clock —
     # left_enrich_broadcast "cost" 6.2 s of other plans' garbage)
     release_stale_checkpoints(spark)
+    _sweep_ivf_indexes()
     spark.sparkContext._jvm.System.gc()
     # plan construction is INSIDE the timed region: some plans trigger
     # small jobs at build time (surrogate min/max stats), and that

@@ -87,9 +87,17 @@ def spread(df: DataFrame) -> DataFrame:
     scan that already carries >= that many partitions — every real
     100 TB table — returns UNCHANGED, so no shuffle is ever added at
     the scale where the input is genuinely wide.  ``df.rdd`` triggers
-    physical planning only (no job)."""
+    physical planning only (no job).
+
+    Round 11 (ADVICE r10): the trigger is PATHOLOGICALLY narrow scans
+    only — a scan already carrying more than half the target width
+    pays a full raw-row shuffle (including the heavy text column) for
+    a sub-2× parallelism gain, so it returns unchanged too.  The
+    driver's one-row-group test tables scan at 1 partition and still
+    rebalance; a mid-width input (a handful of row groups) keeps its
+    natural layout."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() * 2 >= target:
         return df
     return df.repartition(target)
 

@@ -52,6 +52,15 @@ LAYOUT_VERSION = 1
 _CENTROID_CACHE: dict[str, list[list[int]]] = {}
 
 
+def clear_centroid_cache() -> None:
+    """Drop every warm centroid entry — the bench harness calls this
+    (with an ``ivf_index_*`` sweep) before each timed sample so a run
+    that reports the index-build cost actually pays it (round 11: the
+    no-precomputation-across-runs rule; production callers never need
+    this — the cache can only ever serve bytes identical to disk)."""
+    _CENTROID_CACHE.clear()
+
+
 def _is_uri(path: str) -> bool:
     """True when ``path`` carries a filesystem scheme (``hdfs://``,
     ``s3a://``, ``file://``, …) — those routes go through the Hadoop

@@ -222,6 +222,53 @@ def dsir_log_ratio_from_counts(
     return lam, lam0_fp
 
 
+def dsir_log_ratio_from_combined_rows(
+    spark,
+    rows,
+    buckets: int = DSIR_BUCKETS,
+    mu: int = 2000,
+) -> tuple[DataFrame, int]:
+    """:func:`dsir_log_ratio_from_counts` over the COLLECTED combined
+    model table (round 11): ``rows`` is the driver-side list of
+    ``(bucket, t_b, r_b)`` — ≤ ``buckets`` rows, the same model-sized
+    tier as the broadcast λ itself ("nothing corpus-sized ever sits on
+    the driver" still holds).  Both totals fold driver-side from the
+    same rows, and λ becomes a projection over a LOCAL one-row-group
+    relation — a LocalTableScan the broadcast build evaluates with NO
+    cluster stage, where the two-relation shape paid two model-sized
+    aggregate exchanges plus a join inside the consuming query (guide
+    §2.4).  The λ EXPRESSION is character-identical to
+    :func:`dsir_log_ratio_from_counts` (same JVM ``ln``, same cast
+    placement, same operand order), so every lam_fp is bit-identical
+    to the two-relation formulation."""
+    t_total = sum(int(r[1]) for r in rows)
+    r_total = sum(int(r[2]) for r in rows)
+    log_denom = math.log(t_total + mu)
+    lam0_fp = round_half_away((math.log(mu) - log_denom) * _FP)
+    tc = spark.createDataFrame(
+        [(int(b), int(t_b), int(r_b)) for b, t_b, r_b in rows if t_b > 0],
+        "bucket bigint, t_b bigint, r_b bigint",
+    )
+    lam = tc.select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    F.col("t_b").cast("double")
+                    * F.lit(float(r_total + buckets))
+                    / (F.coalesce("r_b", F.lit(0)) + F.lit(1)).cast("double")
+                    + F.lit(float(mu))
+                )
+                - F.lit(log_denom)
+            )
+            * F.lit(float(_FP))
+        )
+        .cast("bigint")
+        .alias("lam_fp"),
+    )
+    return lam, lam0_fp
+
+
 def dsir_score(
     docs: DataFrame,
     lam: DataFrame,
@@ -243,10 +290,16 @@ def dsir_score_from_counts(
     lam: DataFrame,
     lam0_fp: int,
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`dsir_score` over a PRE-COMPUTED (id, bucket, cnt) table
     — pair with :func:`dsir_log_ratio_from_counts` to score from the
-    same single feature pass that built the models."""
+    same single feature pass that built the models.
+
+    ``keep_cols`` names doc columns carried through the left join
+    (e.g. the grouping language) so callers don't pay a second
+    corpus-grain shuffle join to reunite scores with doc attributes —
+    the same contract as ``ngram_lm_score_from_pairs`` (round 11)."""
     scored = (
         fc.join(F.broadcast(lam), "bucket", "left")
         .groupBy(id_col)
@@ -257,8 +310,9 @@ def dsir_score_from_counts(
             ).alias("weight_fp"),
         )
     )
-    return docs.select(id_col).join(scored, id_col, "left").select(
+    return docs.select(id_col, *keep_cols).join(scored, id_col, "left").select(
         id_col,
+        *keep_cols,
         F.coalesce("n_features", F.lit(0)).alias("n_features"),
         F.coalesce("weight_fp", F.lit(0)).alias("weight_fp"),
     )

@@ -237,6 +237,37 @@ def ngram_lm_score_from_pairs(
     )
 
 
+def ppl_sketch_bounds(
+    scored: DataFrame,
+    by_col: str = "lang",
+    ppl_col: str = "ppl",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(by_col, __b) — the approximate per-group tertile boundaries of
+    :func:`ppl_buckets`, exposed separately (round 11) so a caller
+    that also computes the exact tertiles can broadcast BOTH boundary
+    tables onto one pass over the scored corpus instead of joining two
+    full assignments back together on the document id."""
+    return scored.filter(F.col(ppl_col).isNotNull()).groupBy(by_col).agg(
+        F.percentile_approx(ppl_col, [1.0 / 3.0, 2.0 / 3.0], accuracy).alias(
+            "__b"
+        )
+    )
+
+
+def ppl_sketch_bucket_col(ppl_col: str = "ppl"):
+    """The sketch bucket expression over a row carrying ``__b`` (from
+    a broadcast of :func:`ppl_sketch_bounds`) — the assignment half of
+    :func:`ppl_buckets`, one definition for both composition styles."""
+    p = F.col(ppl_col)
+    return (
+        F.when(p.isNull(), F.lit("unscored"))
+        .when(p <= F.col("__b")[0], F.lit("head"))
+        .when(p <= F.col("__b")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+
+
 def ppl_buckets(
     scored: DataFrame,
     by_col: str = "lang",
@@ -251,20 +282,11 @@ def ppl_buckets(
     boundary table broadcasts, and assignment is a pure map.  Docs
     with NULL ppl (no bigrams) get bucket ``unscored`` — no evidence
     either way, callers decide their fate."""
-    bounds = scored.filter(F.col(ppl_col).isNotNull()).groupBy(by_col).agg(
-        F.percentile_approx(ppl_col, [1.0 / 3.0, 2.0 / 3.0], accuracy).alias(
-            "__b"
-        )
-    )
+    bounds = ppl_sketch_bounds(scored, by_col, ppl_col, accuracy)
     joined = scored.join(F.broadcast(bounds), by_col, "left")
-    p = F.col(ppl_col)
-    return joined.withColumn(
-        "ppl_bucket",
-        F.when(p.isNull(), F.lit("unscored"))
-        .when(p <= F.col("__b")[0], F.lit("head"))
-        .when(p <= F.col("__b")[1], F.lit("middle"))
-        .otherwise(F.lit("tail")),
-    ).drop("__b")
+    return joined.withColumn("ppl_bucket", ppl_sketch_bucket_col(ppl_col)).drop(
+        "__b"
+    )
 
 
 def ppl_tertiles_fp(
@@ -294,11 +316,53 @@ def ppl_tertiles_fp(
     higher bucket — deterministic, identical in the SQL replay.  Docs
     with no bigrams get bucket ``unscored`` and NULL avg_fp (no
     evidence either way — the :func:`ppl_buckets` convention)."""
+    withavg = scored.withColumn("avg_fp", ppl_avg_fp_col())
+    bounds = ppl_tertile_bounds_fp(withavg, by_col)
+    return (
+        withavg.join(F.broadcast(bounds), by_col, "left")
+        .withColumn("ppl_bucket", ppl_tertile_bucket_col())
+        .drop("__b1", "__b2")
+    )
+
+
+def ppl_avg_fp_col():
+    """``avg_fp = logprob_fp div n_bigrams`` (NULL when unscored) —
+    the grid-quantized rank key of :func:`ppl_tertiles_fp`, exposed so
+    callers composing the bounds manually add the identical column."""
+    return F.when(F.col("n_bigrams") > 0, F.expr("logprob_fp div n_bigrams"))
+
+
+def ppl_tertile_bucket_col():
+    """The exact-tertile bucket expression over a row carrying
+    ``avg_fp``/``__b1``/``__b2`` (from a broadcast of
+    :func:`ppl_tertile_bounds_fp`) — the assignment half of
+    :func:`ppl_tertiles_fp`, one definition for both composition
+    styles."""
+    return (
+        F.when(~(F.col("n_bigrams") > 0), F.lit("unscored"))
+        .when(F.col("avg_fp") >= F.col("__b1"), F.lit("head"))
+        .when(F.col("avg_fp") >= F.col("__b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+
+
+def ppl_tertile_bounds_fp(withavg: DataFrame, by_col: str = "lang") -> DataFrame:
+    """(by_col, __b1, __b2) — the exact per-group tertile boundaries
+    over a scored table already carrying ``avg_fp``
+    (:func:`ppl_avg_fp_col`).  Exposed separately (round 11) for the
+    same one-pass composition as :func:`ppl_sketch_bounds`.
+
+    Shuffle budget: TWO exchanges, both model-sized — the value-count
+    aggregate (map-side partials collapse the corpus to the fixed-point
+    grid before the shuffle) and the per-group window repartition.
+    The per-group total is the MAX of the descending running count
+    over the same window partitioning (one more window function, zero
+    extra shuffles) — round 11 replaced the separate ``tot`` rollup +
+    broadcast join, which cost a third model-sized exchange and its
+    own AQE stage wave."""
     from pyspark.sql import Window
 
     has = F.col("n_bigrams") > 0
-    avg_fp = F.when(has, F.expr("logprob_fp div n_bigrams"))
-    withavg = scored.withColumn("avg_fp", avg_fp)
     vc = (
         withavg.filter(has)
         .groupBy(by_col, "avg_fp")
@@ -309,36 +373,24 @@ def ppl_tertiles_fp(
         .orderBy(F.desc("avg_fp"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = vc.withColumn("__cum", F.sum("__cnt").over(win))
-    # per-group totals roll up from the VALUE-COUNT table (Σ cnt ≡ the
-    # scored-doc count), not from a second pass over the corpus-grain
-    # input: ``scored`` is then evaluated exactly twice (vc + final
-    # assignment) — callers that persist it pay one evaluation total
-    tot = vc.groupBy(by_col).agg(F.sum("__cnt").alias("__n"))
-    bounds = (
-        cum.join(F.broadcast(tot), by_col)
-        .groupBy(by_col)
-        .agg(
-            F.max(
-                F.when(F.col("__cum") >= F.expr("(__n + 2) div 3"), F.col("avg_fp"))
-            ).alias("__b1"),
-            F.max(
-                F.when(
-                    F.col("__cum") >= F.expr("(2 * __n + 2) div 3"), F.col("avg_fp")
-                )
-            ).alias("__b2"),
-        )
+    # Σ __cnt per group ≡ the final value of the descending running
+    # sum ≡ its unbounded MAX — same partitioning, so both window
+    # functions share one WindowExec input ordering
+    tot_win = Window.partitionBy(by_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return (
-        withavg.join(F.broadcast(bounds), by_col, "left")
-        .withColumn(
-            "ppl_bucket",
-            F.when(~has, F.lit("unscored"))
-            .when(F.col("avg_fp") >= F.col("__b1"), F.lit("head"))
-            .when(F.col("avg_fp") >= F.col("__b2"), F.lit("middle"))
-            .otherwise(F.lit("tail")),
-        )
-        .drop("__b1", "__b2")
+    cum = vc.withColumn("__cum", F.sum("__cnt").over(win)).withColumn(
+        "__n", F.max("__cum").over(tot_win)
+    )
+    return cum.groupBy(by_col).agg(
+        F.max(
+            F.when(F.col("__cum") >= F.expr("(__n + 2) div 3"), F.col("avg_fp"))
+        ).alias("__b1"),
+        F.max(
+            F.when(
+                F.col("__cum") >= F.expr("(2 * __n + 2) div 3"), F.col("avg_fp")
+            )
+        ).alias("__b2"),
     )
 
 

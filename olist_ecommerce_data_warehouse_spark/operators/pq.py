@@ -63,14 +63,38 @@ def pq_train(
     run from a small thread pool (guide §2.6 — Spark schedules
     concurrent jobs FIFO and back-fills idle executors; each chain's
     math is unchanged and bit-deterministic, so the codebooks are
-    byte-identical to the sequential run).  ``dim`` skips the
-    dimension-probe ``first()`` job when the caller already knows the
-    vector width (every registry corpus is fixed-dim by contract)."""
+    byte-identical to the sequential run).  The pool is CAPPED at 4
+    driver threads (ADVICE r10): each subspace chain nests
+    driver-blocking collects, so an uncapped ``max_workers=m`` would
+    spawn m concurrent collect chains for a large-m codebook — 4 in
+    flight keeps executors back-filled without flooding the driver.
+    ``dim`` skips the dimension-probe ``first()`` job when the caller
+    already knows the vector width (every registry corpus is fixed-dim
+    by contract); the claim is still CHECKED, not trusted — a per-row
+    ``assert_true`` guard fails the training job on the first vector
+    whose real width differs, because ``F.slice`` would otherwise
+    silently train codebooks on a prefix of each vector (ADVICE r10)."""
     d = dim if dim is not None else len(vectors.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     sub = d // m
     q = vectors.select(F.col(id_col), quantized(vec_col).alias("__qv"))
+    if dim is not None:
+        # zero-job width guard: assert_true returns NULL when the
+        # predicate holds (the filter keeps every row) and raises with
+        # the message on the first mismatch — evaluated inside the
+        # existing training scans, no extra probe job
+        q = q.where(
+            F.isnull(
+                F.assert_true(
+                    F.size("__qv") == F.lit(d),
+                    F.concat(
+                        F.lit(f"pq_train: dim={d} but vector width "),
+                        F.size("__qv").cast("string"),
+                    ),
+                )
+            )
+        )
 
     def one(j: int) -> list[list[int]]:
         sliced = q.select(
@@ -89,7 +113,7 @@ def pq_train(
         return [one(0)]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=m) as pool:
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
         return list(pool.map(one, range(m)))
 
 

@@ -356,7 +356,7 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olist_ecommerce_data_warehouse_spark.functions.text import tokens
     from olist_ecommerce_data_warehouse_spark.operators.dsir import (
         dsir_feature_counts_from_tokens,
-        dsir_log_ratio_from_counts,
+        dsir_log_ratio_from_combined_rows,
         dsir_score_from_counts,
         gumbel_key,
     )
@@ -364,8 +364,11 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bigram_pairs_from_tokens,
         ngram_lm_score_from_pairs,
         ngram_lm_train_from_pairs_lazy,
-        ppl_buckets,
-        ppl_tertiles_fp,
+        ppl_avg_fp_col,
+        ppl_sketch_bounds,
+        ppl_sketch_bucket_col,
+        ppl_tertile_bounds_fp,
+        ppl_tertile_bucket_col,
     )
     from olist_ecommerce_data_warehouse_spark.operators.sampling import sample_by_weight
 
@@ -436,30 +439,41 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = track_persist(
         dsir_feature_counts_from_tokens(tok, carry_cols=("__tgt",)), eager=False
     )
-    rc = fc.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-    tc = (
-        fc.filter(F.col("__tgt"))
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("c"))
-    )
-    totals_row = (
-        fc.agg(
+    # ONE model-sized aggregate replaces the r9 scalar-totals collect
+    # AND the two in-query model aggregates + their join (round 11,
+    # guide §2.4): the combined (bucket, t_b, r_b) table is ≤ B rows —
+    # the same driver-safe tier as the broadcast λ — so collecting it
+    # still materializes the tok and fc caches in one job (the r9
+    # single-subtree design), folds both λ denominators driver-side,
+    # and turns λ into a projection over a LOCAL relation whose
+    # broadcast build runs NO cluster stage.  The old shape re-ran two
+    # fc-wide aggregates (rc, tc) plus their join as three extra AQE
+    # stage waves inside the final query.  λ values are bit-identical
+    # (same JVM expression over the same integers — see
+    # dsir_log_ratio_from_combined_rows).
+    combined_rows = (
+        fc.groupBy("bucket")
+        .agg(
             F.sum(
                 F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))
-            ).alias("t_total"),
-            F.sum("cnt").alias("r_total"),
+            ).alias("t_b"),
+            F.sum("cnt").alias("r_b"),
         )
-        .collect()[0]
+        .collect()
     )
-    lam, lam0 = dsir_log_ratio_from_counts(
-        tc,
-        rc,
+    lam, lam0 = dsir_log_ratio_from_combined_rows(
+        spark,
+        [(r["bucket"], r["t_b"], r["r_b"]) for r in combined_rows],
         mu=DSIR_MU,
-        totals=(int(totals_row["t_total"] or 0), int(totals_row["r_total"] or 0)),
     )
-    scored = dsir_score_from_counts(d, fc, lam, lam0)
+    # lang rides THROUGH the scoring left-join (keep_cols, round 11)
+    # instead of a second corpus-grain shuffle join with d at the end:
+    # the old `.join(d, "doc_id")` re-attached the one column the
+    # scoring join had just dropped, costing an extra sort-merge
+    # exchange pair on the doc-grain table (guide §2.4)
+    scored = dsir_score_from_counts(d, fc, lam, lam0, keep_cols=("lang",))
     keyed = scored.select(
-        "doc_id", "n_features", "weight_fp",
+        "doc_id", "lang", "n_features", "weight_fp",
         gumbel_key("weight_fp", "doc_id", seed=DSIR_SEED),
     )
     picked = (
@@ -469,7 +483,6 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dsir = (
         keyed.join(picked, "doc_id", "left")
-        .join(d, "doc_id")
         .select(
             F.lit("dsir").alias("kind"),
             "doc_id",
@@ -524,20 +537,31 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max(3, 1% of N) per-doc disagreements of the exact tertiles
     # (measured: 0 mismatches at sf0.01, 1/742 at sf0.1 — a boundary
     # tie; a broken sketch path lands ~33-66% mismatch and fails).
-    # exact is doc-grain narrow and consumed twice (indicator agg +
-    # final rows) — persist LAZILY (round 9): its two consumers race
-    # inside the final write job and may duplicate the tertile window,
-    # but that recompute reads the HOT scored cache and is model-sized
-    # (value counts over the fixed-point grid), far cheaper than the
-    # dedicated eager-count job it replaces.
-    exact = track_persist(ppl_tertiles_fp(scored, by_col="lang"), eager=False)
-    sketch = ppl_buckets(scored, by_col="lang").select(
-        "doc_id", F.col("ppl_bucket").alias("__skb")
+    # Round 11 (guide §2.4): BOTH assignments now ride ONE pass over
+    # the hot scored cache — the exact and sketch boundary tables (two
+    # model-sized aggregates) broadcast onto a single projection that
+    # emits ppl_bucket AND the sketch bucket side by side, where the
+    # old shape assigned each separately and reunited them with a
+    # corpus-grain doc_id sort-merge join (two exchanges + sorts) just
+    # to compare columns; the lazy `exact` persist and its duplicate-
+    # window race go with it, and the per-group total inside the exact
+    # bounds chain folded into the tertile window (one fewer
+    # model-sized exchange — see ppl_tertile_bounds_fp).
+    withavg = scored.withColumn("avg_fp", ppl_avg_fp_col())
+    assigned = (
+        withavg
+        .join(
+            F.broadcast(ppl_tertile_bounds_fp(withavg, by_col="lang")),
+            "lang",
+            "left",
+        )
+        .join(F.broadcast(ppl_sketch_bounds(scored, by_col="lang")), "lang", "left")
+        .withColumn("ppl_bucket", ppl_tertile_bucket_col())
+        .withColumn("__skb", ppl_sketch_bucket_col())
+        .drop("__b1", "__b2", "__b")
     )
     lang_ok = (
-        exact.select("doc_id", "lang", "ppl_bucket")
-        .join(sketch, "doc_id")
-        .groupBy("lang")
+        assigned.groupBy("lang")
         .agg(
             F.when(
                 F.sum((F.col("ppl_bucket") != F.col("__skb")).cast("bigint"))
@@ -549,7 +573,7 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sketch_ok")
         )
     )
-    ccnet = exact.join(F.broadcast(lang_ok), "lang").select(
+    ccnet = assigned.join(F.broadcast(lang_ok), "lang").select(
         F.lit("ccnet").alias("kind"),
         "doc_id",
         "lang",

@@ -57,10 +57,29 @@ except ImportError:  # older commits
     def release_stale_checkpoints(spark):
         pass
 
+def sweep_ivf_indexes():
+    # bench.py's first-build hygiene (round 11), mirrored here so BOTH
+    # A/B sides pay the IVF index build in every sample; older commits
+    # without clear_centroid_cache just get the dir sweep
+    import os, shutil
+    scratch = os.path.join(os.getcwd(), ".scratch")
+    if os.path.isdir(scratch):
+        for n in os.listdir(scratch):
+            if n.startswith("ivf_index_"):
+                shutil.rmtree(os.path.join(scratch, n), ignore_errors=True)
+    try:
+        from olist_ecommerce_data_warehouse_spark.operators.ann_index import (
+            _CENTROID_CACHE,
+        )
+        _CENTROID_CACHE.clear()
+    except ImportError:
+        pass
+
 spark = get_spark("bench_ab")
 
 def run_plan(name):
     release_stale_checkpoints(spark)
+    sweep_ivf_indexes()
     spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)

@@ -91,34 +91,33 @@ def main() -> None:
         else:
             with open(p) as f:
                 lines.extend(f)
-    if True:
-        for line in lines:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            k = ev.get("Event")
-            if k == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                jobs[ev["Job ID"]] = {
-                    "t0": ev["Submission Time"],
-                    "desc": props.get("spark.job.description", ""),
-                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
-                    "callsite": (ev.get("Stage Infos") or [{}])[-1].get("Stage Name", ""),
-                }
-            elif k == "SparkListenerJobEnd" and ev["Job ID"] in jobs:
-                jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
-            elif k == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                acc = {a.get("Name"): a.get("Value") for a in si.get("Accumulables", [])}
-                stages[si["Stage ID"]] = {
-                    "name": si.get("Stage Name", ""),
-                    "tasks": si.get("Number of Tasks", 0),
-                    "sh_r": int(acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0) or 0)
-                    + int(acc.get("internal.metrics.shuffle.read.localBytesRead", 0) or 0),
-                    "sh_w": int(acc.get("internal.metrics.shuffle.write.bytesWritten", 0) or 0),
-                    "in_b": int(acc.get("internal.metrics.input.bytesRead", 0) or 0),
-                }
+    for line in lines:
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        k = ev.get("Event")
+        if k == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            jobs[ev["Job ID"]] = {
+                "t0": ev["Submission Time"],
+                "desc": props.get("spark.job.description", ""),
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+                "callsite": (ev.get("Stage Infos") or [{}])[-1].get("Stage Name", ""),
+            }
+        elif k == "SparkListenerJobEnd" and ev["Job ID"] in jobs:
+            jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
+        elif k == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            acc = {a.get("Name"): a.get("Value") for a in si.get("Accumulables", [])}
+            stages[si["Stage ID"]] = {
+                "name": si.get("Stage Name", ""),
+                "tasks": si.get("Number of Tasks", 0),
+                "sh_r": int(acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0) or 0)
+                + int(acc.get("internal.metrics.shuffle.read.localBytesRead", 0) or 0),
+                "sh_w": int(acc.get("internal.metrics.shuffle.write.bytesWritten", 0) or 0),
+                "in_b": int(acc.get("internal.metrics.input.bytesRead", 0) or 0),
+            }
 
     for r, w in enumerate(walls):
         print(f"run {r}: wall {w:.3f}s")

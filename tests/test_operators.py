@@ -2150,3 +2150,86 @@ def test_adc_partial_prune_matches_lexsort_membership():
                 ties = ties[np.argpartition(ids[ties], need - 1)[:need]]
             got = set(ids[np.concatenate([below, ties])])
             assert got == want, (trial, qi, sorted(got), sorted(want))
+
+
+def test_pq_train_dim_contract(spark):
+    """Round 11 (ADVICE r10): the ``dim=`` fast path must be a pure
+    job-count optimization — byte-identical codebooks to the probing
+    path — and a WRONG dim must fail loudly (the per-row assert_true
+    guard) instead of silently training codebooks on a prefix/short
+    slice of each vector."""
+    import random
+
+    import pytest
+
+    from olist_ecommerce_data_warehouse_spark.operators.pq import pq_train
+
+    rng = random.Random(11)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(16)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    probed = pq_train(vecs, m=2, k=4, n_iter=2)
+    given = pq_train(vecs, m=2, k=4, n_iter=2, dim=16)
+    assert given == probed  # byte-equal models, one fewer job
+
+    for wrong in (8, 32):  # too small (prefix) and too large (short slice)
+        with pytest.raises(Exception, match="pq_train: dim"):
+            pq_train(vecs, m=2, k=4, n_iter=2, dim=wrong)
+
+
+def test_dsir_log_ratio_combined_rows_bit_equal(spark):
+    """Round 11: the driver-local λ construction
+    (``dsir_log_ratio_from_combined_rows`` — one collected model table,
+    LocalTableScan broadcast, no in-query aggregates) must produce
+    BIT-IDENTICAL (bucket, lam_fp) rows and the same lam0 as the
+    two-relation ``dsir_log_ratio_from_counts`` formulation it
+    replaced in corpus_mixing."""
+    from pyspark.sql import functions as F
+
+    from olist_ecommerce_data_warehouse_spark.operators.dsir import (
+        dsir_log_ratio_from_combined_rows,
+        dsir_log_ratio_from_counts,
+    )
+
+    rows = [
+        (b, t_b, r_b)
+        for b, (t_b, r_b) in enumerate(
+            [(0, 5), (3, 9), (1, 1), (17, 40), (0, 2), (7, 7), (2, 30)]
+        )
+    ]
+    tc = spark.createDataFrame(
+        [(b, t) for b, t, _ in rows if t > 0], "bucket bigint, c bigint"
+    )
+    rc = spark.createDataFrame([(b, r) for b, _, r in rows], "bucket bigint, c bigint")
+    t_total = sum(t for _, t, _ in rows)
+    r_total = sum(r for _, _, r in rows)
+    lam_old, lam0_old = dsir_log_ratio_from_counts(
+        tc, rc, buckets=64, mu=50, totals=(t_total, r_total)
+    )
+    lam_new, lam0_new = dsir_log_ratio_from_combined_rows(
+        spark, rows, buckets=64, mu=50
+    )
+    assert lam0_new == lam0_old
+    old = {r["bucket"]: r["lam_fp"] for r in lam_old.collect()}
+    new = {r["bucket"]: r["lam_fp"] for r in lam_new.collect()}
+    assert new == old
+    # and the local formulation plans NO shuffle at all
+    assert "Exchange" not in lam_new._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spread_triggers_only_on_pathologically_narrow_input(spark):
+    """Round 11 (ADVICE r10): ``catalog.spread`` rebalances only when
+    the input is narrower than HALF the cluster width — a sub-2×
+    parallelism gain is not worth a full raw-row shuffle — and is a
+    provable no-op at or above that width (the 100 TB case)."""
+    from olist_ecommerce_data_warehouse_spark.catalog import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == target
+    mid = spark.range(100).repartition(max(1, target // 2))
+    assert spread(mid).rdd.getNumPartitions() == max(1, target // 2)
+    wide = spark.range(100).repartition(target)
+    assert spread(wide).rdd.getNumPartitions() == target
