@@ -57,7 +57,9 @@ def add_surrogate_key_simple(
     return df.withColumn(sk_col, F.row_number().over(w))
 
 
-def _bucket_col(df: DataFrame, col: str, parts: int) -> Column:
+def _bucket_col(
+    df: DataFrame, col: str, parts: int, stats_src: DataFrame | None = None
+) -> Column:
     """Deterministic, monotone-non-decreasing bucket of ``col``.
 
     Monotonicity is what makes per-bucket numbering + cumulative
@@ -65,7 +67,19 @@ def _bucket_col(df: DataFrame, col: str, parts: int) -> Column:
     precedes every row of a higher one in key order.  NULL keys sort
     first under Spark's default ASC NULLS FIRST, so they map to the
     lowest bucket (numeric: coalesce→bucket 0; string: NULL prefix
-    coalesces to '' which is the lexicographic minimum)."""
+    coalesces to '' which is the lexicographic minimum).
+
+    ``stats_src`` (round 11, guide §5 driver-side cost): an optional
+    CHEAPER relation to compute the min/max bounds on — any relation
+    whose ``col`` values are a SUPERSET of ``df``'s (e.g. the raw key
+    column of a table ``df`` was built from by inner joins/filters).
+    Correctness needs only that the bounds CONTAIN the data: the
+    bucketing stays monotone for any containing bounds, and the
+    per-bucket numbering + offsets still compose to the same global
+    dense rank — only bucket BOUNDARIES move, never the output.  The
+    win is twofold: the stats job plans/scans a bare column instead of
+    the whole join tree (at 100 TB: a column scan, not a fact build),
+    and the big query's own planning no longer embeds that evaluation."""
     dtype = dict(df.dtypes)[col]
     if dtype == "string":
         # 2-char prefix: lexicographic prefix order is consistent with
@@ -76,7 +90,9 @@ def _bucket_col(df: DataFrame, col: str, parts: int) -> Column:
         v = F.unix_date(F.col(col)).cast("double")
     else:  # integral, floating, decimal, timestamp
         v = F.col(col).cast("double")
-    row = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+    row = (stats_src if stats_src is not None else df).agg(
+        F.min(v).alias("mn"), F.max(v).alias("mx")
+    ).first()
     mn, mx = row["mn"], row["mx"]
     if mn is None or mx is None or mx <= mn:
         return F.lit(0)
@@ -94,6 +110,7 @@ def add_surrogate_key(
     order_cols: Sequence[str],
     sk_col: str = "sk",
     num_partitions: int | None = None,
+    stats_src: DataFrame | None = None,
 ) -> DataFrame:
     """Dense 1-based key in ``order_cols`` order without a global
     single-partition window.
@@ -102,9 +119,15 @@ def add_surrogate_key(
     (``_bucket_col``) and count rows per bucket (narrow map-side agg).
     Phase 2: ROW_NUMBER within each bucket + the broadcast cumulative
     count of all lower buckets.  Both phases are pure functions of the
-    data — no sampling, no checkpoint, full lineage."""
+    data — no sampling, no checkpoint, full lineage.
+
+    ``stats_src``: optional cheaper relation for the bucket-bound
+    min/max (must contain every ``order_cols[0]`` value of ``df`` —
+    see ``_bucket_col``; identical output keys by monotonicity)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    bucketed = df.withColumn(_BUCKET, _bucket_col(df, order_cols[0], parts))
+    bucketed = df.withColumn(
+        _BUCKET, _bucket_col(df, order_cols[0], parts, stats_src=stats_src)
+    )
     offsets = (
         bucketed.groupBy(_BUCKET)
         .agg(F.count(F.lit(1)).alias("__cnt"))

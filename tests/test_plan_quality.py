@@ -129,6 +129,11 @@ def test_text_lang_id_single_join_fanin(spark):
     assert plan.count("SortMergeJoin") == 1, plan
     keyed = plan.count("Exchange") - plan.count("Exchange RoundRobinPartitioning")
     assert keyed <= 5, plan
+    # ADVICE r10: the round-robin count is capped too — the budget
+    # above must not become a blind spot where unintended repartitions
+    # accumulate (the deliberate spread() inlines as 3 RR exchanges in
+    # this printed plan today; 4 leaves one re-inlining of headroom)
+    assert plan.count("Exchange RoundRobinPartitioning") <= 4, plan
 
 
 def test_ann_plans_no_cartesian(spark):
