@@ -394,10 +394,16 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer over the full corpus.  At 100 TB this is the standard
     # materialize-the-token-table posture: one pass over the wide text
     # column, downstream consumers read the compact columnar cache.
-    # LAZY persist: the λ-totals aggregate below is a single subtree
-    # over fc over tok, so that one job materializes BOTH caches — no
-    # separate count job, and no concurrent-consumer race (the only
-    # safety condition for a lazy track_persist)
+    # EAGER persist (round 11, guide §2.6): one count job materializes
+    # the token table ALONE, so the two INDEPENDENT model-construction
+    # jobs below — the DSIR combined-model collect and the CCNet
+    # bigram count — can run from a thread pool against a HOT cache.
+    # The r10 session measured this overlap neutral precisely because
+    # tok was lazy then: both jobs raced into the cold cache and
+    # duplicated the tokenize.  Paying the tokenize in its own job
+    # first makes the overlap race-free, and the slot's construction
+    # chain costs tok + max(dsir, ccnet) + scored instead of
+    # tok+dsir + ccnet + scored.
     tok = track_persist(
         docs.select(
             "doc_id",
@@ -407,7 +413,6 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text").contains("data") & (F.col("doc_id") % 17 == 0)
             ).alias("__tgt"),
         ),
-        eager=False,
     )
     d = tok.select("doc_id", "lang")
     mix = (
@@ -451,16 +456,42 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage waves inside the final query.  λ values are bit-identical
     # (same JVM expression over the same integers — see
     # dsir_log_ratio_from_combined_rows).
-    combined_rows = (
-        fc.groupBy("bucket")
-        .agg(
-            F.sum(
-                F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))
-            ).alias("t_b"),
-            F.sum("cnt").alias("r_b"),
+    def _dsir_combined_rows():
+        return (
+            fc.groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))
+                ).alias("t_b"),
+                F.sum("cnt").alias("r_b"),
+            )
+            .collect()
         )
-        .collect()
-    )
+
+    def _ccnet_train():
+        # pairs persists LAZILY; the bigram model persists EAGERLY —
+        # its count is the ONE job that materializes pairs AND bigram
+        # before the scoring query's three broadcast subtrees
+        # (bigram / context / V) consume them concurrently (leaving
+        # bigram cold would race three futures into the cold caches).
+        p = track_persist(_bigram_pairs_from_tokens(tok), eager=False)
+        return (p, *ngram_lm_train_from_pairs_lazy(
+            p.filter(_split_col() == "train"),
+            persist_fn=track_persist,
+        ))
+
+    # the two model constructions are INDEPENDENT driver-blocking jobs
+    # over the hot token cache — overlap them (guide §2.6; the same
+    # 2-thread FIFO back-fill pattern as ann_ivf_topk's training
+    # chains).  Each side's math is unchanged; results are the same
+    # rows either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_dsir = _pool.submit(_dsir_combined_rows)
+        _f_ccnet = _pool.submit(_ccnet_train)
+        combined_rows = _f_dsir.result()
+        pairs, bigram, context, v = _f_ccnet.result()
     lam, lam0 = dsir_log_ratio_from_combined_rows(
         spark,
         [(r["bucket"], r["t_b"], r["r_b"]) for r in combined_rows],
@@ -504,21 +535,8 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # miss the train table (on this shared-vocabulary synthetic corpus
     # that's structural, not exercised — pytest covers genuinely
     # held-out text).
-    # pairs persists LAZILY; the bigram model persists EAGERLY — its
-    # count is the ONE sequential job that materializes pairs AND
-    # bigram before the scoring query's three broadcast subtrees
-    # (bigram / context / V) consume them.  Those futures are prepared
-    # CONCURRENTLY by SQLExecution, so leaving bigram cold would race
-    # three jobs into the cold caches (mostly serialized by per-block
-    # write locks, but with duplicated-compute windows — the
-    # "Block ... already exists" warnings — and run-to-run variance).
-    # Net vs the pre-fusion shape: still two jobs saved (the separate
-    # pairs count and the collected distinct-V count), none re-raced.
-    pairs = track_persist(_bigram_pairs_from_tokens(tok), eager=False)
-    bigram, context, v = ngram_lm_train_from_pairs_lazy(
-        pairs.filter(_split_col() == "train"),
-        persist_fn=track_persist,
-    )
+    # (pairs/bigram/context/v were built in _ccnet_train above,
+    # overlapped with the DSIR model collect)
     # scored is doc-grain and NARROW (id, lang, 3 ints) — persisting it
     # means the tertile operator's two consumers (value counts + final
     # assignment) cost one scoring pass total, not two
