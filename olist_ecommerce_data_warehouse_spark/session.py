@@ -132,6 +132,26 @@ def get_spark(app_name: str = "olist_spark_engine", *, cpus: int | None = None) 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE apply its standard advisory-size coalescing to CACHED
+        # plan output partitioning too (default false — Spark keeps
+        # cached layouts frozen so cache-reuse partitioning is stable).
+        # Round 11, guide §2.2: this engine persists many MODEL-sized
+        # aggregate outputs (feature matrices, shingle/token tables,
+        # score tables) whose exchanges default to cores-many tiny
+        # partitions; with the flag OFF every downstream consumer pays
+        # a full-width task wave per read (measured: pegasos' 8
+        # per-round scans of a 37 MB cache at 32 tasks each).  The
+        # decision stays BYTE-keyed (advisoryPartitionSizeInBytes), so
+        # a genuinely large cached table at cluster scale keeps its
+        # width — nothing here is tuned to the local core count.
+        # Worktree A/B (bench_ab.jsonl, alternating sessions):
+        # text_lang_id 0.69×, corpus_mixing 0.81×, text_repetition
+        # 0.82×, dedup_embedding_cosine 0.85×, dedup_ngram_jaccard
+        # 0.86×, text_metrics 0.89×, multimodal_metadata 0.88×,
+        # dedup_cluster_cc 0.90×, ann_ivf_topk 0.92×; nothing above
+        # noise in the other direction (0.99-1.05 on the cache-light
+        # plans).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # RIGHT-SIZED heap, not max: in local mode the driver JVM hosts
