@@ -435,12 +435,12 @@ def corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE feature pass feeds both corpus models and the scoring join
     # (the oracle's dfeats CTE has this shape already): the token
     # table explodes once into (doc_id, bucket, cnt), raw totals and
-    # target-filtered totals are two model-sized aggregates over it.
-    # fc persists LAZILY: the combined totals job below is its single
-    # first consumer, so that one job fills the cache AND returns both
-    # λ denominators — where the eager-persist + two-collect shape ran
-    # three jobs for the same answer (round 9 job fusion; the plan
-    # dropped from ~10 sequential jobs to ~6).
+    # target-filtered totals fold into one model-sized aggregate over
+    # it.  fc persists LAZILY: the combined-model collect below is its
+    # single first consumer (reading the HOT token cache), so that one
+    # job fills the fc cache AND returns the whole λ model — where the
+    # eager-persist + two-collect shape ran three jobs for the same
+    # answer (round 9 job fusion, round 11 λ-local fold).
     fc = track_persist(
         dsir_feature_counts_from_tokens(tok, carry_cols=("__tgt",)), eager=False
     )
